@@ -1,0 +1,115 @@
+"""ETL transform tests: codec, flatten, validation, derived columns, dedup.
+
+Mirrors the reference's DataValidationServiceTest / WifiDataTransformationServiceTest
+coverage (SURVEY.md §5 layer 1).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.wifi_fixtures import NOW_MS, documents_as_json_lines, make_documents
+from wifi_location_data_pipeline_spark.operators.transform import (
+    conform_to_measurements_schema,
+    transform_documents,
+)
+from wifi_location_data_pipeline_spark.schemas import RAW_SCAN_DOCUMENT_SCHEMA
+from wifi_location_data_pipeline_spark.sources.codec import decode_scan_lines, encode_scan_line
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    lines = documents_as_json_lines()
+    df = spark.createDataFrame([(l,) for l in lines], "json string")
+    parsed = df.select(F.from_json("json", RAW_SCAN_DOCUMENT_SCHEMA).alias("doc")).select(
+        "doc.*", F.lit("mem://fixture").alias("source_file")
+    )
+    return parsed.cache()
+
+
+@pytest.fixture(scope="module")
+def measurements(docs_df):
+    return transform_documents(docs_df, now_ms=F.lit(NOW_MS)).cache()
+
+
+def test_codec_roundtrip(spark):
+    lines = documents_as_json_lines(make_documents(n_docs=5))
+    df = spark.createDataFrame([(l,) for l in lines], "json string")
+    encoded = df.select(encode_scan_line(F.col("json")).alias("value"))
+    decoded = decode_scan_lines(encoded)
+    assert decoded.count() == len(lines)
+    assert decoded.schema.fieldNames()[: len(RAW_SCAN_DOCUMENT_SCHEMA)] == RAW_SCAN_DOCUMENT_SCHEMA.fieldNames()
+
+
+def test_codec_drops_invalid_lines(spark):
+    rows = [("not-base64!!!",), ("",), ("   ",), ("aGVsbG8=",)]  # last: base64 but not gzip
+    df = spark.createDataFrame(rows, "value string")
+    assert decode_scan_lines(df).count() == 0
+
+
+def test_flatten_produces_both_tiers(measurements):
+    statuses = {r["connection_status"] for r in measurements.select("connection_status").distinct().collect()}
+    assert statuses == {"CONNECTED", "SCAN"}
+
+
+def test_connected_only_cols_null_for_scan_rows(measurements):
+    scan_rows = measurements.filter("connection_status = 'SCAN'")
+    assert scan_rows.filter(F.col("link_speed").isNotNull()).count() == 0
+    connected = measurements.filter("connection_status = 'CONNECTED'")
+    assert connected.filter(F.col("link_speed").isNull()).count() == 0
+
+
+def test_stage1_filters_reject_edge_cases(measurements):
+    bad_bssids = {
+        "00:00:00:00:00:00", "ff:ff:ff:ff:ff:ff",  # invalid MACs
+        "11:22:33:44:55:66", "11:22:33:44:55:67",  # rssi out of range
+        "11:22:33:44:55:68",                        # lat out of range
+        "11:22:33:44:55:69",                        # accuracy > 150
+        "11:22:33:44:55:6a", "11:22:33:44:55:6b",  # future / too old
+        "00:23:6c:11:22:33",                        # hotspot OUI (EXCLUDE action)
+    }
+    surviving = {r["bssid"] for r in measurements.select("bssid").distinct().collect()}
+    assert surviving.isdisjoint(bad_bssids)
+    # the good edge-case row (hyphens+uppercase) survives, normalized
+    assert "aa:bb:cc:00:11:22" in surviving
+
+
+def test_bssid_normalized_and_ssid_cleaned(measurements):
+    row = measurements.filter("bssid = '22:33:44:55:66:77'").first()
+    assert row is not None
+    assert row["ssid"] == "nul\x00ssid".replace("\x00", "").strip() == "nulssid"
+
+
+def test_quality_weight_rules(measurements):
+    rows = measurements.select("connection_status", "link_speed", "rssi", "quality_weight").collect()
+    for r in rows:
+        if r.connection_status == "SCAN":
+            assert r.quality_weight == 1.0
+        elif r.link_speed is not None and r.link_speed < 50 and r.rssi > -70:
+            assert r.quality_weight == 1.5
+        else:
+            assert r.quality_weight == 2.0
+
+
+def test_quality_score_bounds(measurements):
+    stats = measurements.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    ).first()
+    assert 0.5 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_deterministic_ids_and_dedup(docs_df):
+    m1 = transform_documents(docs_df, now_ms=F.lit(NOW_MS))
+    doubled = docs_df.unionByName(docs_df)
+    m2 = transform_documents(doubled, now_ms=F.lit(NOW_MS))
+    assert m1.count() == m2.count()  # dedup collapses the duplicate documents
+    ids1 = {r["id"] for r in m1.select("id").collect()}
+    ids2 = {r["id"] for r in m2.select("id").collect()}
+    assert ids1 == ids2
+
+
+def test_conform_schema_has_45_columns(measurements):
+    conformed = conform_to_measurements_schema(measurements)
+    assert len(conformed.columns) == 45
+    assert conformed.filter(F.col("is_global_outlier").isNotNull()).count() == 0

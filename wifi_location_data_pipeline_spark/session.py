@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults follow the driver environment (single JVM, many cores);
+cluster deployments override via ``extra_conf``. Every knob here matters at
+100 TB: AQE for runtime re-planning and skew joins, UTC session timezone so
+results are oracle-comparable, Arrow for the pandas-UDF tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "wifi_location_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    Defaults are environment-driven so tests, bench, and the driver's
+    harness can shape the session without code changes:
+
+    - ``SPARK_GRAFT_CPUS``  → ``local[N]`` master and shuffle parallelism
+    - ``SPARK_GRAFT_DRIVER_MEM`` → driver heap (local mode = the only heap)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
