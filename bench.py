@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count + a cheap checksum collect) so the
+whole plan runs; per-query wall-clock is reported. Set BENCH_QUERIES=a,b,c to
+restrict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    import __spark_entry__ as entry_mod
+    from wifi_location_data_pipeline_spark.session import build_session
+
+    spark = build_session(app_name="bench", extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
+
+    qs = entry_mod.queries()
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        names = [n for n in only.split(",") if n in qs]
+    else:
+        names = list(qs)
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "engine_query_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables; compares row count, column names, and
+order-insensitive values. Reports per-query PASS/FAIL with the first
+divergence for debugging.
+
+Usage: python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [--only name[,name]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize numerics, sort rows — order-insensitive form."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif isinstance(df[c].dtype, object.__class__) and df[c].dtype == object:
+            # duckdb can hand back Decimals; normalize to float when numeric
+            try:
+                conv = pd.to_numeric(df[c])
+                if pd.api.types.is_float_dtype(conv):
+                    df[c] = conv.round(9)
+                else:
+                    df[c] = conv
+            except (ValueError, TypeError):
+                pass
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns: spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = pd.to_numeric(sv, errors="coerce").astype("float64")
+            da = pd.to_numeric(dv, errors="coerce").astype("float64")
+            both_nan = sa.isna() & da.isna()
+            close = ((sa - da).abs() <= 1e-6 + 1e-9 * da.abs()) | both_nan
+            if not close.all():
+                i = int((~close).idxmax())
+                problems.append(
+                    f"col {c}: {int((~close).sum())} diffs; first at row {i}: "
+                    f"spark={sa[i]!r} duck={da[i]!r}"
+                )
+        else:
+            eq = (sv == dv) | (sv.isna() & dv.isna())
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} diffs; first at row {i}: "
+                    f"spark={sv[i]!r} duck={dv[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from wifi_location_data_pipeline_spark.session import build_session
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    spark = build_session(
+        app_name="check-correctness",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:200]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            for p in problems[:4]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,564 @@
+"""Query registry: every implemented operator demonstrated on the driver's
+synthetic tables, with a DuckDB-checkable oracle.
+
+Each entry is written once as a dialect-parameterized SQL template (see
+``plans.dialect``) so the Spark execution and the DuckDB oracle share
+semantics and column names exactly. Queries that are not SQL-expressible
+(iterative numerics) provide a ``spark_fn`` and no oracle — the driver
+records a rows-only check for those.
+
+The wifi-domain operators are exercised by deriving a deterministic
+measurement-shaped dataset from the ``events`` table (same arithmetic in both
+dialects), then applying the *real* operator semantics on top. SURVEY.md §2
+citations sit on each query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wifi_location_data_pipeline_spark.plans.dialect import (
+    DUCK,
+    SPARK,
+    int_floor_div,
+    median,
+    percentile,
+    regexp_like,
+    ts_expr,
+)
+
+# ---------------------------------------------------------------------------
+# Shared derivation: a deterministic wifi-measurement analog from `events`.
+# 50 synthetic APs; observation coordinates offset from the AP's true position
+# by a deterministic function of event_id; RSSI in [-89,-30]; ~1/3 CONNECTED.
+# True AP position: lat0 = 40 + ap*0.01, lon0 = -74 + (ap*7 % 50)*0.01.
+# ---------------------------------------------------------------------------
+
+
+def measurements_cte(d: str) -> str:
+    fd21 = int_floor_div(d, "event_id", 21)
+    return f"""
+  SELECT
+    CAST(user_id % 50 AS BIGINT) AS ap_id,
+    CAST(40.0 + (user_id % 50) * 0.01 + ((event_id % 21) - 10) * 0.0001 AS DOUBLE) AS latitude,
+    CAST(-74.0 + ((user_id * 7) % 50) * 0.01 + (({fd21} % 21) - 10) * 0.0001 AS DOUBLE) AS longitude,
+    CAST(-30 - (event_id % 60) AS DOUBLE) AS rssi,
+    CAST(5.0 + value * 5.0 AS DOUBLE) AS accuracy,
+    CASE WHEN event_type = 'click' THEN 'CONNECTED' ELSE 'SCAN' END AS connection_status,
+    CASE WHEN event_type = 'click' THEN 2.0 ELSE 1.0 END AS quality_weight,
+    {ts_expr(d, 'ts')} AS ts, event_id, user_id, value
+  FROM events
+"""
+
+
+def aps_cte() -> str:
+    """True synthetic AP positions (dialect-neutral)."""
+    return """
+  SELECT
+    CAST(g.ap_id AS BIGINT) AS ap_id,
+    CAST(40.0 + g.ap_id * 0.01 AS DOUBLE) AS true_lat,
+    CAST(-74.0 + ((g.ap_id * 7) % 50) * 0.01 AS DOUBLE) AS true_lon
+  FROM (SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS ap_id FROM events) g
+"""
+
+
+HAVERSINE = (
+    "2.0 * 6371000.0 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+)
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return HAVERSINE.format(lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2)
+
+
+@dataclass
+class QueryDef:
+    name: str
+    description: str
+    sql: Callable[[str], str] | None = None
+    spark_fn: Callable[[SparkSession, str], DataFrame] | None = None
+
+    def spark(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+        register_views(spark, sf_dir)
+        if self.spark_fn is not None:
+            return self.spark_fn(spark, sf_dir)
+        return spark.sql(self.sql(SPARK))
+
+    def oracle(self) -> str | None:
+        return self.sql(DUCK) if self.sql is not None else None
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, description: str, sql=None, spark_fn=None) -> None:
+    QUERIES[name] = QueryDef(name, description, sql=sql, spark_fn=spark_fn)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Aggregations — per-AP stats / sufficiency / quality metrics
+# ---------------------------------------------------------------------------
+
+register(
+    "per_ap_stats",
+    "Per-AP stats: COUNT(*), conditional counts, MIN/MAX ts, AVG accuracy "
+    "grouped by AP (SCHEMA.md:149-161; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)})
+SELECT ap_id,
+  CAST(COUNT(*) AS BIGINT) AS total_measurements,
+  CAST(SUM(CASE WHEN connection_status = 'CONNECTED' THEN 1 ELSE 0 END) AS BIGINT) AS connected_count,
+  CAST(SUM(CASE WHEN rssi >= -60 THEN 1 ELSE 0 END) AS BIGINT) AS strong_count,
+  ROUND(AVG(accuracy), 4) AS avg_accuracy,
+  ROUND(MIN(rssi), 4) AS min_rssi,
+  ROUND(MAX(rssi), 4) AS max_rssi
+FROM m
+GROUP BY ap_id
+""",
+)
+
+register(
+    "sufficiency_gate",
+    "Localization sufficiency: HAVING COUNT(*) >= threshold "
+    "(SCHEMA.md:165-176; FRAMEWORK:127; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)})
+SELECT ap_id, CAST(COUNT(*) AS BIGINT) AS measurement_count,
+  CAST(SUM(CAST(quality_weight * 2 AS BIGINT)) AS BIGINT) AS total_weight_x2
+FROM m
+GROUP BY ap_id
+HAVING COUNT(*) >= 150
+""",
+)
+
+register(
+    "ap_quality_metrics",
+    "Per-AP quality metrics: AVG(quality_weight), STDDEV(lat/lon), "
+    "COUNT(DISTINCT day) (SCHEMA.md:180-192; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)})
+SELECT ap_id,
+  CAST(SUM(CAST(quality_weight * 2 AS BIGINT)) AS BIGINT) AS total_weight_x2,
+  ROUND(STDDEV_SAMP(latitude), 6) AS lat_stddev,
+  ROUND(STDDEV_SAMP(longitude), 6) AS lon_stddev,
+  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+FROM m
+GROUP BY ap_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter / scalar predicates
+# ---------------------------------------------------------------------------
+
+register(
+    "stage1_validation",
+    "Stage-1 sanity filters: lat/lon bounds, accuracy gate (NULL passes), "
+    "RSSI range (DataValidationService.java:196-299; SURVEY §2.2).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)})
+SELECT ap_id, event_id, rssi, ROUND(accuracy, 4) AS accuracy
+FROM m
+WHERE latitude BETWEEN -90.0 AND 90.0
+  AND longitude BETWEEN -180.0 AND 180.0
+  AND (accuracy IS NULL OR accuracy <= 150.0)
+  AND rssi BETWEEN -100.0 AND 0.0
+  AND rssi <= -35.0
+""",
+)
+
+register(
+    "bssid_format_filter",
+    "BSSID MAC-format regex + all-zeros/broadcast rejection over derived MACs "
+    "(DataValidationService.java:66-67,345-367,633-651; SURVEY §2.2).",
+    sql=lambda d: f"""
+WITH hashed AS (
+  -- hash once per row; recomputing md5 inside every CASE branch defeats CSE
+  SELECT event_id, md5(CAST(event_id AS STRING)) AS h FROM events
+),
+macs AS (
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN '00:00:00:00:00:00'
+         WHEN event_id % 11 = 1 THEN 'not-a-mac'
+         WHEN event_id % 11 = 2 THEN upper(concat_ws('-',
+              substr(h, 1, 2), substr(h, 3, 2), substr(h, 5, 2),
+              substr(h, 7, 2), substr(h, 9, 2), substr(h, 11, 2)))
+         ELSE concat_ws(':',
+              substr(h, 1, 2), substr(h, 3, 2), substr(h, 5, 2),
+              substr(h, 7, 2), substr(h, 9, 2), substr(h, 11, 2))
+    END AS bssid
+  FROM hashed
+),
+norm AS (
+  -- normalize once; repeating translate(lower(CASE…)) in filter + project
+  -- re-evaluates the whole CASE chain per use
+  SELECT event_id, bssid, translate(lower(bssid), '-', ':') AS bssid_normalized
+  FROM macs
+)
+SELECT event_id, bssid_normalized
+FROM norm
+WHERE {regexp_like(d, "bssid", "^([0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}$")}
+  AND bssid_normalized NOT IN ('00:00:00:00:00:00', 'ff:ff:ff:ff:ff:ff')
+""",
+)
+
+register(
+    "ssid_clean_oui",
+    "SSID cleaning (NUL strip, trim, empty→NULL) + OUI extraction "
+    "(WifiDataTransformationService.java:855-863; DataValidationService.java:573-591).",
+    sql=lambda d: f"""
+WITH macs AS (
+  SELECT doc_id,
+    concat_ws(':',
+      substr(md5(CAST(doc_id AS STRING)), 1, 2),
+      substr(md5(CAST(doc_id AS STRING)), 3, 2),
+      substr(md5(CAST(doc_id AS STRING)), 5, 2),
+      substr(md5(CAST(doc_id AS STRING)), 7, 2),
+      substr(md5(CAST(doc_id AS STRING)), 9, 2),
+      substr(md5(CAST(doc_id AS STRING)), 11, 2)) AS bssid,
+    CASE WHEN doc_id % 5 = 0 THEN concat('  ', source, '  ')
+         WHEN doc_id % 5 = 1 THEN ''
+         WHEN doc_id % 5 = 2 THEN '   '
+         ELSE source END AS raw_ssid
+  FROM documents
+)
+SELECT doc_id,
+  nullif(trim(raw_ssid), '') AS ssid_clean,
+  upper(substr(bssid, 1, 8)) AS oui
+FROM macs
+""",
+)
+
+register(
+    "hotspot_oui_exclude",
+    "Mobile-hotspot OUI blacklist as anti-join (EXCLUDE action) "
+    "(DataValidationService.java:504-535; application.yml:137-147; SURVEY §2.2/2.4).",
+    sql=lambda d: f"""
+WITH macs AS (
+  SELECT event_id, user_id,
+    upper(substr(md5(CAST(user_id % 20 AS STRING)), 1, 8)) AS oui
+  FROM events
+),
+blacklist AS (
+  SELECT upper(substr(md5(CAST(g.n AS STRING)), 1, 8)) AS hotspot_oui
+  FROM (SELECT 1 AS n UNION ALL SELECT 7 UNION ALL SELECT 13) g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS surviving_rows,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS surviving_users
+FROM macs
+WHERE NOT EXISTS (SELECT 1 FROM blacklist b WHERE b.hotspot_oui = macs.oui)
+""",
+)
+
+register(
+    "physics_validator",
+    "Signal-physics gate: reject scan groups with same-frequency spread > 45 dB "
+    "when max > -50 dBm, or any RSSI outside [-100,-30] "
+    "(SignalPhysicsValidator.java:31-107; SURVEY §2.2).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+grouped AS (
+  SELECT user_id, connection_status AS freq_class,
+    MAX(rssi) AS max_rssi, MIN(rssi) AS min_rssi,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM m
+  GROUP BY user_id, connection_status
+)
+SELECT user_id, freq_class, n, ROUND(max_rssi - min_rssi, 4) AS spread_db
+FROM grouped
+WHERE NOT (max_rssi > -50.0 AND (max_rssi - min_rssi) > 45.0)
+  AND min_rssi >= -100.0 AND max_rssi <= -30.0
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins
+# ---------------------------------------------------------------------------
+
+register(
+    "ap_lookup_join",
+    "Scan MACs → known APs: lookup join with keep-first duplicate resolution "
+    "(WifiAccessPointRepositoryImpl.java:150-221; WifiPositioningCalculator.java:296-303).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte()})
+SELECT m.ap_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+  ROUND(MIN(aps.true_lat), 6) AS ap_lat, ROUND(MIN(aps.true_lon), 6) AS ap_lon
+FROM m JOIN aps ON m.ap_id = aps.ap_id
+GROUP BY m.ap_id
+""",
+)
+
+register(
+    "known_ap_semi_join",
+    "Filter scans to APs present in the dimension (left-semi) "
+    "(WifiPositioningCalculator.filterValidScans:306-311; SURVEY §2.4).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+known AS (SELECT DISTINCT ap_id FROM (SELECT CAST(user_id % 50 AS BIGINT) AS ap_id FROM events) t WHERE ap_id % 3 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS kept_rows,
+  CAST(COUNT(DISTINCT m.ap_id) AS BIGINT) AS kept_aps
+FROM m WHERE EXISTS (SELECT 1 FROM known k WHERE k.ap_id = m.ap_id)
+""",
+)
+
+register(
+    "status_filter",
+    "AP status whitelist filter (WifiAccessPoint.java:37-38; "
+    "PositioningServiceImpl.java:350-356). Status derived per AP.",
+    sql=lambda d: f"""
+WITH aps AS ({aps_cte()}),
+dim AS (
+  SELECT ap_id, true_lat, true_lon,
+    CASE CAST(ap_id % 8 AS BIGINT)
+      WHEN 0 THEN 'active' WHEN 1 THEN 'warning' WHEN 2 THEN 'error'
+      WHEN 3 THEN 'expired' WHEN 4 THEN 'wifi-hotspot' WHEN 5 THEN 'verified'
+      WHEN 6 THEN 'test' ELSE 'imported' END AS status
+  FROM aps
+)
+SELECT ap_id, status, ROUND(true_lat, 6) AS latitude, ROUND(true_lon, 6) AS longitude
+FROM dim
+WHERE status IN ('active', 'warning', 'verified', 'test', 'imported')
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / windows
+# ---------------------------------------------------------------------------
+
+register(
+    "per_group_topn",
+    "Per-BSSID lookback: ORDER BY ts DESC LIMIT N per group via row_number "
+    "(APMeasurementsLookUpService.buildQuery:140-157; SURVEY §2.6).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+ranked AS (
+  SELECT ap_id, event_id, rssi,
+    ROW_NUMBER() OVER (PARTITION BY ap_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM m
+)
+SELECT ap_id, event_id, rssi FROM ranked WHERE rn <= 50
+""",
+)
+
+register(
+    "strongest_signal_pick",
+    "Proximity argmax: strongest-RSSI observation per group "
+    "(ProximityDetectionAlgorithm.java:98-129; SURVEY §2.6 top-K).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+ranked AS (
+  SELECT user_id, ap_id, rssi, latitude, longitude,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rssi DESC, event_id) AS rn
+  FROM m
+)
+SELECT user_id, ap_id AS strongest_ap, ROUND(rssi, 4) AS rssi,
+  ROUND(latitude, 6) AS latitude, ROUND(longitude, 6) AS longitude
+FROM ranked WHERE rn = 1
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.7 closed-form positioning math
+# ---------------------------------------------------------------------------
+
+register(
+    "weighted_centroid",
+    "Weighted centroid localization (WCL): P = Σ(Pᵢwᵢ)/Σwᵢ with "
+    "w = quality_weight · 10^(rssi/10) (WeightedCentroidAlgorithm.java:209-420; "
+    "FRAMEWORK:133-139; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+w AS (SELECT ap_id, latitude, longitude, quality_weight * pow(10.0, rssi / 10.0) AS wt FROM m)
+SELECT ap_id,
+  ROUND(SUM(latitude * wt) / SUM(wt), 6) AS est_lat,
+  ROUND(SUM(longitude * wt) / SUM(wt), 6) AS est_lon,
+  CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM w
+GROUP BY ap_id
+""",
+)
+
+register(
+    "wcl_position_error",
+    "WCL estimate vs true AP position: haversine error in meters "
+    "(ComparisonService.java:289-296 haversine; localization acceptance check).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte()}),
+w AS (SELECT ap_id, latitude, longitude, quality_weight * pow(10.0, rssi / 10.0) AS wt FROM m),
+est AS (
+  SELECT ap_id, SUM(latitude * wt) / SUM(wt) AS est_lat,
+         SUM(longitude * wt) / SUM(wt) AS est_lon
+  FROM w GROUP BY ap_id
+)
+SELECT est.ap_id,
+  ROUND({haversine_sql('est.est_lat', 'est.est_lon', 'aps.true_lat', 'aps.true_lon')}, 2) AS error_m
+FROM est JOIN aps ON est.ap_id = aps.ap_id
+""",
+)
+
+register(
+    "log_distance_model",
+    "Log-distance path loss: d = 10^((RSSI_ref − rssi)/(10·n)) per row, "
+    "then inverse-distance-weighted centroid "
+    "(LogDistancePathLossAlgorithm.java:160-268,642-655; SURVEY §2.7).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+dist AS (
+  SELECT ap_id, latitude, longitude,
+    pow(10.0, (-40.0 - rssi) / (10.0 * 3.0)) AS est_dist_m
+  FROM m
+)
+SELECT ap_id,
+  ROUND(SUM(latitude / est_dist_m) / SUM(1.0 / est_dist_m), 6) AS est_lat,
+  ROUND(SUM(longitude / est_dist_m) / SUM(1.0 / est_dist_m), 6) AS est_lon,
+  ROUND(AVG(est_dist_m), 4) AS avg_est_dist_m
+FROM dist
+GROUP BY ap_id
+""",
+)
+
+register(
+    "signal_context_classes",
+    "Selection-context classification: signal quality (avg rssi buckets), "
+    "distribution (stddev buckets), AP count classes "
+    "(SignalQualityFactor.java:60-93; SignalDistributionFactor.java:108-131; "
+    "APCountFactor.java:23-33; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+per_req AS (
+  SELECT user_id,
+    AVG(rssi) AS avg_rssi,
+    STDDEV_SAMP(rssi) AS rssi_stddev,
+    CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS ap_count
+  FROM m GROUP BY user_id
+)
+SELECT user_id, ap_count,
+  CASE WHEN avg_rssi > -70.0 THEN 'STRONG'
+       WHEN avg_rssi > -85.0 THEN 'MEDIUM'
+       WHEN avg_rssi > -95.0 THEN 'WEAK'
+       ELSE 'VERY_WEAK' END AS signal_quality,
+  CASE WHEN rssi_stddev > 10.0 THEN 'SIGNAL_OUTLIERS'
+       WHEN rssi_stddev > 3.0 THEN 'MIXED_SIGNALS'
+       ELSE 'UNIFORM_SIGNALS' END AS signal_distribution,
+  CASE WHEN ap_count = 1 THEN 'SINGLE_AP'
+       WHEN ap_count = 2 THEN 'TWO_APS'
+       WHEN ap_count = 3 THEN 'THREE_APS'
+       ELSE 'FOUR_PLUS_APS' END AS ap_count_class
+FROM per_req
+""",
+)
+
+register(
+    "mad_outlier_flags",
+    "Global spatial outliers: per-AP centroid, per-row haversine distance, "
+    "flag dist > 3×MAD via exact medians (FRAMEWORK:111; SCHEMA.md:55-61,111-125; "
+    "SURVEY §2.5/§2.9).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+cent AS (
+  SELECT ap_id, AVG(latitude) AS clat, AVG(longitude) AS clon
+  FROM m GROUP BY ap_id
+),
+dists AS (
+  SELECT m.ap_id, m.event_id,
+    {haversine_sql('m.latitude', 'm.longitude', 'cent.clat', 'cent.clon')} AS dist_m
+  FROM m JOIN cent ON m.ap_id = cent.ap_id
+),
+med AS (SELECT ap_id, {median(d, 'dist_m')} AS med_dist FROM dists GROUP BY ap_id),
+mad AS (
+  SELECT dists.ap_id, {median(d, 'abs(dists.dist_m - med.med_dist)')} AS mad_dist
+  FROM dists JOIN med ON dists.ap_id = med.ap_id
+  GROUP BY dists.ap_id
+)
+SELECT dists.ap_id,
+  CAST(SUM(CASE WHEN dists.dist_m > 3.0 * mad.mad_dist + med.med_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  ROUND(MIN(mad.mad_dist), 4) AS mad_m,
+  ROUND(MIN(med.med_dist), 4) AS median_dist_m
+FROM dists
+  JOIN mad ON dists.ap_id = mad.ap_id
+  JOIN med ON dists.ap_id = med.ap_id
+GROUP BY dists.ap_id
+""",
+)
+
+register(
+    "comparison_metrics",
+    "Shadow-comparison: haversine distance between two per-request position "
+    "answers + expected uncertainty √(a²+b²) + agreement class "
+    "(ComparisonService.java:29,289-296,424-437; SURVEY §2.5).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+a AS (
+  SELECT user_id, AVG(latitude) AS lat_a, AVG(longitude) AS lon_a,
+         AVG(accuracy) AS acc_a
+  FROM m WHERE connection_status = 'CONNECTED' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, AVG(latitude) AS lat_b, AVG(longitude) AS lon_b,
+         AVG(accuracy) AS acc_b
+  FROM m WHERE connection_status = 'SCAN' GROUP BY user_id
+)
+SELECT a.user_id,
+  ROUND({haversine_sql('a.lat_a', 'a.lon_a', 'b.lat_b', 'b.lon_b')}, 2) AS disagreement_m,
+  ROUND(sqrt(a.acc_a * a.acc_a + b.acc_b * b.acc_b), 4) AS expected_uncertainty_m,
+  CASE WHEN {haversine_sql('a.lat_a', 'a.lon_a', 'b.lat_b', 'b.lon_b')}
+         <= sqrt(a.acc_a * a.acc_a + b.acc_b * b.acc_b)
+       THEN 'AGREE' ELSE 'DISAGREE' END AS agreement
+FROM a JOIN b ON a.user_id = b.user_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 dedup + event-time micro-batch analog
+# ---------------------------------------------------------------------------
+
+register(
+    "event_dedup",
+    "Deterministic event-id dedup: keep-one per sha-derived key "
+    "(application.yml:171; WifiDataTransformationService.java:789-791; SURVEY §2.3).",
+    sql=lambda d: f"""
+WITH keyed AS (
+  SELECT md5(concat(CAST(user_id AS STRING), ':', CAST(event_id % 500 AS STRING))) AS dedup_key,
+         event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT dedup_key, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY event_id) AS rn
+  FROM keyed
+)
+SELECT dedup_key, event_id AS kept_event_id, ROUND(value, 4) AS value
+FROM ranked WHERE rn = 1
+""",
+)
+
+register(
+    "tumbling_window_agg",
+    "Micro-batch/tumbling-window aggregation by hour bucket "
+    "(SURVEY §2.8 micro-batching analog; Structured Streaming trigger shape).",
+    sql=lambda d: f"""
+SELECT CAST(date_trunc('hour', {ts_expr(d, 'ts')}) AS STRING) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('hour', {ts_expr(d, 'ts')}), event_type
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Entry flagship: full WCL localization with error vs planted truth
+# ---------------------------------------------------------------------------
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES["wcl_position_error"].spark(spark, sf_dir)
