@@ -1,0 +1,154 @@
+"""Positioning ensemble golden-range tests.
+
+Mirrors the reference's acceptance corpus
+(wifi-positioning-service/scripts/test/run-comprehensive-tests.sh:553-1079):
+single-AP proximity, 2-AP, 3-AP trilateration, 4+-AP MLE, all-weak,
+collinear, physics-impossible, unknown MACs, status filtering. Assertions are
+numeric ranges + methods-used sets, like the reference's check_range.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.wifi_fixtures import make_access_points
+from wifi_location_data_pipeline_spark.positioning.pipeline import position_requests
+from wifi_location_data_pipeline_spark.schemas import (
+    POSITIONING_REQUEST_SCHEMA,
+    WIFI_ACCESS_POINTS_SCHEMA,
+)
+
+# Well-spread AP layout over a ~400m block (non-collinear at the reference's
+# 0.0002° line-deviation threshold). Signal strengths in the scenarios are
+# hand-set per scenario, exactly like the reference's seed corpus
+# (scripts/setup/wifi-positioning-test-data.sh).
+APS = [
+    # mac, lat, lon, alt, vendor, status, freq
+    ("00:aa:00:00:00:01", 40.7600, -73.9855, 10.0, "cisco", "active", 2437),
+    ("00:aa:00:00:00:02", 40.7565, -73.9880, 12.0, "aruba", "active", 5180),
+    ("00:aa:00:00:00:03", 40.7565, -73.9830, 9.0, "ubiquiti", "verified", 2412),
+    ("00:aa:00:00:00:04", 40.7600, -73.9880, 11.0, "ruckus", "warning", 5240),
+    ("00:aa:00:00:00:05", 40.7562, -73.9855, 10.0, "meraki", "test", 2462),
+    # collinear trio along a street (identical longitude)
+    ("00:bb:00:00:00:01", 40.7600, -73.9900, 10.0, "cisco", "active", 2437),
+    ("00:bb:00:00:00:02", 40.7604, -73.9900, 10.0, "cisco", "active", 2437),
+    ("00:bb:00:00:00:03", 40.7608, -73.9900, 10.0, "cisco", "active", 2437),
+    # invalid-status AP
+    ("00:cc:00:00:00:01", 40.7560, -73.9850, 10.0, "other", "expired", 2437),
+]
+
+CENTER = (40.7582, -73.9856)
+
+
+def scan(mac, strength, freq=2437):
+    return {"macAddress": mac, "signalStrength": float(strength), "frequency": freq,
+            "ssid": "t", "linkSpeed": None, "channelWidth": 20}
+
+
+def req(rid, scans):
+    return {"requestId": rid, "client": "test", "application": "pytest",
+            "calculationDetail": True, "wifiScanResults": scans}
+
+
+@pytest.fixture(scope="module")
+def ap_df(spark):
+    rows = [
+        {"mac_addr": m, "version": "1", "latitude": la, "longitude": lo, "altitude": al,
+         "horizontal_accuracy": 8.0, "vertical_accuracy": 4.0, "confidence": 0.7,
+         "ssid": "t", "frequency": fq, "vendor": v, "status": st, "geohash": "dr5ru7"}
+        for m, la, lo, al, v, st, fq in APS
+    ]
+    return spark.createDataFrame(rows, WIFI_ACCESS_POINTS_SCHEMA).cache()
+
+
+def run(spark, ap_df, requests):
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    out = position_requests(rdf, ap_df)
+    return {r["request_id"]: r for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def results(spark, ap_df):
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        req("single_ap", [scan("00:aa:00:00:00:01", -55.0)]),
+        req("two_aps", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -65.0, freqs[1])]),
+        req("three_aps", [scan(macs[0], -65.0, freqs[0]), scan(macs[1], -68.0, freqs[1]),
+                          scan(macs[2], -70.0, freqs[2])]),
+        req("four_plus", [scan(macs[0], -62.0, freqs[0]), scan(macs[1], -66.0, freqs[1]),
+                          scan(macs[2], -70.0, freqs[2]), scan(macs[3], -72.0, freqs[3]),
+                          scan(macs[4], -75.0, freqs[4])]),
+        req("all_weak", [scan(m, -97.0) for m, *_ in APS[:4]]),
+        req("collinear", [
+            scan("00:bb:00:00:00:01", -60.0),
+            scan("00:bb:00:00:00:02", -58.0),
+            scan("00:bb:00:00:00:03", -62.0),
+        ]),
+        req("impossible", [scan("00:aa:00:00:00:01", -35.0),
+                           scan("00:aa:00:00:00:02", -95.0, 2437)]),
+        req("unknown_macs", [scan("ff:00:00:00:00:01", -60.0)]),
+        req("bad_status", [scan("00:cc:00:00:00:01", -60.0)]),
+    ]
+    return run(spark, ap_df, requests)
+
+
+def dist_m(r, target):
+    return math.hypot(
+        (r["latitude"] - target[0]) * 111_000.0,
+        (r["longitude"] - target[1]) * 111_000.0 * math.cos(math.radians(target[0])),
+    )
+
+
+def test_single_ap_proximity(results):
+    r = results["single_ap"]
+    assert r["methods_used"] == ["proximity"]
+    assert abs(r["latitude"] - 40.7600) < 1e-9 and abs(r["longitude"] - (-73.9855)) < 1e-9
+    assert 0.0 < r["confidence"] <= 0.85
+
+
+def test_two_aps_uses_ratio_family(results):
+    r = results["two_aps"]
+    assert "rssi_ratio" in r["methods_used"] or "weighted_centroid" in r["methods_used"]
+    assert "trilateration" not in r["methods_used"]
+    assert "maximum_likelihood" not in r["methods_used"]
+    # position lands in the AP neighborhood (hull spans ~450 m)
+    assert dist_m(r, CENTER) < 400
+
+
+def test_three_aps_trilateration_eligible(results):
+    r = results["three_aps"]
+    assert "trilateration" in r["methods_used"]
+    assert dist_m(r, CENTER) < 400
+
+
+def test_four_plus_mle(results):
+    r = results["four_plus"]
+    assert "maximum_likelihood" in r["methods_used"]
+    assert dist_m(r, CENTER) < 400
+    assert r["accuracy"] > 0
+
+
+def test_all_weak_proximity_only(results):
+    r = results["all_weak"]
+    assert r["methods_used"] == ["proximity"]
+
+
+def test_collinear_disqualifies_trilateration(results):
+    r = results["collinear"]
+    assert "trilateration" not in r["methods_used"]
+    # combined confidence capped for collinear geometry cascades
+    assert r["confidence"] <= 0.85
+
+
+def test_impossible_physics_rejected(results):
+    assert "impossible" not in results
+
+
+def test_unknown_macs_rejected(results):
+    assert "unknown_macs" not in results
+
+
+def test_bad_status_ap_unusable(results):
+    assert "bad_status" not in results

@@ -1,0 +1,268 @@
+"""Iterative/numeric positioning algorithms: trilateration + maximum likelihood.
+
+These are genuinely non-closed-form (QR least squares; gradient ascent), so
+they run as a single ``applyInPandas`` over request groups — the Spark-native
+slot for per-group imperative numerics (SURVEY.md §2.7/§2.10). Groups are
+bounded by the ≤20-observation request limit, so per-group work is O(1);
+at scale the cost is one shuffle on request_id shared by both algorithms.
+
+Reference semantics:
+- trilateration: TrilaterationAlgorithm.java:80-356,393-470,619-676,805-899,
+  1034-1123 (RSSI→distance via FSPL reference + n∈{2.5,3.0}, linearized
+  least squares relative to the first AP, weighted-centroid fallback,
+  GDOP-refined accuracy/confidence)
+- MLE: MaximumLikelihoodAlgorithm.java:72-154,387-420,461-512,657,889-955
+  (weighted-centroid init, gradient ascent on the log-likelihood
+  L = Σ −(rssiᵢ−expected(dᵢ))²/(2σᵢ²)·confᵢ, ≤100 iters, lr halving on
+  non-improvement, stop at lr < 0.1 m). The ascent here runs in local meter
+  coordinates for numerical sanity (the framework doc's formulation).
+- GDOP: util/GDOPCalculator.java:38,237-281,603-626
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.StringType()),
+        T.StructField("algorithm", T.StringType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("altitude", T.DoubleType()),
+        T.StructField("accuracy", T.DoubleType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+SPEED_OF_LIGHT = 299_792_458.0
+METERS_PER_DEG = 111_000.0
+
+
+def _distance_from_rssi(rssi: np.ndarray, freq_mhz: np.ndarray) -> np.ndarray:
+    """TrilaterationAlgorithm.calculateDistanceFromRSSI (:805-833)."""
+    freq_hz = np.where(freq_mhz > 0, freq_mhz, 2437) * 1e6
+    wavelength = SPEED_OF_LIGHT / freq_hz
+    ref_rssi = -20.0 * np.log10(4.0 * math.pi / wavelength)
+    n = np.where(rssi >= -65.0, 2.5, 3.0)
+    dist = np.power(10.0, (ref_rssi - rssi) / (10.0 * n))
+    return np.clip(dist, 1.0, 100.0)
+
+
+def _gdop(xs: np.ndarray, ys: np.ndarray, px: float, py: float) -> float:
+    """GDOP = √trace((HᵀH)⁻¹) over 2D unit vectors (GDOPCalculator :280-281)."""
+    dx, dy = xs - px, ys - py
+    r = np.maximum(np.hypot(dx, dy), 1e-9)
+    h = np.column_stack([dx / r, dy / r])
+    hth = h.T @ h
+    det = np.linalg.det(hth)
+    if abs(det) < 1e-10:
+        return 30.0
+    return float(min(30.0, math.sqrt(np.trace(np.linalg.inv(hth)))))
+
+
+def _gdop_factor(gdop: float) -> float:
+    """GDOPCalculator.calculateGDOPFactor (:603-626)."""
+    if gdop <= 2.0:
+        return 1.0
+    if gdop <= 4.0:
+        return 1.0 + 0.5 * ((gdop - 2.0) / 2.0)
+    if gdop <= 6.0:
+        return 1.5 + 0.5 * ((gdop - 4.0) / 2.0)
+    return min(4.0, 2.0 + (gdop - 6.0) / 2.0)
+
+
+def _local_xy(lat: np.ndarray, lon: np.ndarray, lat0: float, lon0: float):
+    x = (lon - lon0) * METERS_PER_DEG * math.cos(math.radians(lat0))
+    y = (lat - lat0) * METERS_PER_DEG
+    return x, y
+
+
+def _weighted_centroid(lat, lon, rssi):
+    norm = np.clip((rssi + 30.0) / (-70.0), 0.0, 1.0)
+    w = np.power(10.0, norm)
+    return float(np.sum(lat * w) / np.sum(w)), float(np.sum(lon * w) / np.sum(w))
+
+
+def _trilaterate_group(pdf: pd.DataFrame) -> list | None:
+    if len(pdf) < 3:
+        return None
+    rssi = pdf["signal_strength"].to_numpy(dtype=float)
+    freq = pdf["frequency"].fillna(2437).to_numpy(dtype=float)
+    lat = pdf["ap_lat"].to_numpy(dtype=float)
+    lon = pdf["ap_lon"].to_numpy(dtype=float)
+    dists = _distance_from_rssi(rssi, freq)
+
+    lat0, lon0 = float(lat[0]), float(lon[0])
+    x, y = _local_xy(lat, lon, lat0, lon0)
+
+    # linear system relative to AP 0 (TrilaterationAlgorithm :851-899)
+    a = np.column_stack([2.0 * (x[1:] - x[0]), 2.0 * (y[1:] - y[0])])
+    b = (
+        (x[1:] ** 2 + y[1:] ** 2)
+        - (x[0] ** 2 + y[0] ** 2)
+        + (dists[0] ** 2 - dists[1:] ** 2)
+    )
+    try:
+        sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+        px, py = float(sol[0]), float(sol[1])
+        if not (math.isfinite(px) and math.isfinite(py)):
+            raise ValueError
+    except (np.linalg.LinAlgError, ValueError):
+        # fallback: weighted centroid in local coords (:619-642)
+        clat, clon = _weighted_centroid(lat, lon, rssi)
+        cx, cy = _local_xy(np.array([clat]), np.array([clon]), lat0, lon0)
+        px, py = float(cx[0]), float(cy[0])
+
+    gdop = _gdop(x, y, px, py)
+    gf = _gdop_factor(gdop)
+    avg_s = float(np.mean(rssi))
+    avg_d = float(np.mean(dists))
+
+    out_lat = lat0 + py / METERS_PER_DEG
+    out_lon = lon0 + px / (METERS_PER_DEG * math.cos(math.radians(lat0)))
+    out_lat = min(90.0, max(-90.0, out_lat))
+    out_lon = min(180.0, max(-180.0, out_lon))
+
+    # accuracy (:1034-1070)
+    if avg_s >= -65.0:
+        accuracy = 3.0 * (1.0 + (gf - 1.0) * 0.5)
+        accuracy = max(1.0, min(5.0, accuracy))
+    else:
+        accuracy = min(avg_d * 0.3, 50.0) * gf
+        accuracy = max(1.0, min(50.0, accuracy))
+
+    # confidence (:1104-1180)
+    if avg_s >= -65.0:
+        signal_factor = min(1.0, max(0.0, (avg_s - (-80.0)) / ((-65.0) - (-80.0))))
+    else:
+        signal_factor = min(1.0, max(0.0, (avg_s - (-100.0)) / ((-80.0) - (-100.0))))
+    ap_factor = min(1.0, max(0.0, (len(pdf) - 3) / 5.0))
+    base_conf = 0.55 + (0.85 - 0.55) * (0.7 * signal_factor + 0.3 * ap_factor)
+    conf = base_conf * (1.0 - 0.30 * (1.0 - 1.0 / max(1.0, gf)))
+    if avg_s >= -65.0:
+        conf = max(0.8, min(0.85, conf))
+    elif avg_s < -80.0:
+        conf = min(0.58, conf)
+    conf = max(0.55, min(0.85, conf))
+
+    alts = pdf["ap_alt"].dropna()
+    altitude = float(alts.mean()) if len(alts) else 0.0
+    return [out_lat, out_lon, altitude, float(accuracy), float(conf)]
+
+
+def _expected_rssi(d: np.ndarray, freq_hz: np.ndarray) -> np.ndarray:
+    wavelength = SPEED_OF_LIGHT / freq_hz
+    ref_rssi = -20.0 * np.log10(4.0 * math.pi / wavelength)
+    return ref_rssi - 10.0 * 3.0 * np.log10(np.maximum(d, 1.0))
+
+
+def _mle_group(pdf: pd.DataFrame) -> list | None:
+    if len(pdf) < 4:
+        return None
+    rssi = pdf["signal_strength"].to_numpy(dtype=float)
+    freq_hz = pdf["frequency"].fillna(2437).to_numpy(dtype=float) * 1e6
+    lat = pdf["ap_lat"].to_numpy(dtype=float)
+    lon = pdf["ap_lon"].to_numpy(dtype=float)
+    ap_conf = pdf["ap_confidence"].fillna(0.5).to_numpy(dtype=float)
+    sigma = np.where(rssi >= -60.0, 2.5, np.where(rssi >= -80.0, 4.0, 6.0))
+
+    lat0, lon0 = float(np.mean(lat)), float(np.mean(lon))
+    ax, ay = _local_xy(lat, lon, lat0, lon0)
+    clat, clon = _weighted_centroid(lat, lon, rssi)
+    px, py = (
+        float((clon - lon0) * METERS_PER_DEG * math.cos(math.radians(lat0))),
+        float((clat - lat0) * METERS_PER_DEG),
+    )
+
+    def log_likelihood(x: float, y: float) -> float:
+        d = np.hypot(ax - x, ay - y)
+        err = rssi - _expected_rssi(d, freq_hz)
+        return float(np.sum(-(err**2) / (2.0 * sigma**2) * ap_conf))
+
+    def gradient(x: float, y: float):
+        d = np.maximum(np.hypot(ax - x, ay - y), 1.0)
+        err = rssi - _expected_rssi(d, freq_hz)
+        # dL/dpos = Σ err/σ²·conf · (10n/ln10) · (ap − pos)/d²  (ascent direction)
+        k = err / (sigma**2) * ap_conf * (10.0 * 3.0 / math.log(10.0)) / (d**2)
+        return float(np.sum(k * (ax - x))), float(np.sum(k * (ay - y)))
+
+    best = (px, py)
+    best_ll = log_likelihood(px, py)
+    cur = best
+    lr = 1.0
+    for _ in range(100):  # MAX_OPTIMIZATION_ITERATIONS
+        gx, gy = gradient(*cur)
+        gn = math.hypot(gx, gy)
+        if gn < 1e-12:
+            break
+        step = (cur[0] + lr * gx / gn, cur[1] + lr * gy / gn)
+        ll = log_likelihood(*step)
+        if ll > best_ll:
+            best_ll, best, cur = ll, step, step
+            lr *= 1.2
+        else:
+            lr *= 0.5  # LEARNING_RATE_REDUCTION_FACTOR
+        if lr < 0.1:  # CONVERGENCE_THRESHOLD_METERS
+            break
+
+    px, py = best
+    gdop = _gdop(ax, ay, px, py)
+    gf = _gdop_factor(gdop)
+    avg_s = float(np.mean(rssi))
+
+    out_lat = lat0 + py / METERS_PER_DEG
+    out_lon = lon0 + px / (METERS_PER_DEG * math.cos(math.radians(lat0)))
+
+    # accuracy (MaximumLikelihoodAlgorithm :168-215): strong → ~3 m base scaled
+    # by GDOP, capped [1, 25]
+    if avg_s >= -60.0:
+        accuracy = max(1.0, min(5.0, 3.0 * (1.0 + (gf - 1.0) * 0.5)))
+    else:
+        accuracy = 6.0 + abs(avg_s - (-70.0)) * 0.2
+        accuracy = max(1.0, min(25.0, accuracy * gf))
+
+    # confidence (:240-260): [0.6, 0.95], strong-signal floor 0.8
+    signal_factor = min(1.0, max(0.0, (avg_s + 100.0) / 40.0))
+    conf = 0.6 + (0.95 - 0.6) * signal_factor / max(1.0, gf)
+    if avg_s >= -60.0:
+        conf = max(0.8, conf)
+    conf = max(0.6, min(0.95, conf))
+
+    alts = pdf["ap_alt"].dropna()
+    altitude = float(alts.mean()) if len(alts) else 0.0
+    return [out_lat, out_lon, altitude, float(accuracy), float(conf)]
+
+
+def _run_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: run whichever numeric algorithms this request selected."""
+    rid = pdf["request_id"].iloc[0]
+    wanted = set(pdf["algorithm"].unique())
+    obs = pdf.drop_duplicates(subset=["mac_addr"])
+    rows = []
+    if "trilateration" in wanted:
+        r = _trilaterate_group(obs)
+        if r is not None:
+            rows.append([rid, "trilateration", *r])
+    if "maximum_likelihood" in wanted:
+        r = _mle_group(obs)
+        if r is not None:
+            rows.append([rid, "maximum_likelihood", *r])
+    return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+
+def numeric_positions(obs_with_selection: DataFrame) -> DataFrame:
+    """Run trilateration/MLE for the requests that selected them.
+
+    Input: observations joined with the (request_id, algorithm) selection rows
+    restricted to numeric algorithms — i.e. one row per request × algorithm ×
+    observation. Output: ALGORITHM_POSITION rows.
+    """
+    return obs_with_selection.groupBy("request_id").applyInPandas(
+        _run_numeric, RESULT_SCHEMA
+    )

@@ -1,0 +1,70 @@
+"""End-to-end positioning job: request DataFrame in → position DataFrame out.
+
+The Spark re-expression of POST /api/positioning/calculate
+(SURVEY.md §3.2): what the reference does per-request across services and
+thread pools becomes one declarative plan over *all* requests at once.
+
+Plan shape (and why it scales):
+- the AP dimension joins via broadcast → no shuffle on the fact side
+- context/selection/algorithms each aggregate by request_id → AQE coalesces
+  the single shuffle; closed-form algorithms never leave the JVM
+- the numeric tier (trilateration/MLE) runs applyInPandas only over the
+  requests whose selection actually includes those algorithms (semi-join
+  restriction), so the Python hop touches the minimal row set
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wifi_location_data_pipeline_spark.positioning import algorithms as alg
+from wifi_location_data_pipeline_spark.positioning.combiner import combine_positions
+from wifi_location_data_pipeline_spark.positioning.context import build_context
+from wifi_location_data_pipeline_spark.positioning.numeric import numeric_positions
+from wifi_location_data_pipeline_spark.positioning.prepare import (
+    explode_requests,
+    join_known_aps,
+    physics_gate,
+)
+from wifi_location_data_pipeline_spark.positioning.selection import select_algorithms
+
+CLOSED_FORM = {
+    "proximity": alg.proximity,
+    "weighted_centroid": alg.weighted_centroid,
+    "rssi_ratio": alg.rssi_ratio,
+    "log_distance": alg.log_distance,
+}
+NUMERIC = ("trilateration", "maximum_likelihood")
+
+
+def position_requests(requests: DataFrame, access_points: DataFrame) -> DataFrame:
+    """Nested request rows + AP dimension → one combined position per request."""
+    exploded = explode_requests(requests)
+    n_scanned = exploded.groupBy("request_id").agg(F.count("*").alias("n_scanned"))
+    gated = physics_gate(exploded)
+    obs = join_known_aps(gated, access_points).join(n_scanned, "request_id")
+    return position_observations(obs)
+
+
+def position_observations(obs: DataFrame) -> DataFrame:
+    """Prepared observations (with AP columns + n_scanned) → combined positions."""
+    obs = obs.cache()
+    context = build_context(obs)
+    selection = select_algorithms(context).cache()
+
+    results = []
+    for name, fn in CLOSED_FORM.items():
+        sel = selection.filter(F.col("algorithm") == name).select("request_id")
+        restricted = obs.join(sel, "request_id", "left_semi")
+        results.append(fn(restricted))
+
+    numeric_sel = selection.filter(F.col("algorithm").isin(*NUMERIC))
+    numeric_obs = obs.join(numeric_sel, "request_id")
+    results.append(numeric_positions(numeric_obs))
+
+    positions = reduce(lambda a, b: a.unionByName(b), results)
+    weighted = positions.join(selection, ["request_id", "algorithm"])
+    return combine_positions(weighted)
