@@ -8,6 +8,7 @@ Seeded — identical across runs.
 
 from __future__ import annotations
 
+import datetime
 import json
 import math
 import random
@@ -164,4 +165,57 @@ def make_access_points() -> list[dict]:
             "vertical_accuracy": None, "confidence": 0.3, "ssid": f"Bad{i}",
             "frequency": 2437, "vendor": "other", "status": status, "geohash": "dr5ru7",
         })
+    return rows
+
+
+def make_measurements(seed: int = 42) -> list[dict]:
+    """Per-AP clustered measurement rows for the batch jobs (FIXTURES.md F2):
+    - APs with 20-200 rows around a true location, distance-consistent RSSI
+    - ~5% planted spatial outliers (is_outlier_truth marks them)
+    - one wide-spread "mobile hotspot" BSSID and one SSID-blacklisted BSSID
+    - one relocated BSSID (cloud A early, cloud B late, 600 m apart)
+    """
+    rng = random.Random(seed)
+    rows = []
+
+    def add_cloud(bssid, ssid, lat0, lon0, n, t_start, t_end, spread_m=40.0,
+                  outlier_frac=0.05, freq=2437, connected_frac=0.2):
+        for i in range(n):
+            is_outlier = rng.random() < outlier_frac
+            r_m = rng.uniform(spread_m * 10, spread_m * 40) if is_outlier else abs(rng.gauss(0, spread_m))
+            theta = rng.uniform(0, 2 * math.pi)
+            lat, lon = offset_latlon(lat0, lon0, r_m * math.cos(theta), r_m * math.sin(theta))
+            ts = rng.randint(t_start, t_end)
+            connected = rng.random() < connected_frac
+            rows.append({
+                "bssid": bssid, "id": f"{bssid}/{ts}/{i}", "event_id": f"e-{bssid}-{i}",
+                "measurement_timestamp": ts,
+                "latitude": lat, "longitude": lon, "altitude": 10.0 + rng.uniform(-2, 2),
+                "location_accuracy": rng.uniform(5, 60),
+                "rssi": rssi_at(max(r_m, 2.0), freq, rng),
+                "frequency": freq, "ssid": ssid,
+                "connection_status": "CONNECTED" if connected else "SCAN",
+                "quality_weight": 2.0 if connected else 1.0,
+                "ingestion_timestamp": datetime.datetime.fromtimestamp(ts / 1000, datetime.timezone.utc).replace(tzinfo=None),
+                "is_global_outlier": None,
+                "is_outlier_truth": is_outlier,
+            })
+
+    t0, t1 = NOW_MS - 30 * 86_400_000, NOW_MS - 1_000
+    tm = (t0 + t1) // 2
+    # tiered APs: below-bootstrap, WCL tier, MLE tier, Bayesian tier
+    add_cloud("aa:00:00:00:00:10", "TinyAP", 40.7500, -73.9900, 10, t0, t1)
+    add_cloud("aa:00:00:00:00:11", "WclAP", 40.7520, -73.9880, 35, t0, t1)
+    add_cloud("aa:00:00:00:00:12", "MleAP", 40.7540, -73.9860, 80, t0, t1)
+    add_cloud("aa:00:00:00:00:13", "BigAP", 40.7560, -73.9840, 150, t0, t1)
+    # mobile hotspot: huge spatial spread
+    add_cloud("aa:00:00:00:00:20", "CarWifi", 40.7600, -73.9800, 60, t0, t1,
+              spread_m=2000.0, outlier_frac=0.0)
+    # SSID-blacklisted
+    add_cloud("aa:00:00:00:00:21", "AndroidAP_1234", 40.7610, -73.9810, 25, t0, t1)
+    # relocated AP: two tight clouds, 600m apart, disjoint in time
+    add_cloud("aa:00:00:00:00:30", "MovedAP", 40.7700, -73.9700, 40, t0, tm - 86_400_000,
+              spread_m=25.0, outlier_frac=0.0)
+    add_cloud("aa:00:00:00:00:30", "MovedAP", 40.7754, -73.9700, 40, tm + 86_400_000, t1,
+              spread_m=25.0, outlier_frac=0.0)
     return rows

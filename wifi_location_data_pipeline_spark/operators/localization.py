@@ -1,0 +1,265 @@
+"""Maturity-tiered batch AP localization (SURVEY.md §2.9/§3.3).
+
+Implements the FRAMEWORK doc's algorithm-selection matrix (Table 2, doc
+:121-169) — the layer that is *stubbed* in the reference code
+(wifi-data-pipeline-computation/.../algorithm/impl/*.java return null):
+
+- Tier 1 (20 ≤ N < 50):  Weighted Centroid with w = quality_w · 10^(RSSI/10)
+- Tier 2 (50 ≤ N < 100): Maximum Likelihood on the log-distance model,
+  tier-specific parameters: CONNECTED rows get a precise path-loss exponent
+  (from frequency) and low σ; SCAN rows a generic n and high σ
+- Tier 3 (N ≥ 100):      Bayesian/MLE with prior — the prior state (x̂, P)
+  fuses via the Kalman update in ``kalman_update`` (doc :172-213)
+
+Spark shape (§3.3): the reference's SQS-message-per-MAC orchestration
+disappears — ONE job localizes every sufficient BSSID in a single groupBy.
+The WCL tier is a pure SQL aggregate; the MLE tier is applyInPandas over only
+the BSSIDs routed to it (tier routing via a CASE + semi-join, so the Python
+hop sees the minimal rows). Skew note: a mega-popular BSSID is capped by
+per-group sampling (``max_rows_per_ap``) before the Python tier, mirroring the
+reference's per-query LIMIT (APMeasurementsLookUpService :140-157).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wifi_location_data_pipeline_spark import config as C
+
+AP_LOCATION_SCHEMA = T.StructType(
+    [
+        T.StructField("bssid", T.StringType()),
+        T.StructField("algorithm", T.StringType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("altitude", T.DoubleType()),
+        T.StructField("horizontal_accuracy", T.DoubleType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("measurement_count", T.LongType()),
+    ]
+)
+
+METERS_PER_DEG = 111_000.0
+
+
+def tier_routing(measurements: DataFrame, cfg: C.EngineConfig = C.DEFAULT_CONFIG) -> DataFrame:
+    """(bssid, n, tier) for clean measurements; below-bootstrap APs excluded."""
+    counts = (
+        measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
+        .groupBy("bssid")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= cfg.localization_min_measurements)
+    )
+    return counts.withColumn(
+        "tier",
+        F.when(F.col("n") < C.LOCALIZATION_TIER_MLE, "WCL")
+        .when(F.col("n") < C.LOCALIZATION_TIER_BAYESIAN, "MLE")
+        .otherwise("BAYESIAN"),
+    )
+
+
+def wcl_localize(measurements: DataFrame) -> DataFrame:
+    """Tier-1 weighted centroid: w = quality_w · 10^(RSSI/10) (doc :133-139)."""
+    w = F.col("quality_weight") * F.pow(10.0, F.col("rssi").cast("double") / 10.0)
+    agg = measurements.withColumn("_w", w).groupBy("bssid").agg(
+        (F.sum(F.col("latitude") * F.col("_w")) / F.sum("_w")).alias("latitude"),
+        (F.sum(F.col("longitude") * F.col("_w")) / F.sum("_w")).alias("longitude"),
+        (
+            F.sum(F.when(F.col("altitude").isNotNull(), F.col("altitude") * F.col("_w")))
+            / F.sum(F.when(F.col("altitude").isNotNull(), F.col("_w")))
+        ).alias("altitude"),
+        F.count("*").alias("measurement_count"),
+        F.stddev_samp("latitude").alias("_slat"),
+        F.stddev_samp("longitude").alias("_slon"),
+    )
+    # accuracy from the cloud's spatial spread; confidence grows with N
+    spread_m = F.sqrt(
+        F.pow(F.coalesce(F.col("_slat"), F.lit(0.0)) * METERS_PER_DEG, 2)
+        + F.pow(F.coalesce(F.col("_slon"), F.lit(0.0)) * METERS_PER_DEG * 0.766, 2)
+    )
+    return agg.select(
+        "bssid",
+        F.lit("WCL").alias("algorithm"),
+        "latitude",
+        "longitude",
+        "altitude",
+        F.greatest(F.lit(5.0), spread_m / F.sqrt(F.col("measurement_count"))).alias(
+            "horizontal_accuracy"
+        ),
+        F.least(F.lit(0.8), 0.3 + 0.01 * F.col("measurement_count")).alias("confidence"),
+        F.col("measurement_count").cast("long").alias("measurement_count"),
+    )
+
+
+def _mle_localize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped MLE on the log-distance model with tier-specific n/σ per row.
+
+    CONNECTED rows: frequency-derived n (2.8 for 5 GHz, 3.0 for 2.4 GHz) and
+    σ = 2.5 dB; SCAN rows: generic n = 3.0, σ = 6.0 dB (doc :147-160).
+    """
+    bssid = pdf["bssid"].iloc[0]
+    lat = pdf["latitude"].to_numpy(float)
+    lon = pdf["longitude"].to_numpy(float)
+    rssi = pdf["rssi"].to_numpy(float)
+    qw = pdf["quality_weight"].fillna(1.0).to_numpy(float)
+    connected = (pdf["connection_status"] == "CONNECTED").to_numpy()
+    freq = pdf["frequency"].fillna(2437).to_numpy(float)
+
+    n_exp = np.where(connected, np.where(freq >= 5000, 2.8, 3.0), 3.0)
+    sigma = np.where(connected, 2.5, 6.0)
+    ref = np.where(freq >= 5000, -45.0, -40.0)
+
+    lat0, lon0 = float(np.mean(lat)), float(np.mean(lon))
+    coslat = math.cos(math.radians(lat0))
+    x = (lon - lon0) * METERS_PER_DEG * coslat
+    y = (lat - lat0) * METERS_PER_DEG
+
+    # init at the tier-1 WCL estimate
+    w0 = qw * np.power(10.0, rssi / 10.0)
+    px, py = float(np.sum(x * w0) / np.sum(w0)), float(np.sum(y * w0) / np.sum(w0))
+
+    def ll(px_, py_):
+        d = np.maximum(np.hypot(x - px_, y - py_), 1.0)
+        err = rssi - (ref - 10.0 * n_exp * np.log10(d))
+        return float(np.sum(-(err**2) / (2.0 * sigma**2) * qw))
+
+    def grad(px_, py_):
+        d = np.maximum(np.hypot(x - px_, y - py_), 1.0)
+        err = rssi - (ref - 10.0 * n_exp * np.log10(d))
+        k = err / (sigma**2) * qw * (10.0 * n_exp / math.log(10.0)) / (d**2)
+        return float(np.sum(k * (x - px_))), float(np.sum(k * (y - py_)))
+
+    best, best_ll, cur, lr = (px, py), ll(px, py), (px, py), 1.0
+    for _ in range(C.MLE_MAX_ITERATIONS):
+        gx, gy = grad(*cur)
+        gn = math.hypot(gx, gy)
+        if gn < 1e-12:
+            break
+        step = (cur[0] + lr * gx / gn, cur[1] + lr * gy / gn)
+        v = ll(*step)
+        if v > best_ll:
+            best_ll, best, cur = v, step, step
+            lr *= 1.2
+        else:
+            lr *= 0.5
+        if lr < C.MLE_CONVERGENCE_M:
+            break
+
+    px, py = best
+    d = np.maximum(np.hypot(x - px, y - py), 1.0)
+    err = rssi - (ref - 10.0 * n_exp * np.log10(d))
+    resid = float(np.sqrt(np.mean(err**2)))
+    n = len(pdf)
+    accuracy = max(3.0, resid * 2.0)
+    confidence = min(0.95, 0.5 + 0.002 * n + (0.2 if connected.mean() > 0.3 else 0.0))
+
+    alts = pdf["altitude"].dropna()
+    return pd.DataFrame(
+        [[
+            bssid,
+            "MLE",
+            lat0 + py / METERS_PER_DEG,
+            lon0 + px / (METERS_PER_DEG * coslat),
+            float(alts.mean()) if len(alts) else None,
+            accuracy,
+            confidence,
+            n,
+        ]],
+        columns=[f.name for f in AP_LOCATION_SCHEMA.fields],
+    )
+
+
+def mle_localize(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
+    """Tier-2/3 MLE via applyInPandas, with per-AP row cap against skew.
+
+    The cap keeps strongest-RSSI rows (most informative for localization),
+    mirroring the reference's ORDER BY … LIMIT lookback.
+    """
+    w = Window.partitionBy("bssid").orderBy(F.col("rssi").desc(), F.col("event_id"))
+    capped = (
+        measurements.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows_per_ap)
+        .drop("_rn")
+    )
+    cols = [
+        "bssid", "latitude", "longitude", "altitude", "rssi",
+        "quality_weight", "connection_status", "frequency",
+    ]
+    return capped.select(*cols).groupBy("bssid").applyInPandas(
+        _mle_localize_group, AP_LOCATION_SCHEMA
+    )
+
+
+def localize_all(
+    measurements: DataFrame, cfg: C.EngineConfig = C.DEFAULT_CONFIG
+) -> DataFrame:
+    """Route every sufficient BSSID to its maturity tier and localize.
+
+    Tier 3 currently runs the MLE estimator; its Bayesian prior fusion happens
+    in ``kalman_update`` against the existing AP state (doc :184-213).
+    """
+    clean = measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
+    routing = tier_routing(measurements, cfg)
+    wcl_ids = routing.filter(F.col("tier") == "WCL").select("bssid")
+    mle_ids = routing.filter(F.col("tier").isin("MLE", "BAYESIAN")).select("bssid")
+    wcl_out = wcl_localize(clean.join(wcl_ids, "bssid", "left_semi"))
+    mle_out = mle_localize(clean.join(mle_ids, "bssid", "left_semi"))
+    return wcl_out.unionByName(mle_out)
+
+
+def kalman_update(prior_state: DataFrame, new_estimates: DataFrame) -> DataFrame:
+    """Scalar-diagonal Kalman fusion of AP state with a new batch estimate
+    (doc :184-213): x̂ₖ = x̂ₖ₋₁ + K(zₖ − x̂ₖ₋₁), K = P/(P+R), Pₖ = (1−K)P.
+
+    State is carried as a per-axis variance (meters²) derived from accuracy;
+    a large innovation vs. the predicted position flags relocation (doc
+    :207-213) → state reset to the new estimate with inflated covariance.
+
+    prior_state:  (bssid, latitude, longitude, p_var_m2)
+    new_estimates: (bssid, latitude, longitude, horizontal_accuracy, …)
+    Returns the fused state (bssid, latitude, longitude, p_var_m2, relocated).
+    """
+    z = new_estimates.select(
+        "bssid",
+        F.col("latitude").alias("z_lat"),
+        F.col("longitude").alias("z_lon"),
+        F.pow(F.col("horizontal_accuracy"), 2).alias("r_var"),
+    )
+    joined = prior_state.join(z, "bssid", "full")
+
+    innovation_m = F.sqrt(
+        F.pow((F.col("z_lat") - F.col("latitude")) * METERS_PER_DEG, 2)
+        + F.pow((F.col("z_lon") - F.col("longitude")) * METERS_PER_DEG * 0.766, 2)
+    )
+    relocated = innovation_m > 3.0 * F.sqrt(F.col("p_var_m2") + F.col("r_var"))
+    gain = F.col("p_var_m2") / (F.col("p_var_m2") + F.col("r_var"))
+
+    fused_lat = F.col("latitude") + gain * (F.col("z_lat") - F.col("latitude"))
+    fused_lon = F.col("longitude") + gain * (F.col("z_lon") - F.col("longitude"))
+    fused_var = (1.0 - gain) * F.col("p_var_m2")
+
+    return joined.select(
+        "bssid",
+        F.when(F.col("latitude").isNull(), F.col("z_lat"))       # new AP
+        .when(F.col("z_lat").isNull(), F.col("latitude"))        # no new data
+        .when(relocated, F.col("z_lat"))                          # reset on move
+        .otherwise(fused_lat)
+        .alias("latitude"),
+        F.when(F.col("longitude").isNull(), F.col("z_lon"))
+        .when(F.col("z_lon").isNull(), F.col("longitude"))
+        .when(relocated, F.col("z_lon"))
+        .otherwise(fused_lon)
+        .alias("longitude"),
+        F.when(F.col("p_var_m2").isNull(), F.col("r_var"))
+        .when(F.col("r_var").isNull(), F.col("p_var_m2"))
+        .when(relocated, F.col("r_var") * 4.0)                    # inflated restart
+        .otherwise(fused_var)
+        .alias("p_var_m2"),
+        F.coalesce(relocated, F.lit(False)).alias("relocated"),
+    )
