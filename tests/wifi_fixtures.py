@@ -13,7 +13,10 @@ import json
 import math
 import random
 
-NOW_MS = 1_755_000_000_000  # fixed "now" (2025-08-12) for timestamp-sanity determinism
+# Fixed "now" for timestamp-sanity determinism (2026-08-06). Tests that need
+# exact filter behavior pass now_ms=lit(NOW_MS); streaming paths use the real
+# clock, so this must stay within the 365-day validity window of the run date.
+NOW_MS = 1_786_000_000_000
 
 # Planted APs: (bssid, ssid, lat, lon, vendor, status, frequency)
 PLANTED_APS = [

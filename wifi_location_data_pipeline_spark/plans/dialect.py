@@ -59,6 +59,58 @@ def int_floor_div(d: str, a: str, b: int) -> str:
     return f"CAST(FLOOR({a} / {b}.0) AS BIGINT)"
 
 
+def regexp_count(d: str, col: str, pattern: str) -> str:
+    """Count non-overlapping regex matches, portable."""
+    if d == SPARK:
+        return f"regexp_count({col}, '{pattern}')"
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+def split_words(d: str, col: str) -> str:
+    """Whitespace tokenization to an array/list of words."""
+    if d == SPARK:
+        return f"split({col}, ' ')"
+    return f"string_split({col}, ' ')"
+
+
+def words_with_pos(d: str, table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Subquery producing one row per token: (id, pos [1-based], word).
+
+    Spark ``posexplode`` is 0-based; DuckDB ``generate_subscripts`` is 1-based
+    — normalized to 1-based here so shingle self-joins are dialect-neutral.
+    """
+    if d == SPARK:
+        return (
+            f"SELECT {id_col}, pos + 1 AS pos, word FROM (SELECT {id_col}, "
+            f"posexplode(split({text_col}, ' ')) AS (pos, word) FROM {table})"
+        )
+    return (
+        f"SELECT {id_col}, generate_subscripts(string_split({text_col}, ' '), 1) AS pos, "
+        f"unnest(string_split({text_col}, ' ')) AS word FROM {table}"
+    )
+
+
+def sorted_distinct_words(d: str, col: str) -> str:
+    """Canonical word-set string (sorted distinct tokens re-joined)."""
+    if d == SPARK:
+        return f"array_join(array_sort(array_distinct(split({col}, ' '))), ' ')"
+    return f"array_to_string(list_sort(list_distinct(string_split({col}, ' '))), ' ')"
+
+
+def array_double(d: str, col: str) -> str:
+    """Cast a float array column to double elements (exact widening)."""
+    if d == SPARK:
+        return f"CAST({col} AS ARRAY<DOUBLE>)"
+    return f"CAST({col} AS DOUBLE[])"
+
+
+def dot(d: str, a: str, b: str) -> str:
+    """Dot product of two double arrays; both dialects left-fold in order."""
+    if d == SPARK:
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    return f"list_dot_product({a}, {b})"
+
+
 def ts_expr(d: str, col: str) -> str:
     """Timestamp column from the synthetic corpus.
 

@@ -1,0 +1,421 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis over the synthetic ``documents`` / ``embeddings`` tables.
+
+These extend the reference's surface (SURVEY.md §7 step 9 "scale
+extensions") with the operations a large-scale training-data pipeline needs.
+Every entry is a dual-dialect SQL template (plans.dialect) so DuckDB verifies
+the exact values the Spark plan produces.
+
+Scale notes (the 100 TB design intent, validated at sf0.1 by bench.py):
+- Pairwise similarity is NEVER all-pairs: candidate generation is always a
+  blocked equi-join (shared shingle / LSH band / SimHash block / hyperplane
+  bucket) that Spark executes as a shuffled hash join on the block key, then
+  exact verification runs only on candidates.
+- All hashes are md5-derived so both dialects (and any retry) agree bit-for-
+  bit; no RNG, no session-dependent hash seeds (Spark's ``hash()`` and
+  DuckDB's ``hash()`` intentionally avoided).
+- Aggregations are algebraic (SUM/MIN/MAX/COUNT) → map-side partial
+  aggregation applies everywhere.
+"""
+
+from __future__ import annotations
+
+from wifi_location_data_pipeline_spark.plans.dialect import (
+    array_double,
+    dot,
+    hex_to_bigint,
+    regexp_count,
+    sorted_distinct_words,
+    split_words,
+    words_with_pos,
+)
+from wifi_location_data_pipeline_spark.plans.queries import register
+
+# ---------------------------------------------------------------------------
+# Shared CTE fragments
+# ---------------------------------------------------------------------------
+
+
+def shingles_cte(d: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Built from a positional token table + (n-1) self-equi-joins on
+    ``pos + k`` — a dialect-neutral formulation that Spark plans as local
+    hash joins after one shuffle on doc_id (AQE coalesces the tiny side).
+    """
+    joins = " ".join(
+        f"JOIN words w{k} ON w0.doc_id = w{k}.doc_id AND w{k}.pos = w0.pos + {k}"
+        for k in range(1, n)
+    )
+    concat_words = ", ' ', ".join(f"w{k}.word" for k in range(n))
+    return f"""
+words AS ({words_with_pos(d)}),
+shingles AS (
+  SELECT DISTINCT w0.doc_id, concat({concat_words}) AS shingle
+  FROM words w0 {joins}
+)"""
+
+
+def _vec_elems(d: str, rel: str = "embeddings") -> str:
+    """One row per (vec_id, dim [1-based], x) from the embedding array."""
+    if d == "spark":
+        return (
+            f"SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x FROM "
+            f"(SELECT vec_id, posexplode(embedding) AS (pos, x) FROM {rel})"
+        )
+    return (
+        f"SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+        f"CAST(unnest(embedding) AS DOUBLE) AS x FROM {rel}"
+    )
+
+
+def cosine(d: str, a: str, b: str) -> str:
+    av, bv = array_double(d, a), array_double(d, b)
+    return f"{dot(d, av, bv)} / (sqrt({dot(d, av, av)}) * sqrt({dot(d, bv, bv)}))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+register(
+    "text_token_stats",
+    "Token counting per document: whitespace tokens, BPE-ish regex tokens, "
+    "distinct tokens, chars-per-token (training-data pipeline extension).",
+    sql=lambda d: f"""
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(size({split_words(d, 'text')}) AS BIGINT) AS ws_tokens,
+  CAST({regexp_count(d, 'text', '[a-z]+|[0-9]+|[^a-z0-9 ]')} AS BIGINT) AS bpe_ish_tokens,
+  CAST(size(array_distinct({split_words(d, 'text')})) AS BIGINT) AS distinct_tokens,
+  ROUND(CAST(n_chars AS DOUBLE) / size({split_words(d, 'text')}), 4) AS chars_per_token
+FROM documents
+"""
+    if d == "spark"
+    else f"""
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(len({split_words(d, 'text')}) AS BIGINT) AS ws_tokens,
+  CAST({regexp_count(d, 'text', '[a-z]+|[0-9]+|[^a-z0-9 ]')} AS BIGINT) AS bpe_ish_tokens,
+  CAST(len(list_distinct({split_words(d, 'text')})) AS BIGINT) AS distinct_tokens,
+  ROUND(CAST(n_chars AS DOUBLE) / len({split_words(d, 'text')}), 4) AS chars_per_token
+FROM documents
+""",
+)
+
+register(
+    "text_quality_score",
+    "Document quality scoring: length score, lexical diversity, stopword "
+    "ratio, composite quality in [0,1] (training-data pipeline extension).",
+    sql=lambda d: f"""
+WITH words AS ({words_with_pos(d)}),
+stats AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
+    SUM(CASE WHEN word IN ('the', 'a', 'of', 'and', 'to', 'in') THEN 1 ELSE 0 END) AS n_stop,
+    AVG(length(word)) AS mean_word_len
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS diversity,
+  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+  ROUND(mean_word_len, 4) AS mean_word_len,
+  ROUND(LEAST(1.0,
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+    + 0.2 * LEAST(CAST(n_stop AS DOUBLE) * 5.0 / n_tokens, 1.0)), 4) AS quality_score
+FROM stats
+""",
+)
+
+register(
+    "text_language_id",
+    "Language identification: stopword-profile scoring joined on tokens, "
+    "argmax language per document with deterministic tie-break "
+    "(training-data pipeline extension).",
+    sql=lambda d: f"""
+WITH words AS ({words_with_pos(d)}),
+profile AS (
+  SELECT * FROM (VALUES
+    ('en', 'the'), ('en', 'a'), ('en', 'of'), ('en', 'and'),
+    ('es', 'el'), ('es', 'la'), ('es', 'de'), ('es', 'y'),
+    ('fr', 'le'), ('fr', 'la'), ('fr', 'de'), ('fr', 'et'),
+    ('de', 'der'), ('de', 'die'), ('de', 'und'), ('de', 'das')
+  ) AS t(plang, pword)
+),
+hits AS (
+  SELECT w.doc_id, p.plang, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM words w JOIN profile p ON w.word = p.pword
+  GROUP BY w.doc_id, p.plang
+),
+ranked AS (
+  SELECT doc_id, plang, n_hits,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, plang) AS rn
+  FROM hits
+)
+SELECT dc.doc_id,
+  COALESCE(r.plang, 'und') AS detected_lang,
+  COALESCE(r.n_hits, 0) AS marker_hits
+FROM documents dc LEFT JOIN ranked r ON dc.doc_id = r.doc_id AND r.rn = 1
+""",
+)
+
+register(
+    "doc_fingerprint",
+    "Document fingerprinting: md5 over the canonical sorted word set + "
+    "rolling min-hash over 3-gram shingles (training-data pipeline extension).",
+    sql=lambda d: f"""
+WITH {shingles_cte(d)},
+mh AS (SELECT doc_id, MIN(md5(shingle)) AS shingle_minhash FROM shingles GROUP BY doc_id)
+SELECT dc.doc_id,
+  md5({sorted_distinct_words(d, 'dc.text')}) AS wordset_fingerprint,
+  mh.shingle_minhash
+FROM documents dc JOIN mh ON dc.doc_id = mh.doc_id
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_exact",
+    "Exact dedup: hash-groupBy on normalized text, canonical doc = min id "
+    "(map-side partial agg; the exact-dedup baseline of the dedup family).",
+    sql=lambda d: """
+SELECT md5(trim(lower(text))) AS content_hash,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(trim(lower(text)))
+""",
+)
+
+register(
+    "dedup_ngram_jaccard",
+    "N-gram Jaccard near-dup pairs: 3-word shingles, candidates blocked by "
+    "shared shingle (equi-join, never all-pairs), exact Jaccard >= 0.8.",
+    sql=lambda d: f"""
+WITH {shingles_cte(d)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+  ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
+""",
+)
+
+register(
+    "dedup_minhash_lsh",
+    "MinHash+LSH near-dup: 12 md5-seeded minhashes, 4 bands x 3 rows, "
+    "candidates join on band signature, exact-Jaccard verification >= 0.8. "
+    "The scale path: candidate count is O(true near-dups), not O(n^2).",
+    sql=lambda d: f"""
+WITH {shingles_cte(d)},
+seeds AS (
+  SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)) AS t(seed)
+),
+mh AS (
+  SELECT s.doc_id, sd.seed,
+    MIN(md5(concat(CAST(sd.seed AS STRING), ':', s.shingle))) AS minhash
+  FROM shingles s CROSS JOIN seeds sd
+  GROUP BY s.doc_id, sd.seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 3.0) AS BIGINT) AS band,
+    concat(
+      MAX(CASE WHEN seed % 3 = 0 THEN minhash END), ':',
+      MAX(CASE WHEN seed % 3 = 1 THEN minhash END), ':',
+      MAX(CASE WHEN seed % 3 = 2 THEN minhash END)) AS band_sig
+  FROM mh GROUP BY doc_id, CAST(FLOOR(seed / 3.0) AS BIGINT)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM candidates c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+  ROUND(CAST(v.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - v.n_common), 4) AS jaccard
+FROM verified v
+  JOIN sizes za ON za.doc_id = v.doc_a
+  JOIN sizes zb ON zb.doc_id = v.doc_b
+WHERE CAST(v.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - v.n_common) >= 0.8
+""",
+)
+
+register(
+    "dedup_simhash",
+    "SimHash near-dup: 32-bit signature from md5-derived shingle-bit votes "
+    "(shingle features, not unigrams — synthetic docs share vocabulary), "
+    "pigeonhole blocking on 8-bit blocks (hamming<=3 => >=1 of 4 blocks "
+    "equal), exact hamming verification <= 3.",
+    sql=lambda d: f"""
+WITH {shingles_cte(d)},
+bits AS (
+  SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                        (9),(10),(11),(12),(13),(14),(15),(16),
+                        (17),(18),(19),(20),(21),(22),(23),(24),
+                        (25),(26),(27),(28),(29),(30),(31),(32)) AS t(b)
+),
+votes AS (
+  SELECT s.doc_id, bits.b,
+    CASE WHEN SUM(CAST({hex_to_bigint(d, "substr(md5(s.shingle), bits.b, 1)")} % 2 AS BIGINT) * 2 - 1) >= 0
+         THEN 1 ELSE 0 END AS sbit
+  FROM shingles s CROSS JOIN bits
+  GROUP BY s.doc_id, bits.b
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN b <= 8  THEN sbit * CAST(pow(2, b - 1)  AS BIGINT) END) AS BIGINT) AS blk0,
+    CAST(SUM(CASE WHEN b BETWEEN 9 AND 16  THEN sbit * CAST(pow(2, b - 9)  AS BIGINT) END) AS BIGINT) AS blk1,
+    CAST(SUM(CASE WHEN b BETWEEN 17 AND 24 THEN sbit * CAST(pow(2, b - 17) AS BIGINT) END) AS BIGINT) AS blk2,
+    CAST(SUM(CASE WHEN b BETWEEN 25 AND 32 THEN sbit * CAST(pow(2, b - 25) AS BIGINT) END) AS BIGINT) AS blk3
+  FROM votes GROUP BY doc_id
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+   AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1 OR a.blk2 = b.blk2 OR a.blk3 = b.blk3)
+),
+hamming AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(SUM(CASE WHEN va.sbit <> vb.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hdist
+  FROM candidates c
+    JOIN votes va ON va.doc_id = c.doc_a
+    JOIN votes vb ON vb.doc_id = c.doc_b AND vb.b = va.b
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hdist FROM hamming WHERE hdist <= 3
+""",
+)
+
+register(
+    "dedup_embedding_cosine",
+    "Embedding-cosine near-dup pairs over the embeddings table: exact cosine "
+    ">= 0.45 (brute-force verify tier; LSH buckets are the recall tier). "
+    "Threshold sits at the corpus' top-0.01%% so the check is non-trivial.",
+    sql=lambda d: f"""
+SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {cosine(d, 'a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) pairs
+WHERE cos_sim >= 0.45
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+register(
+    "ann_cosine_topk",
+    "Brute-force cosine top-k: 8 query vectors against the corpus, exact "
+    "top-5 neighbors per query (the ANN correctness baseline).",
+    sql=lambda d: f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {cosine(d, 'q.embedding', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+
+register(
+    "ann_lsh_bucketed",
+    "LSH-bucketed ANN (scale path): 8 md5-derived random hyperplanes -> "
+    "8-bit sign bucket; queries probe only their own bucket; exact cosine "
+    "re-rank inside the bucket. Bucket join replaces the all-pairs product.",
+    sql=lambda d: f"""
+WITH elems AS ({_vec_elems(d)}),
+planes AS (
+  SELECT p.j, e.dim,
+    ({hex_to_bigint(d, "substr(md5(concat(CAST(p.j AS STRING), '_', CAST(e.dim AS STRING))), 1, 8)")} % 1000) - 499.5 AS r
+  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS p(j)
+  CROSS JOIN (SELECT DISTINCT dim FROM elems) e
+),
+proj AS (
+  SELECT el.vec_id, pl.j,
+    CASE WHEN SUM(el.x * pl.r) >= 0 THEN 1 ELSE 0 END AS hbit
+  FROM elems el JOIN planes pl ON el.dim = pl.dim
+  GROUP BY el.vec_id, pl.j
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(hbit * CAST(pow(2, j - 1) AS BIGINT)) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT b.vec_id, b.bucket, e.embedding
+      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id < 8),
+c AS (SELECT b.vec_id, b.bucket, e.embedding
+      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {cosine(d, 'q.embedding', 'c.embedding')} AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+
+register(
+    "embedding_label_centroids",
+    "IVF-style coarse structure: per-label centroid vectors + intra-cluster "
+    "cohesion (mean member->centroid cosine), the partition-assignment half "
+    "of an IVF index.",
+    sql=lambda d: f"""
+WITH elems AS ({_vec_elems(d)}),
+labeled AS (
+  SELECT e.vec_id, em.label, e.dim, e.x
+  FROM elems e JOIN embeddings em ON em.vec_id = e.vec_id
+),
+cent AS (
+  SELECT label, dim, AVG(x) AS cx
+  FROM labeled GROUP BY label, dim
+),
+member_dot AS (
+  SELECT l.vec_id, l.label,
+    SUM(l.x * c.cx) AS dot_c,
+    sqrt(SUM(l.x * l.x)) AS norm_v
+  FROM labeled l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+  GROUP BY l.vec_id, l.label
+),
+cent_norm AS (SELECT label, sqrt(SUM(cx * cx)) AS norm_c FROM cent GROUP BY label)
+SELECT m.label,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(AVG(m.dot_c / (m.norm_v * cn.norm_c)), 4) AS mean_cohesion,
+  ROUND(MIN(cn.norm_c), 4) AS centroid_norm
+FROM member_dot m JOIN cent_norm cn ON cn.label = m.label
+GROUP BY m.label
+""",
+)

@@ -562,3 +562,8 @@ GROUP BY date_trunc('hour', {ts_expr(d, 'ts')}), event_type
 
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES["wcl_position_error"].spark(spark, sf_dir)
+
+
+# Training-data pipeline extensions (documents/embeddings tables) register on
+# import; kept in a sibling module to keep this file navigable.
+from wifi_location_data_pipeline_spark.plans import llm_queries  # noqa: E402,F401
