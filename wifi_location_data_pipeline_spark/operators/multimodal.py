@@ -149,7 +149,10 @@ def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
         "media_id",
         F.col("metadata.n_frames").alias("n_frames"),
         F.explode(
-            F.sequence(F.lit(0), (F.col("metadata.n_frames") - 1) / every_nth)
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("metadata.n_frames") - 1) / every_nth).cast("int"),
+            )
         ).alias("frame_idx"),
     )
     return frames.select(

@@ -560,6 +560,110 @@ GROUP BY date_trunc('hour', {ts_expr(d, 'ts')}), event_type
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# §2.7 full positioning ensemble (numeric tier included) — rows-only check
+# ---------------------------------------------------------------------------
+
+
+def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 6-algorithm ensemble over synthetic requests derived from events.
+
+    Each user_id becomes one positioning request of <=20 scans; the scanned
+    AP set is the synthetic 50-AP dimension (aps_cte positions). Exercises
+    explode -> physics gate -> broadcast AP join -> context classification ->
+    selection matrix -> closed-form + applyInPandas numeric algorithms ->
+    robust combine (SURVEY.md §2.7/§3.2). Iterative numerics are not
+    SQL-expressible -> rows-only driver check.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.positioning.pipeline import position_requests
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def mac_of(col):
+        h = F.md5(col.cast("string"))
+        return F.lower(
+            F.concat_ws(
+                ":",
+                F.substring(h, 1, 2), F.substring(h, 3, 2), F.substring(h, 5, 2),
+                F.substring(h, 7, 2), F.substring(h, 9, 2), F.substring(h, 11, 2),
+            )
+        )
+
+    obs = events.select(
+        F.col("user_id").cast("string").alias("requestId"),
+        ((F.col("user_id") * 13 + F.col("event_id")) % 50).alias("ap_id"),
+        (-30.0 - (F.col("event_id") % 60)).cast("double").alias("signalStrength"),
+        F.col("event_id"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("requestId").orderBy(F.col("event_id"))
+        ),
+    ).filter(F.col("_rn") <= 20)
+
+    scans = obs.groupBy("requestId").agg(
+        F.collect_list(
+            F.struct(
+                mac_of(F.col("ap_id")).alias("macAddress"),
+                F.col("signalStrength"),
+                F.lit(2437).alias("frequency"),
+                F.concat(F.lit("ap-"), F.col("ap_id").cast("string")).alias("ssid"),
+                F.lit(None).cast("int").alias("linkSpeed"),
+                F.lit(None).cast("int").alias("channelWidth"),
+            )
+        ).alias("wifiScanResults")
+    ).select(
+        "requestId",
+        F.lit("bench").alias("client"),
+        F.lit("engine").alias("application"),
+        F.lit(False).alias("calculationDetail"),
+        "wifiScanResults",
+    )
+
+    ap_ids = spark.range(0, 50).select(F.col("id").alias("ap_id"))
+    aps = ap_ids.select(
+        mac_of(F.col("ap_id")).alias("mac_addr"),
+        F.lit(None).cast("string").alias("version"),
+        (40.0 + F.col("ap_id") * 0.01).alias("latitude"),
+        (-74.0 + (F.col("ap_id") * 7 % 50) * 0.01).alias("longitude"),
+        F.lit(10.0).alias("altitude"),
+        F.lit(10.0).alias("horizontal_accuracy"),
+        F.lit(5.0).alias("vertical_accuracy"),
+        F.lit(0.8).alias("confidence"),
+        F.concat(F.lit("ap-"), F.col("ap_id").cast("string")).alias("ssid"),
+        F.lit(2437).cast("int").alias("frequency"),
+        F.element_at(
+            F.array(F.lit("cisco"), F.lit("aruba"), F.lit("ubiquiti"), F.lit("generic")),
+            (F.col("ap_id") % 4 + 1).cast("int"),
+        ).alias("vendor"),
+        F.lit("active").alias("status"),
+        F.lit(None).cast("string").alias("geohash"),
+    )
+
+    out = position_requests(scans, aps)
+    return out.select(
+        "request_id",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        F.round("accuracy", 2).alias("accuracy"),
+        F.round("confidence", 4).alias("confidence"),
+        F.array_join("methods_used", ",").alias("methods_used"),
+    )
+
+
+register(
+    "positioning_ensemble",
+    "Full positioning ensemble: physics gate, broadcast AP join, context "
+    "classification, selection matrix, 6 algorithms (closed-form SQL + "
+    "applyInPandas trilateration/MLE), robust combiner (SURVEY §2.7, §3.2).",
+    spark_fn=_positioning_ensemble_fn,
+)
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES["wcl_position_error"].spark(spark, sf_dir)
 
