@@ -111,6 +111,50 @@ def dot(d: str, a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_parts(
+    d: str, lat: str, lon: str, precision: int = 6, gx: str = "gx", gy: str = "gy"
+) -> tuple[str, str, str]:
+    """Standard geohash encoding as pure column arithmetic (no UDF).
+
+    Mirrors the reference's ``wifi_access_points.geohash`` GSI
+    (WifiAccessPoint.java:73-101). Bit i of an integer v is extracted as
+    ``floor(v / 2^i) % 2`` — plain arithmetic, identical in Spark and DuckDB,
+    so one generator emits both dialects. Total bits = 5 * precision; even
+    geohash bit positions (MSB-first) take longitude bits, odd take latitude,
+    per the public geohash spec.
+
+    Returns (gx_expr, gy_expr, geohash_char_concat): compute gx/gy once in a
+    CTE, then reference them by the given names in the concat expression (a
+    correlated scalar subquery would not decorrelate in Spark).
+    """
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    x = f"CAST(FLOOR((({lon}) + 180.0) / 360.0 * {2 ** lon_bits}) AS BIGINT)"
+    y = f"CAST(FLOOR((({lat}) + 90.0) / 180.0 * {2 ** lat_bits}) AS BIGINT)"
+    # clamp the degenerate upper edge (lat=90 / lon=180 land exactly on 2^n)
+    x = f"LEAST({x}, {2 ** lon_bits - 1})"
+    y = f"LEAST({y}, {2 ** lat_bits - 1})"
+    sub = "substring" if d == SPARK else "substr"
+
+    chars = []
+    for c in range(precision):  # char c covers geohash bits 5c .. 5c+4 (MSB first)
+        terms = []
+        for j in range(5):  # j = bit within char, MSB first → weight 2^(4-j)
+            k = 5 * c + j  # global geohash bit position
+            if k % 2 == 0:
+                v, i = gx, lon_bits - 1 - k // 2
+            else:
+                v, i = gy, lat_bits - 1 - (k - 1) // 2
+            terms.append(f"(CAST(FLOOR({v} / {2 ** i}.0) AS BIGINT) % 2) * {2 ** (4 - j)}")
+        idx = " + ".join(terms)
+        chars.append(f"{sub}('{GEOHASH_BASE32}', CAST({idx} AS INT) + 1, 1)")
+    return x, y, f"concat({', '.join(chars)})"
+
+
 def ts_expr(d: str, col: str) -> str:
     """Timestamp column from the synthetic corpus.
 

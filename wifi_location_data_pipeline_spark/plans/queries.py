@@ -561,6 +561,40 @@ GROUP BY date_trunc('hour', {ts_expr(d, 'ts')}), event_type
 
 
 # ---------------------------------------------------------------------------
+# Geospatial index: geohash cells (the reference's wifi_access_points GSI)
+# ---------------------------------------------------------------------------
+
+
+def _geohash_cells_sql(d: str) -> str:
+    from wifi_location_data_pipeline_spark.plans.dialect import geohash_parts
+
+    gx, gy, gh = geohash_parts(d, "m.latitude", "m.longitude", precision=6)
+    return f"""
+WITH m AS ({measurements_cte(d)}),
+cells AS (
+  SELECT m.ap_id, {gx} AS gx, {gy} AS gy FROM m
+),
+hashed AS (
+  SELECT ap_id, {gh} AS geohash6 FROM cells
+)
+SELECT geohash6,
+  CAST(COUNT(*) AS BIGINT) AS n_measurements,
+  CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS n_aps
+FROM hashed
+GROUP BY geohash6
+"""
+
+
+register(
+    "geohash_cells",
+    "Geohash-6 spatial index cells over measurements: the Spark-side "
+    "equivalent of the reference's wifi_access_points geohash GSI "
+    "(WifiAccessPoint.java:73-101); pure column arithmetic, no UDF.",
+    sql=_geohash_cells_sql,
+)
+
+
+# ---------------------------------------------------------------------------
 # §2.7 full positioning ensemble (numeric tier included) — rows-only check
 # ---------------------------------------------------------------------------
 
