@@ -34,8 +34,12 @@ def main() -> None:
     else:
         names = list(qs)
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + every table's parquet footers/pages once so per-query
+    # numbers measure the queries, not session startup or first-touch I/O
+    from wifi_location_data_pipeline_spark.sources.tables import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
     next(iter(qs.values()))(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -313,7 +313,9 @@ register(
     "product, not three — 3x less work on the O(n^2) hot loop.",
     sql=lambda d: f"""
 WITH v AS (
-  SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings
+  -- REPARTITION: the corpus arrives as ONE parquet split; without it the
+  -- O(n^2) pair loop below runs on a single task (DuckDB ignores the hint)
+  SELECT /*+ REPARTITION(64) */ vec_id, {array_double(d, 'embedding')} AS e FROM embeddings
 ),
 n AS (SELECT vec_id, e, sqrt({dot(d, 'e', 'e')}) AS nrm FROM v)
 SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (

@@ -630,7 +630,9 @@ def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = events.select(
         F.col("user_id").cast("string").alias("requestId"),
         ((F.col("user_id") * 13 + F.col("event_id")) % 50).alias("ap_id"),
-        (-30.0 - (F.col("event_id") % 60)).cast("double").alias("signalStrength"),
+        # spread must stay under the 45 dB physics gate (max rssi > -50 arms
+        # the check): range [-84, -45] → spread ≤ 39, always passes
+        (-45.0 - (F.col("event_id") % 40)).cast("double").alias("signalStrength"),
         F.col("event_id"),
     ).withColumn(
         "_rn",

@@ -50,21 +50,31 @@ def position_requests(requests: DataFrame, access_points: DataFrame) -> DataFram
 
 
 def position_observations(obs: DataFrame) -> DataFrame:
-    """Prepared observations (with AP columns + n_scanned) → combined positions."""
+    """Prepared observations (with AP columns + n_scanned) → combined positions.
+
+    Shuffle budget: ONE hash aggregate computes the three aggregate-shaped
+    algorithms (closed_form_positions), rssi_ratio adds its bounded pairwise
+    pass, and the numeric tier's applyInPandas touches only requests whose
+    selection includes trilateration/MLE. Selection pruning for the closed
+    forms happens on the per-request aggregate output (tiny) via the final
+    inner join on (request_id, algorithm) — cheaper than semi-join-
+    restricting the full observation set once per algorithm.
+    """
     obs = obs.cache()
     context = build_context(obs)
     selection = select_algorithms(context).cache()
 
-    results = []
-    for name, fn in CLOSED_FORM.items():
-        sel = selection.filter(F.col("algorithm") == name).select("request_id")
-        restricted = obs.join(sel, "request_id", "left_semi")
-        results.append(fn(restricted))
+    closed = alg.closed_form_positions(obs)
+
+    rr_sel = selection.filter(F.col("algorithm") == "rssi_ratio").select("request_id")
+    rr = alg.rssi_ratio(obs.join(rr_sel, "request_id", "left_semi"))
 
     numeric_sel = selection.filter(F.col("algorithm").isin(*NUMERIC))
     numeric_obs = obs.join(numeric_sel, "request_id")
-    results.append(numeric_positions(numeric_obs))
+    numeric = numeric_positions(numeric_obs)
 
-    positions = reduce(lambda a, b: a.unionByName(b), results)
+    positions = reduce(lambda a, b: a.unionByName(b), [closed, rr, numeric])
+    # inner join keeps exactly the selected (request, algorithm) pairs and
+    # attaches their selection weights for the combiner
     weighted = positions.join(selection, ["request_id", "algorithm"])
     return combine_positions(weighted)

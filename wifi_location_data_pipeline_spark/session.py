@@ -40,6 +40,12 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles down to the advisory size instead of pinning
+        # them at default parallelism: multi-stage plans over modest data spend
+        # more wall-clock on task scheduling than on work otherwise. CPU-heavy
+        # narrow stages that need fan-out (the pandas numeric tier) ask for it
+        # explicitly with repartition().
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
