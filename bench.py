@@ -44,6 +44,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # isolate queries from each other: no inherited cached plans, and a
+        # driver GC so the ContextCleaner releases earlier queries' broadcast
+        # blocks before the next measurement starts
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.count()

@@ -152,3 +152,45 @@ def test_unknown_macs_rejected(results):
 
 def test_bad_status_ap_unusable(results):
     assert "bad_status" not in results
+
+
+def test_numeric_packed_matches_grouped(spark, ap_df):
+    """The packed mapInPandas numeric tier must agree with the per-group
+    applyInPandas reference shape (same math, different batching)."""
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.positioning.numeric import (
+        numeric_positions,
+        numeric_positions_grouped,
+    )
+    from wifi_location_data_pipeline_spark.positioning.prepare import prepare_observations
+    from wifi_location_data_pipeline_spark.schemas import POSITIONING_REQUEST_SCHEMA
+
+    macs = [r["mac_addr"] for r in ap_df.select("mac_addr").collect()][:6]
+    reqs = [
+        {
+            "requestId": f"r{k}",
+            "client": "t",
+            "application": "t",
+            "calculationDetail": False,
+            "wifiScanResults": [
+                {"macAddress": m, "signalStrength": -60.0 - 3 * i - k, "frequency": 2437,
+                 "ssid": "t", "linkSpeed": None, "channelWidth": None}
+                for i, m in enumerate(macs)
+            ],
+        }
+        for k in range(4)
+    ]
+    rdf = spark.createDataFrame(reqs, POSITIONING_REQUEST_SCHEMA)
+    obs = prepare_observations(rdf, ap_df)
+    sel = spark.createDataFrame(
+        [(f"r{k}", a) for k in range(4) for a in ("trilateration", "maximum_likelihood")],
+        "request_id string, algorithm string",
+    )
+    joined = obs.join(sel, "request_id")
+    packed = {(r["request_id"], r["algorithm"]): r for r in numeric_positions(joined).collect()}
+    grouped = {(r["request_id"], r["algorithm"]): r for r in numeric_positions_grouped(joined).collect()}
+    assert set(packed) == set(grouped) and packed
+    for k in packed:
+        for c in ("latitude", "longitude", "accuracy", "confidence"):
+            assert abs(packed[k][c] - grouped[k][c]) < 1e-9, (k, c)

@@ -259,50 +259,53 @@ WHERE CAST(v.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - v.n_common) >= 0.8
 """,
 )
 
+def _simhash_sql(d: str) -> str:
+    """32-bit SimHash in ONE aggregation pass.
+
+    Bit b's vote is an aggregate column (no shingle × 32-bits row explosion —
+    at sf0.1 that expansion alone was 14M rows), the 4 pigeonhole blocks are
+    arithmetic over the bit columns, and hamming distance is a 32-term
+    expression evaluated only on blocked candidate pairs.
+    """
+    bit = lambda b: (  # noqa: E731
+        f"CASE WHEN SUM(CAST({hex_to_bigint(d, f'substr(h, {b}, 1)')} % 2 AS BIGINT) * 2 - 1) >= 0"
+        f" THEN 1 ELSE 0 END"
+    )
+    sbits = ",\n    ".join(f"{bit(b)} AS s{b}" for b in range(1, 33))
+    blk = lambda lo: " + ".join(  # noqa: E731
+        f"s{b} * {2 ** (b - lo)}" for b in range(lo, lo + 8)
+    )
+    ham = " + ".join(f"(CASE WHEN a.s{b} <> b.s{b} THEN 1 ELSE 0 END)" for b in range(1, 33))
+    return f"""
+WITH {shingles_cte(d)},
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
+sigs AS (
+  SELECT doc_id,
+    {sbits}
+  FROM hashed GROUP BY doc_id
+),
+blocked AS (
+  SELECT doc_id,
+    CAST({blk(1)} AS BIGINT) AS blk0,  CAST({blk(9)} AS BIGINT) AS blk1,
+    CAST({blk(17)} AS BIGINT) AS blk2, CAST({blk(25)} AS BIGINT) AS blk3,
+    * FROM sigs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST({ham} AS BIGINT) AS hdist
+FROM blocked a JOIN blocked b ON a.doc_id < b.doc_id
+ AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1 OR a.blk2 = b.blk2 OR a.blk3 = b.blk3)
+WHERE {ham} <= 3
+"""
+
+
 register(
     "dedup_simhash",
     "SimHash near-dup: 32-bit signature from md5-derived shingle-bit votes "
     "(shingle features, not unigrams — synthetic docs share vocabulary), "
     "pigeonhole blocking on 8-bit blocks (hamming<=3 => >=1 of 4 blocks "
-    "equal), exact hamming verification <= 3.",
-    sql=lambda d: f"""
-WITH {shingles_cte(d)},
-bits AS (
-  SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
-                        (9),(10),(11),(12),(13),(14),(15),(16),
-                        (17),(18),(19),(20),(21),(22),(23),(24),
-                        (25),(26),(27),(28),(29),(30),(31),(32)) AS t(b)
-),
-votes AS (
-  SELECT s.doc_id, bits.b,
-    CASE WHEN SUM(CAST({hex_to_bigint(d, "substr(md5(s.shingle), bits.b, 1)")} % 2 AS BIGINT) * 2 - 1) >= 0
-         THEN 1 ELSE 0 END AS sbit
-  FROM shingles s CROSS JOIN bits
-  GROUP BY s.doc_id, bits.b
-),
-sigs AS (
-  SELECT doc_id,
-    CAST(SUM(CASE WHEN b <= 8  THEN sbit * CAST(pow(2, b - 1)  AS BIGINT) END) AS BIGINT) AS blk0,
-    CAST(SUM(CASE WHEN b BETWEEN 9 AND 16  THEN sbit * CAST(pow(2, b - 9)  AS BIGINT) END) AS BIGINT) AS blk1,
-    CAST(SUM(CASE WHEN b BETWEEN 17 AND 24 THEN sbit * CAST(pow(2, b - 17) AS BIGINT) END) AS BIGINT) AS blk2,
-    CAST(SUM(CASE WHEN b BETWEEN 25 AND 32 THEN sbit * CAST(pow(2, b - 25) AS BIGINT) END) AS BIGINT) AS blk3
-  FROM votes GROUP BY doc_id
-),
-candidates AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-   AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1 OR a.blk2 = b.blk2 OR a.blk3 = b.blk3)
-),
-hamming AS (
-  SELECT c.doc_a, c.doc_b,
-    CAST(SUM(CASE WHEN va.sbit <> vb.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hdist
-  FROM candidates c
-    JOIN votes va ON va.doc_id = c.doc_a
-    JOIN votes vb ON vb.doc_id = c.doc_b AND vb.b = va.b
-  GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b, hdist FROM hamming WHERE hdist <= 3
-""",
+    "equal), exact hamming verification <= 3. Single-pass aggregation: "
+    "32 vote columns, no bits-expansion join.",
+    sql=_simhash_sql,
 )
 
 register(
@@ -359,22 +362,23 @@ register(
     "re-rank inside the bucket. Bucket join replaces the all-pairs product.",
     sql=lambda d: f"""
 WITH elems AS ({_vec_elems(d)}),
-planes AS (
-  SELECT p.j, e.dim,
-    ({hex_to_bigint(d, "substr(md5(concat(CAST(p.j AS STRING), '_', CAST(e.dim AS STRING))), 1, 8)")} % 1000) - 499.5 AS r
-  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) AS p(j)
-  CROSS JOIN (SELECT DISTINCT dim FROM elems) e
-),
+-- 8 hyperplane projections as aggregate columns over the element rows: no
+-- (elems x planes) join, one aggregation pass (the hyperplane component for
+-- (j, dim) is md5-derived arithmetic, identical in both dialects)
 proj AS (
-  SELECT el.vec_id, pl.j,
-    CASE WHEN SUM(el.x * pl.r) >= 0 THEN 1 ELSE 0 END AS hbit
-  FROM elems el JOIN planes pl ON el.dim = pl.dim
-  GROUP BY el.vec_id, pl.j
+  SELECT vec_id,
+    {", ".join(
+        "CASE WHEN SUM(x * (("
+        + hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
+        + " % 1000) - 499.5)) >= 0 THEN 1 ELSE 0 END AS hb" + str(j)
+        for j in range(1, 9)
+    )}
+  FROM elems GROUP BY vec_id
 ),
 buckets AS (
   SELECT vec_id,
-    CAST(SUM(hbit * CAST(pow(2, j - 1) AS BIGINT)) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+    CAST({" + ".join(f"hb{j} * {2 ** (j - 1)}" for j in range(1, 9))} AS BIGINT) AS bucket
+  FROM proj
 ),
 q AS (SELECT b.vec_id, b.bucket, e.embedding
       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id < 8),

@@ -561,6 +561,72 @@ GROUP BY date_trunc('hour', {ts_expr(d, 'ts')}), event_type
 
 
 # ---------------------------------------------------------------------------
+# §2.3 derived columns: quality weight/score, deterministic ids
+# ---------------------------------------------------------------------------
+
+register(
+    "derived_quality_columns",
+    "Transform-time derived columns: quality_weight (CONNECTED 2.0 / SCAN 1.0 "
+    "/ low-linkSpeed override 1.5), quality_score = 0.5 + 0.3*max(0,1-acc/100) "
+    "+ 0.2*max(0,(rssi+100)/100) cap 1.0, deterministic event_id = "
+    "sha256(ts:bssid-analog) (WifiDataTransformationService.java:653-718,"
+    "789-791; SURVEY §2.3).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+enriched AS (
+  SELECT ap_id, event_id, rssi, accuracy, connection_status,
+    CAST(event_id % 100 AS BIGINT) AS link_speed
+  FROM m
+)
+SELECT ap_id, event_id,
+  CAST(CASE WHEN connection_status = 'CONNECTED' AND link_speed < 50 AND rssi > -70.0 THEN 1.5
+       WHEN connection_status = 'CONNECTED' THEN 2.0
+       ELSE 1.0 END AS DOUBLE) AS quality_weight,
+  -- tie-stable rounding: Spark's round() HALF_UPs the shortest decimal repr
+  -- while DuckDB rounds the binary double; floor(x*1e4+0.5) is the same
+  -- double arithmetic in both engines
+  FLOOR(LEAST(1.0,
+      0.5
+    + 0.3 * GREATEST(0.0, 1.0 - accuracy / 100.0)
+    + 0.2 * GREATEST(0.0, (rssi + 100.0) / 100.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score,
+  {'sha2(concat(CAST(event_id AS STRING), chr(58), CAST(ap_id AS STRING)), 256)' if d == SPARK
+   else "sha256(concat(CAST(event_id AS STRING), chr(58), CAST(ap_id AS STRING)))"} AS deterministic_event_id
+FROM enriched
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.1 Iceberg-DML flows (UPDATE flags / DELETE outliers), merge-on-read shape
+# ---------------------------------------------------------------------------
+
+register(
+    "dml_update_delete_flow",
+    "Row-level UPDATE + DELETE semantics (SCHEMA.md:111-143): set outlier "
+    "flags for flagged event_ids (UPDATE ... CASE per key), then drop rows "
+    "of hotspot APs (DELETE = anti-join). Emulates Iceberg merge-on-read "
+    "output; operators/table_dml.py holds the DataFrame implementation.",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+flagged AS (
+  SELECT event_id, 'MAD' AS algo FROM m WHERE rssi < -85.0
+),
+hotspot_aps AS (
+  SELECT DISTINCT ap_id FROM m GROUP BY ap_id HAVING AVG(accuracy) > 280.0
+),
+updated AS (
+  SELECT m.ap_id, m.event_id, m.rssi,
+    CASE WHEN f.event_id IS NOT NULL THEN TRUE ELSE FALSE END AS is_global_outlier,
+    f.algo AS outlier_detection_algorithm
+  FROM m LEFT JOIN flagged f ON m.event_id = f.event_id
+)
+SELECT u.ap_id, u.event_id, ROUND(u.rssi, 4) AS rssi,
+       u.is_global_outlier, u.outlier_detection_algorithm
+FROM updated u
+WHERE NOT EXISTS (SELECT 1 FROM hotspot_aps h WHERE h.ap_id = u.ap_id)
+""",
+)
+
+# ---------------------------------------------------------------------------
 # Geospatial index: geohash cells (the reference's wifi_access_points GSI)
 # ---------------------------------------------------------------------------
 
