@@ -36,9 +36,11 @@ def percentile(d: str, col: str, p: float) -> str:
 
 
 def epoch_s(d: str, col: str) -> str:
+    """Whole epoch seconds. Spark ``unix_timestamp`` floors; DuckDB CAST
+    rounds-half-up, so FLOOR explicitly to keep sub-second rows aligned."""
     if d == SPARK:
         return f"unix_timestamp({col})"
-    return f"CAST(epoch({col}) AS BIGINT)"
+    return f"CAST(FLOOR(epoch({col})) AS BIGINT)"
 
 
 def fmt_ts(d: str, col: str, spark_fmt: str = "yyyy-MM-dd HH:mm:ss", duck_fmt: str = "%Y-%m-%d %H:%M:%S") -> str:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wifi_location_data_pipeline_spark.plans.dialect import (
     DUCK,
     SPARK,
+    epoch_s,
     int_floor_div,
     median,
     percentile,
@@ -51,6 +52,28 @@ def measurements_cte(d: str) -> str:
     CASE WHEN event_type = 'click' THEN 2.0 ELSE 1.0 END AS quality_weight,
     {ts_expr(d, 'ts')} AS ts, event_id, user_id, value
   FROM events
+"""
+
+
+def request_obs_cte(d: str) -> str:
+    """Positioning-request analog: each user observes a varying number of APs.
+
+    Unlike ``measurements_cte`` (one AP per user — the localization shape),
+    this derives the §3.2 online-positioning shape: 1..12 observations per
+    user across different APs, user-varying RSSI profile, and every-29th user
+    forced very-weak so the selection framework's hard-constraint branch is
+    exercised. Join ``aps_cte`` on ap_id for observed-AP positions.
+    """
+    return """
+  SELECT user_id, ap_id, rssi, event_id, rn FROM (
+    SELECT user_id,
+      CAST((user_id * 13 + event_id) % 50 AS BIGINT) AS ap_id,
+      CASE WHEN user_id % 29 = 0 THEN CAST(-96 - (event_id % 4) AS DOUBLE)
+           ELSE CAST(-30 - ((event_id * 3 + user_id * 7) % 65) AS DOUBLE) END AS rssi,
+      event_id,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM events
+  ) t WHERE rn <= 1 + (user_id % 12)
 """
 
 
@@ -595,6 +618,29 @@ FROM enriched
 """,
 )
 
+register(
+    "timestamp_sanity",
+    "Timestamp sanity gate: reject measurements in the future or older than "
+    "the lookback horizon, both relative to a deterministic reference instant "
+    "(max ts in the batch; the corpus spans 30 days so the horizon is 20 days "
+    "— same shape as the reference's 365-day rule, "
+    "DataValidationService.java:70,421-449; SURVEY §2.2).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+shifted AS (
+  -- plant some future-dated rows so both rejection branches are exercised
+  SELECT ap_id, event_id, rssi,
+    {epoch_s(d, 'ts')} + CASE WHEN event_id % 17 = 0 THEN 3456000 ELSE 0 END AS ts_s
+  FROM m
+),
+ref AS (SELECT MAX({epoch_s(d, 'ts')}) AS now_s FROM m)
+SELECT s.ap_id, s.event_id, ROUND(s.rssi, 4) AS rssi, s.ts_s
+FROM shifted s CROSS JOIN ref
+WHERE s.ts_s <= ref.now_s
+  AND s.ts_s >= ref.now_s - 20 * 86400
+""",
+)
+
 # ---------------------------------------------------------------------------
 # §2.1 Iceberg-DML flows (UPDATE flags / DELETE outliers), merge-on-read shape
 # ---------------------------------------------------------------------------
@@ -623,6 +669,392 @@ SELECT u.ap_id, u.event_id, ROUND(u.rssi, 4) AS rssi,
        u.is_global_outlier, u.outlier_detection_algorithm
 FROM updated u
 WHERE NOT EXISTS (SELECT 1 FROM hotspot_aps h WHERE h.ap_id = u.ap_id)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.9 designed-but-stubbed batch analytics: behavioral hotspot, relocation,
+# maturity-tiered localization, Kalman refinement (FRAMEWORK doc semantics;
+# operators/{hotspot,relocation,localization}.py hold the DataFrame forms)
+# ---------------------------------------------------------------------------
+
+register(
+    "hotspot_behavioral",
+    "Behavioral mobile-hotspot detection (FRAMEWORK:55-69): per-AP mean "
+    "distance from its own centroid (spatial churn) + hotspot-style SSID "
+    "names ('AndroidAP', 'iPhone'); flagged BSSIDs are DELETE candidates "
+    "(SCHEMA.md:139-143; operators/hotspot.py).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+named AS (
+  SELECT ap_id, latitude, longitude,
+    CASE WHEN ap_id % 13 = 0 THEN concat('AndroidAP-', CAST(ap_id AS STRING))
+         WHEN ap_id % 13 = 5 THEN concat('iPhone ', CAST(ap_id AS STRING))
+         ELSE concat('net-', CAST(ap_id AS STRING)) END AS ssid
+  FROM m
+),
+cent AS (
+  SELECT ap_id, AVG(latitude) AS clat, AVG(longitude) AS clon,
+    MAX(CASE WHEN ssid LIKE 'AndroidAP%' OR ssid LIKE 'iPhone%' THEN 1 ELSE 0 END) AS ssid_hit
+  FROM named GROUP BY ap_id
+),
+spread AS (
+  SELECT n.ap_id,
+    AVG({haversine_sql('n.latitude', 'n.longitude', 'c.clat', 'c.clon')}) AS mean_dist_m,
+    MAX(c.ssid_hit) AS ssid_hit
+  FROM named n JOIN cent c ON n.ap_id = c.ap_id
+  GROUP BY n.ap_id
+)
+SELECT ap_id, ROUND(mean_dist_m, 2) AS mean_dist_m,
+  CAST(ssid_hit AS BIGINT) AS ssid_hit,
+  (mean_dist_m > 100.0 OR ssid_hit = 1) AS is_hotspot
+FROM spread
+""",
+)
+
+register(
+    "relocation_time_split",
+    "Relocation detection by time-split change point (FRAMEWORK:71-87): "
+    "compare each AP's old-half vs new-half centroid; a gap >> the cloud's "
+    "own spread (and >= 100 m) flags relocation. A 0.01-degree move is "
+    "planted on every 10th AP after the corpus midpoint "
+    "(operators/relocation.py relocation_by_time_split).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
+planted AS (
+  SELECT m.ap_id,
+    m.latitude + CASE WHEN m.ap_id % 10 = 0 AND {epoch_s(d, 'ts')} > s.mid_s
+                      THEN 0.01 ELSE 0.0 END AS latitude,
+    m.longitude, {epoch_s(d, 'ts')} AS ts_s, s.mid_s
+  FROM m CROSS JOIN split s
+),
+halves AS (
+  SELECT ap_id, CASE WHEN ts_s <= mid_s THEN 'old' ELSE 'new' END AS half,
+    latitude, longitude
+  FROM planted
+),
+per_half AS (
+  SELECT ap_id, half,
+    AVG(latitude) AS clat, AVG(longitude) AS clon,
+    COALESCE(STDDEV_SAMP(latitude), 0.0) AS slat,
+    COALESCE(STDDEV_SAMP(longitude), 0.0) AS slon,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM halves GROUP BY ap_id, half
+),
+j AS (
+  SELECT o.ap_id,
+    {haversine_sql('o.clat', 'o.clon', 'n.clat', 'n.clon')} AS gap_m,
+    GREATEST(o.slat, o.slon, n.slat, n.slon) * 111000.0 AS spread_m,
+    o.n AS n_old, n.n AS n_new
+  FROM per_half o JOIN per_half n
+    ON o.ap_id = n.ap_id AND o.half = 'old' AND n.half = 'new'
+)
+SELECT ap_id, ROUND(gap_m, 2) AS centroid_gap_m, ROUND(spread_m, 2) AS half_spread_m,
+  (gap_m > 3.0 * GREATEST(spread_m, 1.0) AND gap_m > 100.0) AS relocated
+FROM j
+WHERE n_old >= 5 AND n_new >= 5
+""",
+)
+
+register(
+    "tiered_localization",
+    "Maturity-tiered localization routing (FRAMEWORK:121-169): per-AP counts "
+    "route to WCL (20<=N<50) / MLE (50<=N<100) / BAYESIAN (N>=100), below-"
+    "bootstrap APs excluded; the tier-1 WCL estimate is computed in-line "
+    "(per-AP caps derived from ap_id so every tier occurs; "
+    "operators/localization.py holds the applyInPandas MLE tier).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+capped AS (
+  SELECT * FROM (
+    SELECT ap_id, latitude, longitude, rssi, quality_weight,
+      ROW_NUMBER() OVER (PARTITION BY ap_id ORDER BY event_id) AS rn,
+      10 + CAST((ap_id * 7) % 120 AS BIGINT) AS cap
+    FROM m
+  ) t WHERE rn <= cap
+),
+counts AS (SELECT ap_id, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY ap_id),
+routed AS (
+  SELECT ap_id, n,
+    CASE WHEN n < 20 THEN 'INSUFFICIENT'
+         WHEN n < 50 THEN 'WCL'
+         WHEN n < 100 THEN 'MLE'
+         ELSE 'BAYESIAN' END AS tier
+  FROM counts
+),
+w AS (
+  SELECT ap_id, latitude, longitude,
+    quality_weight * pow(10.0, rssi / 10.0) AS wt
+  FROM capped
+),
+wcl AS (
+  SELECT ap_id,
+    SUM(latitude * wt) / SUM(wt) AS est_lat,
+    SUM(longitude * wt) / SUM(wt) AS est_lon
+  FROM w GROUP BY ap_id
+)
+SELECT r.ap_id, r.n, r.tier,
+  ROUND(wcl.est_lat, 6) AS est_lat, ROUND(wcl.est_lon, 6) AS est_lon
+FROM routed r JOIN wcl ON r.ap_id = wcl.ap_id
+WHERE r.tier <> 'INSUFFICIENT'
+""",
+)
+
+register(
+    "kalman_update_step",
+    "Kalman/Bayesian AP-state refinement, one batch step (FRAMEWORK:172-213): "
+    "prior state = old-half WCL with variance P, measurement = new-half WCL "
+    "with variance R; gain K = P/(P+R), fused x = x + K(z-x), P' = (1-K)P; "
+    "innovation > 3 sigma flags relocation and resets state "
+    "(operators/localization.py kalman_update).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
+halves AS (
+  -- every 10th AP gets a planted 0.01-degree move in the new half so the
+  -- innovation-triggered relocation reset branch is exercised
+  SELECT m.ap_id,
+    CASE WHEN {epoch_s(d, 'ts')} <= s.mid_s THEN 'old' ELSE 'new' END AS half,
+    m.latitude + CASE WHEN m.ap_id % 10 = 0 AND {epoch_s(d, 'ts')} > s.mid_s
+                      THEN 0.01 ELSE 0.0 END AS latitude,
+    m.longitude
+  FROM m CROSS JOIN split s
+),
+est AS (
+  SELECT ap_id, half,
+    AVG(latitude) AS lat, AVG(longitude) AS lon,
+    (pow(COALESCE(STDDEV_SAMP(latitude), 0.0) * 111000.0, 2)
+     + pow(COALESCE(STDDEV_SAMP(longitude), 0.0) * 111000.0 * 0.766, 2))
+      / GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0) AS var_m2
+  FROM halves GROUP BY ap_id, half
+),
+fused AS (
+  SELECT p.ap_id,
+    p.lat AS prior_lat, p.lon AS prior_lon, p.var_m2 AS p_var,
+    z.lat AS z_lat, z.lon AS z_lon, z.var_m2 AS r_var,
+    p.var_m2 / (p.var_m2 + z.var_m2) AS gain,
+    {haversine_sql('p.lat', 'p.lon', 'z.lat', 'z.lon')} AS innovation_m
+  FROM est p JOIN est z
+    ON p.ap_id = z.ap_id AND p.half = 'old' AND z.half = 'new'
+)
+SELECT ap_id,
+  ROUND(CASE WHEN innovation_m > 3.0 * sqrt(p_var + r_var) THEN z_lat
+       ELSE prior_lat + gain * (z_lat - prior_lat) END, 6) AS fused_lat,
+  ROUND(CASE WHEN innovation_m > 3.0 * sqrt(p_var + r_var) THEN z_lon
+       ELSE prior_lon + gain * (z_lon - prior_lon) END, 6) AS fused_lon,
+  ROUND(CASE WHEN innovation_m > 3.0 * sqrt(p_var + r_var) THEN r_var * 4.0
+       ELSE (1.0 - gain) * p_var END, 6) AS fused_var_m2,
+  (innovation_m > 3.0 * sqrt(p_var + r_var)) AS relocated
+FROM fused
+""",
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
+# ---------------------------------------------------------------------------
+
+register(
+    "rssi_ratio_positions",
+    "RSSI-ratio positioning: pairwise ratio r = 10^((RSSI1-RSSI2)/20), "
+    "interpolated point P = (P1 + r*P2)/(1+r) per AP pair, averaged per "
+    "request; obs capped at 8/request so pair count stays bounded "
+    "(RSSIRatioAlgorithm.java:37-39,73,97,211; SURVEY §2.7).",
+    sql=lambda d: f"""
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+capped AS (
+  SELECT o.user_id, o.rssi, o.rn, a.true_lat AS lat, a.true_lon AS lon
+  FROM obs o JOIN aps a ON o.ap_id = a.ap_id
+  WHERE o.rn <= 8
+),
+pairs AS (
+  SELECT a.user_id,
+    pow(10.0, (a.rssi - b.rssi) / 20.0) AS r,
+    a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.rn < b.rn
+),
+interp AS (
+  SELECT user_id,
+    (lat1 + r * lat2) / (1.0 + r) AS plat,
+    (lon1 + r * lon2) / (1.0 + r) AS plon
+  FROM pairs
+)
+SELECT user_id,
+  ROUND(AVG(plat), 6) AS est_lat, ROUND(AVG(plon), 6) AS est_lon,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM interp GROUP BY user_id
+""",
+)
+
+
+def _gdop_cte(d: str) -> str:
+    """Per-request GDOP from AP geometry, 2x2 closed-form inverse.
+
+    H rows are unit vectors from the estimated position to each distinct AP;
+    trace((H^T H)^-1) for the 2x2 case is (Sxx+Syy)/(Sxx*Syy - Sxy^2) — a
+    pure SQL aggregate, no linear algebra library
+    (GDOPCalculator.java:38,45,237-267; SURVEY §2.7).
+    """
+    return f"""
+req_aps AS (
+  SELECT DISTINCT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon
+  FROM obs o JOIN aps a ON o.ap_id = a.ap_id
+),
+center AS (
+  SELECT user_id, AVG(lat) AS clat, AVG(lon) AS clon,
+    CAST(COUNT(*) AS BIGINT) AS n_aps
+  FROM req_aps GROUP BY user_id
+),
+vecs AS (
+  SELECT r.user_id, c.n_aps,
+    (r.lon - c.clon) * cos(radians(c.clat)) AS dx,
+    (r.lat - c.clat) AS dy
+  FROM req_aps r JOIN center c ON r.user_id = c.user_id
+),
+units AS (
+  SELECT user_id, n_aps,
+    dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS ux,
+    dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS uy
+  FROM vecs
+),
+gram AS (
+  SELECT user_id, MIN(n_aps) AS n_aps,
+    SUM(ux * ux) AS sxx, SUM(ux * uy) AS sxy, SUM(uy * uy) AS syy
+  FROM units GROUP BY user_id
+),
+gdop AS (
+  SELECT user_id, n_aps,
+    CASE WHEN sxx * syy - sxy * sxy < 1e-9 THEN 30.0
+         ELSE LEAST(sqrt((sxx + syy) / (sxx * syy - sxy * sxy)), 30.0)
+    END AS gdop
+  FROM gram
+)"""
+
+
+register(
+    "gdop_geometry",
+    "GDOP geometric quality per request: unit-vector gram matrix, 2x2 "
+    "closed-form trace((H^T H)^-1), collinear degenerate -> max 30, class "
+    "thresholds <2 excellent / 2-4 good / 4-6 fair / >6 poor "
+    "(GDOPCalculator.java:38,45,237-281; GeometricQualityFactor.java:80-148).",
+    sql=lambda d: f"""
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+{_gdop_cte(d)}
+SELECT user_id, n_aps, ROUND(gdop, 4) AS gdop,
+  CASE WHEN gdop >= 30.0 THEN 'COLLINEAR'
+       WHEN gdop < 2.0 THEN 'EXCELLENT_GDOP'
+       WHEN gdop < 4.0 THEN 'GOOD_GDOP'
+       WHEN gdop < 6.0 THEN 'FAIR_GDOP'
+       ELSE 'POOR_GDOP' END AS geometric_quality
+FROM gdop
+""",
+)
+
+register(
+    "selection_matrix",
+    "Algorithm-selection framework as SQL: context classes (AP count, signal "
+    "quality/distribution, GDOP geometry) x literal weight matrix -> "
+    "base*signal*geometry*distribution, threshold 0.4, adaptive top-K "
+    "(top-2 if max>0.8 else top-3), best-algorithm fallback "
+    "(SELECTION.md:13-85; AlgorithmSelector.java:67-120,365-438; "
+    "positioning/selection.py is the DataFrame twin).",
+    sql=lambda d: f"""
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+{_gdop_cte(d)},
+ctx AS (
+  SELECT p.user_id,
+    CASE WHEN p.avg_rssi > -70.0 THEN 'STRONG_SIGNAL'
+         WHEN p.avg_rssi > -85.0 THEN 'MEDIUM_SIGNAL'
+         WHEN p.avg_rssi > -95.0 THEN 'WEAK_SIGNAL'
+         ELSE 'VERY_WEAK_SIGNAL' END AS signal_quality,
+    CASE WHEN p.rssi_sd > 10.0 THEN 'SIGNAL_OUTLIERS'
+         WHEN p.rssi_sd > 3.0 THEN 'MIXED_SIGNALS'
+         ELSE 'UNIFORM_SIGNALS' END AS signal_distribution,
+    CASE WHEN p.ap_count = 1 THEN 'SINGLE_AP'
+         WHEN p.ap_count = 2 THEN 'TWO_APS'
+         WHEN p.ap_count = 3 THEN 'THREE_APS'
+         ELSE 'FOUR_PLUS_APS' END AS ap_count_class,
+    CASE WHEN g.gdop >= 30.0 THEN 'COLLINEAR'
+         WHEN g.gdop < 2.0 THEN 'EXCELLENT_GDOP'
+         WHEN g.gdop < 4.0 THEN 'GOOD_GDOP'
+         WHEN g.gdop < 6.0 THEN 'FAIR_GDOP'
+         ELSE 'POOR_GDOP' END AS geometric_quality
+  FROM (
+    SELECT user_id, AVG(rssi) AS avg_rssi,
+      COALESCE(STDDEV_SAMP(rssi), 0.0) AS rssi_sd,
+      CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS ap_count
+    FROM obs GROUP BY user_id
+  ) p JOIN gdop g ON p.user_id = g.user_id
+),
+base_w AS (SELECT * FROM (VALUES
+  ('SINGLE_AP','proximity',1.0),('SINGLE_AP','rssi_ratio',0.0),('SINGLE_AP','weighted_centroid',0.0),
+  ('SINGLE_AP','trilateration',0.0),('SINGLE_AP','maximum_likelihood',0.0),('SINGLE_AP','log_distance',0.4),
+  ('TWO_APS','proximity',0.4),('TWO_APS','rssi_ratio',1.0),('TWO_APS','weighted_centroid',0.8),
+  ('TWO_APS','trilateration',0.0),('TWO_APS','maximum_likelihood',0.0),('TWO_APS','log_distance',0.5),
+  ('THREE_APS','proximity',0.3),('THREE_APS','rssi_ratio',0.7),('THREE_APS','weighted_centroid',0.8),
+  ('THREE_APS','trilateration',1.0),('THREE_APS','maximum_likelihood',0.0),('THREE_APS','log_distance',0.5),
+  ('FOUR_PLUS_APS','proximity',0.2),('FOUR_PLUS_APS','rssi_ratio',0.5),('FOUR_PLUS_APS','weighted_centroid',0.7),
+  ('FOUR_PLUS_APS','trilateration',0.8),('FOUR_PLUS_APS','maximum_likelihood',1.0),('FOUR_PLUS_APS','log_distance',0.4)
+) AS t(klass, algorithm, mult)),
+sig_w AS (SELECT * FROM (VALUES
+  ('STRONG_SIGNAL','proximity',0.9),('STRONG_SIGNAL','rssi_ratio',1.0),('STRONG_SIGNAL','weighted_centroid',1.0),
+  ('STRONG_SIGNAL','trilateration',1.1),('STRONG_SIGNAL','maximum_likelihood',1.2),('STRONG_SIGNAL','log_distance',1.0),
+  ('MEDIUM_SIGNAL','proximity',0.7),('MEDIUM_SIGNAL','rssi_ratio',0.9),('MEDIUM_SIGNAL','weighted_centroid',1.0),
+  ('MEDIUM_SIGNAL','trilateration',0.8),('MEDIUM_SIGNAL','maximum_likelihood',0.9),('MEDIUM_SIGNAL','log_distance',0.8),
+  ('WEAK_SIGNAL','proximity',0.4),('WEAK_SIGNAL','rssi_ratio',0.6),('WEAK_SIGNAL','weighted_centroid',0.8),
+  ('WEAK_SIGNAL','trilateration',0.3),('WEAK_SIGNAL','maximum_likelihood',0.5),('WEAK_SIGNAL','log_distance',0.6),
+  ('VERY_WEAK_SIGNAL','proximity',0.5),('VERY_WEAK_SIGNAL','rssi_ratio',0.0),('VERY_WEAK_SIGNAL','weighted_centroid',0.0),
+  ('VERY_WEAK_SIGNAL','trilateration',0.0),('VERY_WEAK_SIGNAL','maximum_likelihood',0.0),('VERY_WEAK_SIGNAL','log_distance',0.0)
+) AS t(klass, algorithm, mult)),
+geo_w AS (SELECT * FROM (VALUES
+  ('EXCELLENT_GDOP','proximity',1.0),('EXCELLENT_GDOP','rssi_ratio',1.0),('EXCELLENT_GDOP','weighted_centroid',1.0),
+  ('EXCELLENT_GDOP','trilateration',1.3),('EXCELLENT_GDOP','maximum_likelihood',1.2),('EXCELLENT_GDOP','log_distance',1.0),
+  ('GOOD_GDOP','proximity',1.0),('GOOD_GDOP','rssi_ratio',1.0),('GOOD_GDOP','weighted_centroid',1.1),
+  ('GOOD_GDOP','trilateration',0.9),('GOOD_GDOP','maximum_likelihood',1.1),('GOOD_GDOP','log_distance',1.0),
+  ('FAIR_GDOP','proximity',1.0),('FAIR_GDOP','rssi_ratio',0.9),('FAIR_GDOP','weighted_centroid',1.2),
+  ('FAIR_GDOP','trilateration',0.6),('FAIR_GDOP','maximum_likelihood',0.9),('FAIR_GDOP','log_distance',0.8),
+  ('POOR_GDOP','proximity',1.0),('POOR_GDOP','rssi_ratio',0.8),('POOR_GDOP','weighted_centroid',1.3),
+  ('POOR_GDOP','trilateration',0.3),('POOR_GDOP','maximum_likelihood',0.7),('POOR_GDOP','log_distance',0.7),
+  ('COLLINEAR','proximity',1.0),('COLLINEAR','rssi_ratio',0.7),('COLLINEAR','weighted_centroid',1.4),
+  ('COLLINEAR','trilateration',0.0),('COLLINEAR','maximum_likelihood',0.5),('COLLINEAR','log_distance',0.6)
+) AS t(klass, algorithm, mult)),
+dist_w AS (SELECT * FROM (VALUES
+  ('UNIFORM_SIGNALS','proximity',1.0),('UNIFORM_SIGNALS','rssi_ratio',1.2),('UNIFORM_SIGNALS','weighted_centroid',1.0),
+  ('UNIFORM_SIGNALS','trilateration',1.1),('UNIFORM_SIGNALS','maximum_likelihood',0.9),('UNIFORM_SIGNALS','log_distance',1.1),
+  ('MIXED_SIGNALS','proximity',0.7),('MIXED_SIGNALS','rssi_ratio',0.9),('MIXED_SIGNALS','weighted_centroid',1.2),
+  ('MIXED_SIGNALS','trilateration',0.8),('MIXED_SIGNALS','maximum_likelihood',1.3),('MIXED_SIGNALS','log_distance',0.8),
+  ('SIGNAL_OUTLIERS','proximity',0.9),('SIGNAL_OUTLIERS','rssi_ratio',0.7),('SIGNAL_OUTLIERS','weighted_centroid',1.4),
+  ('SIGNAL_OUTLIERS','trilateration',0.5),('SIGNAL_OUTLIERS','maximum_likelihood',1.2),('SIGNAL_OUTLIERS','log_distance',0.8)
+) AS t(klass, algorithm, mult)),
+weighted AS (
+  SELECT c.user_id, b.algorithm,
+    b.mult * s.mult * g.mult * dw.mult AS weight,
+    c.signal_quality
+  FROM ctx c
+    JOIN base_w b ON b.klass = c.ap_count_class
+    JOIN sig_w s ON s.klass = c.signal_quality AND s.algorithm = b.algorithm
+    JOIN geo_w g ON g.klass = c.geometric_quality AND g.algorithm = b.algorithm
+    JOIN dist_w dw ON dw.klass = c.signal_distribution AND dw.algorithm = b.algorithm
+),
+ranked AS (
+  SELECT user_id, algorithm, weight,
+    MAX(weight) OVER (PARTITION BY user_id) AS max_w,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY weight DESC, algorithm) AS rn
+  FROM weighted
+  WHERE weight > 0.0 AND signal_quality <> 'VERY_WEAK_SIGNAL'
+),
+kept AS (
+  SELECT user_id, algorithm, weight, rn FROM ranked
+  WHERE (weight >= 0.4 AND rn <= CASE WHEN max_w > 0.8 THEN 2 ELSE 3 END)
+     OR rn = 1
+),
+weak AS (
+  SELECT user_id, 'proximity' AS algorithm,
+    GREATEST(0.5, 0.5) AS weight, CAST(1 AS BIGINT) AS rn
+  FROM ctx WHERE signal_quality = 'VERY_WEAK_SIGNAL'
+)
+SELECT user_id, algorithm, weight, CAST(rn AS BIGINT) AS rank
+FROM (SELECT * FROM kept UNION ALL SELECT * FROM weak) u
 """,
 )
 
@@ -755,6 +1187,194 @@ def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("confidence", 4).alias("confidence"),
         F.array_join("methods_used", ",").alias("methods_used"),
     )
+
+
+def _derived_measurements_df(spark: SparkSession, sf_dir: str, cap_by_ap: bool = False) -> DataFrame:
+    """DataFrame twin of ``measurements_cte`` with measurement-table column
+    names (bssid string key, epoch-millis timestamp), for the Python-tier
+    operators. ``cap_by_ap`` keeps 10 + (ap*7 % 120) rows per AP so the
+    maturity tiers all occur regardless of scale factor."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ap = (F.col("user_id") % 50).cast("long")
+    m = e.select(
+        ap.alias("_ap"),
+        F.concat(F.lit("ap-"), ap.cast("string")).alias("bssid"),
+        (40.0 + ap * 0.01 + ((F.col("event_id") % 21) - 10) * 0.0001).alias("latitude"),
+        (
+            -74.0
+            + ((F.col("user_id") * 7) % 50) * 0.01
+            + ((F.floor(F.col("event_id") / 21) % 21) - 10) * 0.0001
+        ).alias("longitude"),
+        F.lit(None).cast("double").alias("altitude"),
+        (-30 - (F.col("event_id") % 60)).cast("double").alias("rssi"),
+        (5.0 + F.col("value") * 5.0).alias("location_accuracy"),
+        F.when(F.col("event_type") == "click", "CONNECTED").otherwise("SCAN").alias("connection_status"),
+        F.when(F.col("event_type") == "click", 2.0).otherwise(1.0).alias("quality_weight"),
+        F.lit(2437).cast("int").alias("frequency"),
+        (F.col("ts") / 1000000).cast("long").alias("measurement_timestamp"),
+        F.col("event_id"),
+        F.lit(None).cast("boolean").alias("is_global_outlier"),
+        F.col("event_id").cast("string").alias("id"),
+    )
+    if cap_by_ap:
+        w = Window.partitionBy("bssid").orderBy("event_id")
+        m = (
+            m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 10 + (F.col("_ap") * 7) % 120)
+            .drop("_rn")
+        )
+    return m.drop("_ap")
+
+
+def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document through the raw-scan line codec
+    (base64(gzip(utf-8)), MessageTransformationService.java:64-99), decode it
+    back (DataDecodingService.java:47-108), and hash the result. Planted
+    garbage lines must decode to NULL and drop — the Optional.empty → skip
+    semantics. The oracle hashes the original text: identity round-trip."""
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.codec import (
+        decode_line_text,
+        encode_scan_line,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    encoded = docs.select("doc_id", encode_scan_line(F2.col("text")).alias("line"))
+    garbage = spark.createDataFrame(
+        [(-1, "!!!not-base64"), (-2, ""), (-3, "aGVsbG8=")],  # bad b64 / empty / not gzip
+        "doc_id long, line string",
+    )
+    decoded = (
+        encoded.unionByName(garbage)
+        .withColumn("_text", decode_line_text(F2.col("line")))
+        .filter(F2.col("_text").isNotNull())
+    )
+    return decoded.select("doc_id", F2.sha2(F2.col("_text"), 256).alias("roundtrip_sha"))
+
+
+register(
+    "codec_roundtrip",
+    "Raw-scan line codec: base64(gzip(utf-8)) encode -> decode -> sha256, "
+    "with planted malformed lines dropped NULL-safely; the DuckDB oracle "
+    "hashes the original text so the identity round-trip is value-checked "
+    "(MessageTransformationService.java:64-99; DataDecodingService.java:47-108; "
+    "sources/codec.py).",
+    sql=lambda d: """
+SELECT doc_id, sha256(text) AS roundtrip_sha FROM documents
+"""
+    if d == DUCK
+    else None,
+    spark_fn=_codec_roundtrip_fn,
+)
+
+
+def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maturity-tiered batch localization end-to-end (SURVEY §2.9/§3.3):
+    tier routing (WCL / applyInPandas MLE) over every sufficient BSSID in one
+    job. Iterative gradient ascent -> not SQL-expressible -> rows-only check.
+    """
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.operators.localization import localize_all
+
+    m = _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
+    out = localize_all(m)
+    return out.select(
+        "bssid",
+        "algorithm",
+        F2.round("latitude", 6).alias("latitude"),
+        F2.round("longitude", 6).alias("longitude"),
+        F2.round("horizontal_accuracy", 2).alias("horizontal_accuracy"),
+        F2.round("confidence", 4).alias("confidence"),
+        "measurement_count",
+    )
+
+
+register(
+    "batch_localization_tiered",
+    "Batch AP localization with maturity-tier routing: WCL tier as pure SQL "
+    "aggregate, MLE tier as applyInPandas gradient ascent with tier-specific "
+    "path-loss/sigma per row class, per-AP skew cap "
+    "(FRAMEWORK:121-169; operators/localization.py; implements the stubbed "
+    "wifi-data-pipeline-computation algorithm layer).",
+    spark_fn=_batch_localization_fn,
+)
+
+
+def _relocation_dbscan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage relocation detection: cheap SQL time-split candidates, then
+    per-AP NumPy DBSCAN confirmation (FRAMEWORK:71-87). Planted 0.01-degree
+    moves on every 10th AP; Python clustering -> rows-only check."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.operators.relocation import (
+        relocation_by_dbscan,
+        relocation_by_time_split,
+    )
+
+    m = _derived_measurements_df(spark, sf_dir)
+    mid = m.agg(F2.percentile_approx("measurement_timestamp", 0.5, 10000).alias("mid"))
+    planted = m.crossJoin(F2.broadcast(mid)).withColumn(
+        "latitude",
+        F2.col("latitude")
+        + F2.when(
+            (F2.regexp_extract("bssid", r"ap-(\d+)", 1).cast("long") % 10 == 0)
+            & (F2.col("measurement_timestamp") > F2.col("mid")),
+            0.01,
+        ).otherwise(0.0),
+    )
+    # cap rows per AP so the O(n^2) neighbor matrix stays bounded at any SF
+    w = Window.partitionBy("bssid").orderBy("event_id")
+    capped = planted.withColumn("_rn", F2.row_number().over(w)).filter(F2.col("_rn") <= 300)
+    candidates = relocation_by_time_split(capped).filter("relocated").select("bssid")
+    out = relocation_by_dbscan(capped, candidates=candidates)
+    return out.select("bssid", "n_clusters", "relocated")
+
+
+register(
+    "relocation_dbscan",
+    "Relocation confirmation by per-AP DBSCAN (NumPy, applyInPandas): >=2 "
+    "spatial clusters disjoint in time => the AP moved; candidates pre-"
+    "filtered by the SQL time-split detector so the Python tier sees only "
+    "suspects (FRAMEWORK:71-87; operators/relocation.py).",
+    spark_fn=_relocation_dbscan_fn,
+)
+
+
+def _lof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor per AP (FRAMEWORK:113-115): kNN density ratio in
+    NumPy via applyInPandas; returns per-AP outlier counts (LOF > 1.5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.operators.relocation import local_outlier_factor
+
+    m = _derived_measurements_df(spark, sf_dir)
+    w = Window.partitionBy("bssid").orderBy("event_id")
+    capped = m.withColumn("_rn", F2.row_number().over(w)).filter(F2.col("_rn") <= 400)
+    scores = local_outlier_factor(capped, k=10)
+    return scores.groupBy("bssid").agg(
+        F2.count("*").alias("n_scored"),
+        F2.sum((F2.col("lof") > 1.5).cast("long")).alias("n_local_outliers"),
+        F2.round(F2.max("lof"), 4).alias("max_lof"),
+    )
+
+
+register(
+    "lof_outliers",
+    "Density-based Local Outlier Factor per AP: NumPy kNN inside "
+    "applyInPandas, per-AP row cap against skew; refinement tier after the "
+    "global MAD pass (FRAMEWORK:113-115; operators/relocation.py).",
+    spark_fn=_lof_fn,
+)
 
 
 register(

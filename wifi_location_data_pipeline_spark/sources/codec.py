@@ -53,6 +53,20 @@ def encode_scan_line(json_col: Column) -> Column:
     return F.base64(_gzip_compress(F.encode(json_col, "UTF-8")))
 
 
+def decode_line_text(line_col: Column) -> Column:
+    """base64(gzip(utf-8)) line → decoded text; NULL on any malformed input
+    (the codec half of ``decode_scan_lines``, without the JSON parse).
+
+    Empty lines are NULL, not "": gzip.decompress(b"") returns b"" on
+    Python 3.11+ (zero gzip members) instead of raising, which would leak
+    empty records past the drop-invalid filter."""
+    trimmed = F.trim(line_col)
+    return F.when(
+        trimmed != "",
+        _gzip_decompress_utf8(F.try_to_binary(trimmed, F.lit("base64"))),
+    )
+
+
 def decode_scan_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """NDJSON-of-base64-gzip lines → typed scan-document rows.
 
