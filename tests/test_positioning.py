@@ -154,6 +154,35 @@ def test_bad_status_ap_unusable(results):
     assert "bad_status" not in results
 
 
+def test_onepass_matches_multipass(spark, ap_df):
+    """The one-shuffle array-native plan must agree with the phase-by-phase
+    row-wise reference plan on every fixture request."""
+    from wifi_location_data_pipeline_spark.positioning.pipeline import (
+        position_requests,
+        position_requests_multipass,
+    )
+
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        req("p1", [scan(macs[0], -55.0, freqs[0])]),
+        req("p2", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -65.0, freqs[1])]),
+        req("p3", [scan(m, -60.0 - 4 * i, f) for i, (m, f) in enumerate(zip(macs[:3], freqs[:3]))]),
+        req("p5", [scan(m, -58.0 - 3 * i, f) for i, (m, f) in enumerate(zip(macs, freqs))]),
+        req("pw", [scan(m, -97.0) for m, *_ in APS[:4]]),
+        req("pc", [scan(f"00:bb:00:00:00:0{k}", -58.0 - k) for k in (1, 2, 3)]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    one = {r["request_id"]: r for r in position_requests(rdf, ap_df).collect()}
+    multi = {r["request_id"]: r for r in position_requests_multipass(rdf, ap_df).collect()}
+    assert set(one) == set(multi) and one
+    for rid, a in one.items():
+        b = multi[rid]
+        assert sorted(a["methods_used"]) == sorted(b["methods_used"]), rid
+        for c in ("latitude", "longitude", "altitude", "accuracy", "confidence"):
+            assert abs(a[c] - b[c]) < 1e-6, (rid, c, a[c], b[c])
+
+
 def test_numeric_packed_matches_grouped(spark, ap_df):
     """The packed mapInPandas numeric tier must agree with the per-group
     applyInPandas reference shape (same math, different batching)."""

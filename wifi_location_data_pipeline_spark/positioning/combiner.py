@@ -65,7 +65,58 @@ def combine_positions(algorithm_positions: DataFrame) -> DataFrame:
         ).alias("top"),
         F.collect_set("algorithm").alias("methods_used"),
     )
+    return _finish(agg)
 
+
+def combine_packed(df: DataFrame, pos_col: str) -> DataFrame:
+    """Array-input twin of ``combine_positions``: one row per request with an
+    array of (algorithm, weight, latitude, longitude, altitude, accuracy,
+    confidence) structs — zero-shuffle (projection-only) combining for the
+    one-pass pipeline."""
+    pos = F.col(pos_col)
+    g = lambda name: (lambda p: p.getField(name))  # noqa: E731
+    wsum = lambda name: F.aggregate(  # noqa: E731
+        pos, F.lit(0.0), lambda a, p: a + p.getField(name) * p.getField("weight")
+    )
+    top = F.array_max(
+        F.transform(
+            pos,
+            lambda p: F.struct(
+                p.getField("weight").alias("_w"),
+                p.getField("algorithm").alias("_a"),
+                p.getField("latitude").alias("latitude"),
+                p.getField("longitude").alias("longitude"),
+                p.getField("altitude").alias("altitude"),
+                p.getField("accuracy").alias("accuracy"),
+                p.getField("confidence").alias("confidence"),
+            ),
+        )
+    )
+    agg = df.select(
+        "request_id",
+        F.size(pos).cast("long").alias("n"),
+        F.aggregate(pos, F.lit(0.0), lambda a, p: a + p.getField("weight")).alias("total_w"),
+        wsum("latitude").alias("swlat"),
+        wsum("longitude").alias("swlon"),
+        wsum("altitude").alias("swalt"),
+        wsum("confidence").alias("swconf"),
+        F.array_sort(F.transform(pos, g("accuracy"))).alias("accs"),
+        F.transform(
+            pos,
+            lambda p: F.struct(
+                p.getField("latitude").alias("latitude"),
+                p.getField("longitude").alias("longitude"),
+            ),
+        ).alias("pts"),
+        top.dropFields("_w", "_a").alias("top"),
+        F.array_distinct(F.transform(pos, g("algorithm"))).alias("methods_used"),
+    )
+    return _finish(agg)
+
+
+def _finish(agg: DataFrame) -> DataFrame:
+    """Shared combiner core over the aggregate columns
+    (n, total_w, swlat/swlon/swalt/swconf, accs, pts, top, methods_used)."""
     # weighted means (the reference normalizes by total weight)
     mean_lat = F.col("swlat") / F.col("total_w")
     mean_lon = F.col("swlon") / F.col("total_w")

@@ -239,6 +239,140 @@ def _mle_group(pdf: pd.DataFrame) -> list | None:
     return [out_lat, out_lon, altitude, float(accuracy), float(conf)]
 
 
+def _mle_batch(groups: list[dict]) -> list[list | None]:
+    """Lockstep-vectorized twin of ``_mle_group`` over many requests.
+
+    The sequential loop costs ~100 iterations × ~40 tiny-NumPy ops per
+    request; across thousands of requests that dwarfs everything else in the
+    ensemble. Here every iteration updates ALL requests at once on padded
+    (R×K) tensors — per-request learning rates, best-so-far states, and
+    convergence freezing reproduce the sequential semantics exactly
+    (element-wise ops ⇒ bit-identical math per request).
+
+    Each group dict: rssi, freq (MHz), lat, lon, conf, alt (np arrays).
+    Returns one result list (or None when <4 APs) per group, same order.
+    """
+    idx = [i for i, g in enumerate(groups) if len(g["rssi"]) >= 4]
+    out: list[list | None] = [None] * len(groups)
+    if not idx:
+        return out
+    R = len(idx)
+    K = max(len(groups[i]["rssi"]) for i in idx)
+
+    rssi = np.zeros((R, K))
+    freq_hz = np.full((R, K), 2437e6)
+    conf = np.zeros((R, K))
+    ax = np.zeros((R, K))
+    ay = np.zeros((R, K))
+    sigma = np.ones((R, K))
+    lat0 = np.zeros(R)
+    lon0 = np.zeros(R)
+    coslat = np.ones(R)
+    px = np.zeros(R)
+    py = np.zeros(R)
+
+    for r, i in enumerate(idx):
+        g = groups[i]
+        k = len(g["rssi"])
+        rs = g["rssi"]
+        rssi[r, :k] = rs
+        freq_hz[r, :k] = np.where(np.isnan(g["freq"]), 2437.0, g["freq"]) * 1e6
+        conf[r, :k] = np.where(np.isnan(g["conf"]), 0.5, g["conf"])
+        sigma[r, :k] = np.where(rs >= -60.0, 2.5, np.where(rs >= -80.0, 4.0, 6.0))
+        la, lo = g["lat"], g["lon"]
+        lat0[r], lon0[r] = float(np.mean(la)), float(np.mean(lo))
+        coslat[r] = math.cos(math.radians(lat0[r]))
+        ax[r, :k] = (lo - lon0[r]) * METERS_PER_DEG * coslat[r]
+        ay[r, :k] = (la - lat0[r]) * METERS_PER_DEG
+        # padded entries sit at the local origin with conf 0 — they contribute
+        # exactly 0 to both the likelihood and the gradient
+        # init: weighted centroid in degrees, then to local meters — the same
+        # operation order as the sequential _mle_group, so results match
+        clat, clon = _weighted_centroid(la, lo, rs)
+        px[r] = (clon - lon0[r]) * METERS_PER_DEG * coslat[r]
+        py[r] = (clat - lat0[r]) * METERS_PER_DEG
+
+    wavelength = SPEED_OF_LIGHT / freq_hz
+    ref_rssi = -20.0 * np.log10(4.0 * math.pi / wavelength)
+    kgrad = 10.0 * 3.0 / math.log(10.0)
+
+    def ll_of(x, y):
+        d = np.hypot(ax - x[:, None], ay - y[:, None])
+        err = rssi - (ref_rssi - 30.0 * np.log10(np.maximum(d, 1.0)))
+        return np.sum(-(err**2) / (2.0 * sigma**2) * conf, axis=1)
+
+    cur_x, cur_y = px.copy(), py.copy()
+    best_x, best_y = px.copy(), py.copy()
+    best_ll = ll_of(px, py)
+    lr = np.ones(R)
+    active = np.ones(R, dtype=bool)
+
+    for _ in range(100):  # MAX_OPTIMIZATION_ITERATIONS
+        if not active.any():
+            break
+        d = np.maximum(np.hypot(ax - cur_x[:, None], ay - cur_y[:, None]), 1.0)
+        err = rssi - (ref_rssi - 30.0 * np.log10(d))
+        kk = err / (sigma**2) * conf * kgrad / (d**2)
+        gx = np.sum(kk * (ax - cur_x[:, None]), axis=1)
+        gy = np.sum(kk * (ay - cur_y[:, None]), axis=1)
+        gn = np.hypot(gx, gy)
+        active &= gn >= 1e-12
+        if not active.any():
+            break
+        safe_gn = np.where(gn > 0, gn, 1.0)
+        step_x = cur_x + lr * gx / safe_gn
+        step_y = cur_y + lr * gy / safe_gn
+        ll = ll_of(step_x, step_y)
+        improved = active & (ll > best_ll)
+        best_ll = np.where(improved, ll, best_ll)
+        best_x = np.where(improved, step_x, best_x)
+        best_y = np.where(improved, step_y, best_y)
+        cur_x = np.where(improved, step_x, cur_x)
+        cur_y = np.where(improved, step_y, cur_y)
+        lr = np.where(active, np.where(improved, lr * 1.2, lr * 0.5), lr)
+        active &= lr >= 0.1  # CONVERGENCE_THRESHOLD_METERS
+
+    for r, i in enumerate(idx):
+        g = groups[i]
+        k = len(g["rssi"])
+        x, y = float(best_x[r]), float(best_y[r])
+        gdop = _gdop(ax[r, :k], ay[r, :k], x, y)
+        gf = _gdop_factor(gdop)
+        avg_s = float(np.mean(g["rssi"]))
+        out_lat = lat0[r] + y / METERS_PER_DEG
+        out_lon = lon0[r] + x / (METERS_PER_DEG * coslat[r])
+        if avg_s >= -60.0:
+            accuracy = max(1.0, min(5.0, 3.0 * (1.0 + (gf - 1.0) * 0.5)))
+        else:
+            accuracy = 6.0 + abs(avg_s - (-70.0)) * 0.2
+            accuracy = max(1.0, min(25.0, accuracy * gf))
+        signal_factor = min(1.0, max(0.0, (avg_s + 100.0) / 40.0))
+        cc = 0.6 + (0.95 - 0.6) * signal_factor / max(1.0, gf)
+        if avg_s >= -60.0:
+            cc = max(0.8, cc)
+        cc = max(0.6, min(0.95, cc))
+        alts = g["alt"][~np.isnan(g["alt"])]
+        altitude = float(alts.mean()) if len(alts) else 0.0
+        out[i] = [out_lat, out_lon, altitude, float(accuracy), float(cc)]
+    return out
+
+
+def _trilat_arrays(g: dict) -> list | None:
+    """NumPy-arrays twin of ``_trilaterate_group`` (no pandas construction)."""
+    if len(g["rssi"]) < 3:
+        return None
+    pdf = pd.DataFrame(
+        {
+            "signal_strength": g["rssi"],
+            "frequency": g["freq"],
+            "ap_lat": g["lat"],
+            "ap_lon": g["lon"],
+            "ap_alt": g["alt"],
+        }
+    )
+    return _trilaterate_group(pdf)
+
+
 def _run_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map body: run whichever numeric algorithms this request selected."""
     rid = pdf["request_id"].iloc[0]
@@ -278,37 +412,50 @@ _PACK_COLS = (
 )
 
 
+def _group_arrays(obs_dicts) -> dict:
+    """Per-observation dict list → the group-arrays form the numeric
+    algorithms consume (keys: rssi, freq, lat, lon, conf, alt)."""
+    to = lambda key: np.array([o[key] for o in obs_dicts], dtype=float)  # noqa: E731
+    return {
+        "rssi": to("signal_strength"),
+        "freq": to("frequency"),
+        "lat": to("ap_lat"),
+        "lon": to("ap_lon"),
+        "conf": to("ap_confidence"),
+        "alt": to("ap_alt"),
+    }
+
+
 def _run_numeric_packed(batches):
     """mapInPandas body: each input row is one whole request (arrays packed
     by the upstream collect_list), so a single Python call processes
     thousands of requests at pure-NumPy speed — no per-group Arrow round
-    trip, no per-group pandas construction."""
+    trip; the MLE gradient ascent runs lockstep-batched across requests."""
     for pdf in batches:
-        rows = []
+        reqs = []
         for rid, algs, packed in zip(pdf["request_id"], pdf["algorithms"], pdf["obs"]):
-            # packed: list of per-observation structs (dicts after Arrow)
-            cols = {c: [] for c in _PACK_COLS}
-            macs = []
-            seen = set()
             # collect_list order is nondeterministic; sort by mac so the
             # trilateration reference-AP choice (row 0) is reproducible.
             # "keep-first" dedup per AP mirrors the reference's createAPMap.
+            seen = set()
+            ded = []
             for o in sorted(packed, key=lambda o: o["mac_addr"]):
                 if o["mac_addr"] in seen:
                     continue
                 seen.add(o["mac_addr"])
-                macs.append(o["mac_addr"])
-                for c in _PACK_COLS:
-                    cols[c].append(o[c])
-            g = pd.DataFrame(cols)
-            g["mac_addr"] = macs
-            wanted = set(algs)
+                ded.append(o)
+            reqs.append((rid, set(algs), _group_arrays(ded)))
+
+        rows = []
+        mle_groups = [g for _, wanted, g in reqs if "maximum_likelihood" in wanted]
+        mle_results = iter(_mle_batch(mle_groups))
+        for rid, wanted, g in reqs:
             if "trilateration" in wanted:
-                r = _trilaterate_group(g)
+                r = _trilat_arrays(g)
                 if r is not None:
                     rows.append([rid, "trilateration", *r])
             if "maximum_likelihood" in wanted:
-                r = _mle_group(g)
+                r = next(mle_results)
                 if r is not None:
                     rows.append([rid, "maximum_likelihood", *r])
         yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])

@@ -41,11 +41,24 @@ NUMERIC = ("trilateration", "maximum_likelihood")
 
 
 def position_requests(requests: DataFrame, access_points: DataFrame) -> DataFrame:
-    """Nested request rows + AP dimension → one combined position per request."""
-    exploded = explode_requests(requests)
-    n_scanned = exploded.groupBy("request_id").agg(F.count("*").alias("n_scanned"))
+    """Nested request rows + AP dimension → one combined position per request.
+
+    Delegates to the one-pass array-native plan (positioning/onepass.py):
+    one shuffle, one optional Python stage. ``position_requests_multipass``
+    keeps the phase-by-phase row-wise plan as the auditable reference shape.
+    """
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_requests_onepass,
+    )
+
+    return position_requests_onepass(requests, access_points)
+
+
+def position_requests_multipass(requests: DataFrame, access_points: DataFrame) -> DataFrame:
+    """Reference multi-pass plan: each phase its own aggregation/join."""
+    exploded = explode_requests(requests)  # carries n_scanned from array size
     gated = physics_gate(exploded)
-    obs = join_known_aps(gated, access_points).join(n_scanned, "request_id")
+    obs = join_known_aps(gated, access_points)
     return position_observations(obs)
 
 
@@ -60,7 +73,10 @@ def position_observations(obs: DataFrame) -> DataFrame:
     inner join on (request_id, algorithm) — cheaper than semi-join-
     restricting the full observation set once per algorithm.
     """
-    obs = obs.cache()
+    # ONE shuffle on request_id up front: every downstream groupBy/window/join
+    # clusters on request_id, so Catalyst reuses this partitioning and plans
+    # them exchange-free (the stage-count win dominates at every scale)
+    obs = obs.repartition("request_id").cache()
     context = build_context(obs)
     selection = select_algorithms(context).cache()
 

@@ -24,9 +24,13 @@ def explode_requests(requests: DataFrame) -> DataFrame:
     s = F.col("s")
     return requests.select(
         F.col("requestId").alias("request_id"),
+        # request-level scan count from the nested array BEFORE exploding —
+        # zero-shuffle replacement for a groupBy+join-back
+        F.size("wifiScanResults").alias("n_scanned"),
         F.explode("wifiScanResults").alias("s"),
     ).select(
         "request_id",
+        "n_scanned",
         normalize_bssid(s.getField("macAddress")).alias("mac_addr"),
         s.getField("signalStrength").alias("signal_strength"),
         s.getField("frequency").alias("frequency"),

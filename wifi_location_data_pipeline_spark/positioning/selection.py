@@ -13,7 +13,6 @@ table out of nested CASE pyramids, auditable, and still shuffle-free.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -64,7 +63,9 @@ DISTRIBUTION_MULT = {
 
 
 def weight_matrix_df(spark: SparkSession) -> DataFrame:
-    """The flattened (factor_kind, factor_class, algorithm, multiplier) table."""
+    """The flattened (factor_kind, factor_class, algorithm, multiplier) table —
+    the auditable form of the matrix (tests and docs); ``select_algorithms``
+    compiles the same dicts into CASE expressions instead of joining this."""
     rows = []
     for kind, table in (
         ("base", BASE_WEIGHTS),
@@ -80,6 +81,27 @@ def weight_matrix_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _multiplier_expr(table: dict[str, tuple[float, ...]], class_col: str):
+    """Compile one factor table to a nested CASE expression.
+
+    A constant decision table evaluated per row belongs in the projection, not
+    in a join: the four broadcast hash joins this replaces each cost a
+    broadcast exchange + job in every run of the plan, while the CASE chain is
+    folded into the same whole-stage-codegen'd select."""
+    expr = None
+    for klass, mults in table.items():
+        inner = None
+        for algo, m in zip(ALGORITHMS, mults):
+            branch = (F.col("algorithm") == algo, F.lit(float(m)))
+            inner = F.when(*branch) if inner is None else inner.when(*branch)
+        expr = (
+            F.when(F.col(class_col) == klass, inner)
+            if expr is None
+            else expr.when(F.col(class_col) == klass, inner)
+        )
+    return expr
+
+
 def select_algorithms(context: DataFrame) -> DataFrame:
     """Per-request eligible algorithms with final weights.
 
@@ -89,39 +111,17 @@ def select_algorithms(context: DataFrame) -> DataFrame:
     3. weight ≥ 0.4 threshold,
     4. adaptive top-K (top-2 if max > 0.8 else top-3).
     """
-    spark = context.sparkSession
-    matrix = weight_matrix_df(spark)
-
-    # cross the context with the six algorithms, then look up each factor
-    algos = spark.createDataFrame([(a,) for a in ALGORITHMS], "algorithm string")
-    crossed = context.crossJoin(F.broadcast(algos))
-
-    def lookup(kind: str, class_col: str, alias: str) -> DataFrame:
-        m = (
-            matrix.filter(F.col("factor_kind") == kind)
-            .select(
-                F.col("factor_class").alias(f"_{alias}_class"),
-                F.col("algorithm").alias(f"_{alias}_algo"),
-                F.col("multiplier").alias(alias),
-            )
-        )
-        nonlocal crossed
-        crossed = crossed.join(
-            F.broadcast(m),
-            (F.col(class_col) == F.col(f"_{alias}_class"))
-            & (F.col("algorithm") == F.col(f"_{alias}_algo")),
-            "left",
-        ).drop(f"_{alias}_class", f"_{alias}_algo")
-        return crossed
-
-    lookup("base", "ap_count_class", "w_base")
-    lookup("signal", "signal_quality", "w_signal")
-    lookup("geometry", "geometric_quality", "w_geometry")
-    lookup("distribution", "signal_distribution", "w_distribution")
-
+    # cross with the six algorithms via a literal array explode (no join),
+    # then every factor multiplier is a CASE lookup in the same projection
+    crossed = context.withColumn(
+        "algorithm", F.explode(F.array(*[F.lit(a) for a in ALGORITHMS]))
+    )
     weighted = crossed.withColumn(
         "weight",
-        F.col("w_base") * F.col("w_signal") * F.col("w_geometry") * F.col("w_distribution"),
+        _multiplier_expr(BASE_WEIGHTS, "ap_count_class")
+        * _multiplier_expr(SIGNAL_MULT, "signal_quality")
+        * _multiplier_expr(GEOMETRY_MULT, "geometric_quality")
+        * _multiplier_expr(DISTRIBUTION_MULT, "signal_distribution"),
     )
 
     # hard constraint short-circuit: very-weak scenarios select proximity ONLY,
