@@ -56,6 +56,14 @@ def hex_to_bigint(d: str, hex_expr: str) -> str:
     return f"CAST(concat('0x', {hex_expr}) AS BIGINT)"
 
 
+def bigint_div(d: str, a: str, b: int) -> str:
+    """Exact integer division on BIGINTs (no double round-trip — doubles lose
+    bits past 2^53, and hex-derived values span the full 60-bit range)."""
+    if d == SPARK:
+        return f"({a} DIV {b})"
+    return f"({a} // {b})"
+
+
 def int_floor_div(d: str, a: str, b: int) -> str:
     """Integer floor-division for non-negative operands, portable."""
     return f"CAST(FLOOR({a} / {b}.0) AS BIGINT)"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from wifi_location_data_pipeline_spark.plans.dialect import (
     array_double,
+    bigint_div,
     dot,
     hex_to_bigint,
     regexp_count,
@@ -213,29 +214,38 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
 """,
 )
 
-register(
-    "dedup_minhash_lsh",
-    "MinHash+LSH near-dup: 12 md5-seeded minhashes, 4 bands x 3 rows, "
-    "candidates join on band signature, exact-Jaccard verification >= 0.8. "
-    "The scale path: candidate count is O(true near-dups), not O(n^2).",
-    sql=lambda d: f"""
+def _minhash_sql(d: str) -> str:
+    """MinHash via one md5 + 12 affine universal hashes, ONE aggregation pass.
+
+    h_j(x) = (a_j·(base % P) + b_j) mod P over a single md5-derived 60-bit
+    base — the classic universal-hash family. No seeds cross join (12× row
+    expansion) and no 12 md5 calls per shingle; the 12 MIN aggregates come
+    out of one GROUP BY. Banding: 4 bands × 3 rows on numeric signatures.
+    """
+    P = 1_000_000_007
+    coeffs = [(7 + 10 * j, 13 + 997 * j) for j in range(12)]
+    mins = ",\n    ".join(
+        f"MIN(((base % {P}) * {a} + {b}) % {P}) AS m{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {k} AS band, concat(CAST(m{3 * k} AS STRING), ':', "
+        f"CAST(m{3 * k + 1} AS STRING), ':', CAST(m{3 * k + 2} AS STRING)) AS band_sig FROM mh"
+        for k in range(4)
+    )
+    return f"""
 WITH {shingles_cte(d)},
-seeds AS (
-  SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)) AS t(seed)
+based AS (
+  SELECT doc_id, {hex_to_bigint(d, "substr(md5(shingle), 1, 15)")} AS base
+  FROM shingles
 ),
 mh AS (
-  SELECT s.doc_id, sd.seed,
-    MIN(md5(concat(CAST(sd.seed AS STRING), ':', s.shingle))) AS minhash
-  FROM shingles s CROSS JOIN seeds sd
-  GROUP BY s.doc_id, sd.seed
+  SELECT doc_id,
+    {mins}
+  FROM based GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(FLOOR(seed / 3.0) AS BIGINT) AS band,
-    concat(
-      MAX(CASE WHEN seed % 3 = 0 THEN minhash END), ':',
-      MAX(CASE WHEN seed % 3 = 1 THEN minhash END), ':',
-      MAX(CASE WHEN seed % 3 = 2 THEN minhash END)) AS band_sig
-  FROM mh GROUP BY doc_id, CAST(FLOOR(seed / 3.0) AS BIGINT)
+  {band_rows}
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -256,22 +266,39 @@ FROM verified v
   JOIN sizes za ON za.doc_id = v.doc_a
   JOIN sizes zb ON zb.doc_id = v.doc_b
 WHERE CAST(v.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - v.n_common) >= 0.8
-""",
+"""
+
+
+register(
+    "dedup_minhash_lsh",
+    "MinHash+LSH near-dup: 12 universal-hash minhashes from one md5 base, "
+    "4 bands x 3 rows, candidates join on band signature, exact-Jaccard "
+    "verification >= 0.8. The scale path: candidate count is O(true "
+    "near-dups), not O(n^2); signatures come from ONE aggregation pass.",
+    sql=_minhash_sql,
 )
 
 def _simhash_sql(d: str) -> str:
     """32-bit SimHash in ONE aggregation pass.
 
     Bit b's vote is an aggregate column (no shingle × 32-bits row explosion —
-    at sf0.1 that expansion alone was 14M rows), the 4 pigeonhole blocks are
-    arithmetic over the bit columns, and hamming distance is a 32-term
-    expression evaluated only on blocked candidate pairs.
+    at sf0.1 that expansion alone was 14M rows). The md5 is parsed ONCE into
+    four 32-bit integer chunks; each bit is then the parity of one hex digit
+    extracted with integer div/mod (32 string-parse calls per row → 4). The
+    4 pigeonhole blocks are arithmetic over the bit columns, and hamming
+    distance is a 32-term expression evaluated only on blocked candidates.
     """
-    bit = lambda b: (  # noqa: E731
-        f"CASE WHEN SUM(CAST({hex_to_bigint(d, f'substr(h, {b}, 1)')} % 2 AS BIGINT) * 2 - 1) >= 0"
-        f" THEN 1 ELSE 0 END"
-    )
+
+    def bit(b: int) -> str:
+        chunk = f"c{(b - 1) // 8}"
+        shift = 16 ** (7 - (b - 1) % 8)
+        digit = f"({bigint_div(d, chunk, shift)} % 16)"
+        return f"CASE WHEN SUM(({digit} % 2) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
+
     sbits = ",\n    ".join(f"{bit(b)} AS s{b}" for b in range(1, 33))
+    chunks = ",\n    ".join(
+        f"{hex_to_bigint(d, f'substr(h, {1 + 8 * c}, 8)')} AS c{c}" for c in range(4)
+    )
     blk = lambda lo: " + ".join(  # noqa: E731
         f"s{b} * {2 ** (b - lo)}" for b in range(lo, lo + 8)
     )
@@ -279,10 +306,15 @@ def _simhash_sql(d: str) -> str:
     return f"""
 WITH {shingles_cte(d)},
 hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
+chunked AS (
+  SELECT doc_id,
+    {chunks}
+  FROM hashed
+),
 sigs AS (
   SELECT doc_id,
     {sbits}
-  FROM hashed GROUP BY doc_id
+  FROM chunked GROUP BY doc_id
 ),
 blocked AS (
   SELECT doc_id,
