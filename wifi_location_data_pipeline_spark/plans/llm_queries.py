@@ -340,17 +340,59 @@ register(
     sql=_simhash_sql,
 )
 
+def _embedding_cosine_fn(spark, sf_dir):
+    """Blocked brute-force cosine pairs via broadcast + NumPy GEMM.
+
+    The SQL formulation pays an interpreted array-fold dot product per pair —
+    at n² pairs that dominates. The scale pattern instead: broadcast the
+    (normalized) corpus matrix, stream row blocks through mapInPandas, and
+    let BLAS compute block × corpusᵀ. At 100 TB the broadcast side becomes
+    the IVF/LSH-bucketed candidate set (ann_lsh_bucketed); the blocked-GEMM
+    kernel is identical.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # corpus matrix fits comfortably (n × 64 floats)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block_pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        order = np.argsort(b_ids)
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(np.int64)
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (q @ b_mat.T) / (np.sqrt((q * q).sum(axis=1))[:, None] * b_norms[None, :])
+            out_a, out_b, out_s = [], [], []
+            for i, qa in enumerate(q_ids):
+                mask = (b_ids > qa) & (sims[i] >= 0.45)
+                out_a.extend([qa] * int(mask.sum()))
+                out_b.extend(b_ids[mask])
+                out_s.extend(sims[i][mask])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
+
+    res = emb.repartition(32).mapInPandas(
+        block_pairs, "vec_a long, vec_b long, cos_sim double"
+    )
+    return res.select("vec_a", "vec_b", F2.round("cos_sim", 4).alias("cos_sim"))
+
+
 register(
     "dedup_embedding_cosine",
-    "Embedding-cosine near-dup pairs over the embeddings table: exact cosine "
-    ">= 0.45 (brute-force verify tier; LSH buckets are the recall tier). "
-    "Norms are precomputed once per vector so each pair costs ONE dot "
-    "product, not three — 3x less work on the O(n^2) hot loop.",
+    "Embedding-cosine near-dup pairs: exact cosine >= 0.45 (brute-force "
+    "verify tier; LSH buckets are the recall tier). Spark side runs blocked "
+    "NumPy GEMM against a broadcast normalized corpus (mapInPandas); the "
+    "DuckDB oracle verifies values via per-pair dot products.",
     sql=lambda d: f"""
 WITH v AS (
-  -- REPARTITION: the corpus arrives as ONE parquet split; without it the
-  -- O(n^2) pair loop below runs on a single task (DuckDB ignores the hint)
-  SELECT /*+ REPARTITION(64) */ vec_id, {array_double(d, 'embedding')} AS e FROM embeddings
+  SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings
 ),
 n AS (SELECT vec_id, e, sqrt({dot(d, 'e', 'e')}) AS nrm FROM v)
 SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
@@ -359,7 +401,10 @@ SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
   FROM n a JOIN n b ON a.vec_id < b.vec_id
 ) pairs
 WHERE cos_sim >= 0.45
-""",
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_embedding_cosine_fn,
 )
 
 # ---------------------------------------------------------------------------
