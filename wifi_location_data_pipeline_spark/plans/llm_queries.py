@@ -573,6 +573,57 @@ FROM idx
 
 
 register(
+    "ann_ivf_probe",
+    "IVF-style ANN probe: coarse centroids per label partition, each query "
+    "routed to its nearest centroid (cosine argmax), exact top-3 re-rank "
+    "ONLY within that inverted list — the candidate set shrinks by the "
+    "partition fan-out instead of scanning the corpus.",
+    sql=lambda d: f"""
+WITH elems AS ({_vec_elems(d)}),
+labeled AS (
+  SELECT e.vec_id, em.label, e.dim, e.x
+  FROM elems e JOIN embeddings em ON em.vec_id = e.vec_id
+),
+cent AS (
+  SELECT label, dim, AVG(x) AS cx FROM labeled GROUP BY label, dim
+),
+cent_norm AS (SELECT label, sqrt(SUM(cx * cx)) AS norm_c FROM cent GROUP BY label),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+q_elems AS (
+  SELECT e.vec_id, e.dim, e.x FROM elems e WHERE e.vec_id < 8
+),
+q_assign AS (
+  SELECT vec_id, label FROM (
+    SELECT qe.vec_id, c.label,
+      ROW_NUMBER() OVER (
+        PARTITION BY qe.vec_id
+        ORDER BY SUM(qe.x * c.cx) / MIN(cn.norm_c) DESC, c.label
+      ) AS rn
+    FROM q_elems qe
+      JOIN cent c ON c.dim = qe.dim
+      JOIN cent_norm cn ON cn.label = c.label
+    GROUP BY qe.vec_id, c.label
+  ) t WHERE rn = 1
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, c.vec_id AS neighbor_id, qa.label,
+    {cosine(d, 'q.embedding', 'c.embedding')} AS cos_sim
+  FROM q_assign qa
+    JOIN q ON q.vec_id = qa.vec_id
+    JOIN embeddings c ON c.label = qa.label AND c.vec_id <> qa.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label AS probed_list,
+  ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+
+register(
     "embedding_label_centroids",
     "IVF-style coarse structure: per-label centroid vectors + intra-cluster "
     "cohesion (mean member->centroid cosine), the partition-assignment half "
