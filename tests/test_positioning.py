@@ -195,7 +195,9 @@ def test_numeric_packed_matches_grouped(spark, ap_df):
     from wifi_location_data_pipeline_spark.positioning.prepare import prepare_observations
     from wifi_location_data_pipeline_spark.schemas import POSITIONING_REQUEST_SCHEMA
 
-    macs = [r["mac_addr"] for r in ap_df.select("mac_addr").collect()][:6]
+    macs = [r["mac_addr"] for r in ap_df.select("mac_addr").collect()][:8]
+    # group sizes 2..8: exercises the <3-AP trilateration and <4-AP MLE
+    # bail-outs and the padded-tensor batching across ragged group sizes
     reqs = [
         {
             "requestId": f"r{k}",
@@ -203,17 +205,17 @@ def test_numeric_packed_matches_grouped(spark, ap_df):
             "application": "t",
             "calculationDetail": False,
             "wifiScanResults": [
-                {"macAddress": m, "signalStrength": -60.0 - 3 * i - k, "frequency": 2437,
+                {"macAddress": m, "signalStrength": -55.0 - 4 * i - 2 * k, "frequency": 2437,
                  "ssid": "t", "linkSpeed": None, "channelWidth": None}
-                for i, m in enumerate(macs)
+                for i, m in enumerate(macs[: 2 + k])
             ],
         }
-        for k in range(4)
+        for k in range(7)
     ]
     rdf = spark.createDataFrame(reqs, POSITIONING_REQUEST_SCHEMA)
     obs = prepare_observations(rdf, ap_df)
     sel = spark.createDataFrame(
-        [(f"r{k}", a) for k in range(4) for a in ("trilateration", "maximum_likelihood")],
+        [(f"r{k}", a) for k in range(7) for a in ("trilateration", "maximum_likelihood")],
         "request_id string, algorithm string",
     )
     joined = obs.join(sel, "request_id")
