@@ -36,6 +36,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every test table as a temp view for spark.sql queries."""
+    """Register every test table as a temp view for spark.sql queries.
+
+    Idempotent per (session, sf_dir): every registry query calls this, and
+    re-reading ten parquet footers per query adds a constant planning tax
+    across the 50+ query suite."""
+    registered = getattr(spark, "_graft_views_sf_dir", None)
+    if registered == sf_dir:
+        return
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._graft_views_sf_dir = sf_dir
