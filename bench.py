@@ -44,6 +44,11 @@ def main() -> None:
         names = [n for n in python_tier if n in qs] + [
             n for n in qs if n not in python_tier
         ]
+        # streaming demo measures micro-batch trigger latency (fixed ~15 s of
+        # state-store/commit machinery on a tiny zone), not data throughput —
+        # it stays in queries() for the correctness gate but out of the
+        # wall-clock suite
+        names = [n for n in names if n != "streaming_ingest_microbatch"]
 
     # warm the JVM + every table's parquet footers/pages once so per-query
     # numbers measure the queries, not session startup or first-touch I/O

@@ -1231,6 +1231,73 @@ def _derived_measurements_df(spark: SparkSession, sf_dir: str, cap_by_ap: bool =
     return m.drop("_ap")
 
 
+def _streaming_ingest_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest end-to-end (SURVEY §2.8/§3.1): raw
+    base64(gzip(ndjson)) files → readStream → decode/validate/explode/union →
+    watermarked dedup → availableNow micro-batch → partitioned parquet sink →
+    per-AP rollup of what landed. Streaming execution is not SQL-expressible →
+    rows-only check. Inputs derive from the deterministic fixture generator,
+    one raw file per micro-batch grain."""
+    import base64
+    import gzip
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from tests.wifi_fixtures import documents_as_json_lines
+    from wifi_location_data_pipeline_spark.streaming.ingest import start_ingest
+
+    base = tempfile.mkdtemp(prefix="graft_stream_")
+    zone, out, ckpt = f"{base}/zone", f"{base}/table", f"{base}/ckpt"
+    import os as _os
+
+    _os.makedirs(zone)
+    lines = documents_as_json_lines()
+    half = max(1, len(lines) // 2)
+    for part, chunk in enumerate((lines[:half], lines[half:])):
+        with open(f"{zone}/u{part}.txt", "w") as f:
+            for line in chunk:
+                f.write(base64.b64encode(gzip.compress(line.encode(), mtime=0)).decode() + "\n")
+    with open(f"{zone}/corrupt.txt", "w") as f:
+        f.write("!!!not-base64\n\n")
+
+    # the dedup state store creates one instance per shuffle partition, each
+    # with its own checkpoint files; 4 partitions is plenty for the demo zone
+    # (a fresh stream pins its state partitioning at first start)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = start_ingest(spark, zone, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    landed = spark.read.parquet(out)
+    result = (
+        landed.groupBy("bssid")
+        .agg(
+            F2.count("*").alias("n_rows"),
+            F2.countDistinct("event_id").alias("n_events"),
+            F2.round(F2.avg("rssi"), 2).alias("avg_rssi"),
+        )
+        .orderBy("bssid")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+register(
+    "streaming_ingest_microbatch",
+    "Structured Streaming ingest: file-source discovery over a raw "
+    "base64(gzip(ndjson)) zone, decode + stage-1 validation + flatten/union, "
+    "dropDuplicatesWithinWatermark dedup, availableNow trigger, exactly-once "
+    "partitioned parquet sink, per-AP rollup of the landed table "
+    "(streaming/ingest.py; SURVEY §2.8, §3.1).",
+    spark_fn=_streaming_ingest_fn,
+)
+
+
 def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document through the raw-scan line codec
     (base64(gzip(utf-8)), MessageTransformationService.java:64-99), decode it
