@@ -109,6 +109,25 @@ def test_localization_recovers_planted_positions(measurements):
     assert results["aa:00:00:00:00:12"]["algorithm"] == "MLE"
 
 
+def test_mle_localize_batch_matches_grouped(measurements):
+    """The packed lockstep-batched MLE must agree with the per-AP
+    applyInPandas reference implementation."""
+    from wifi_location_data_pipeline_spark.operators.localization import (
+        mle_localize,
+        mle_localize_grouped,
+    )
+
+    m = measurements.filter(F.col("rssi").isNotNull())
+    batch = {r["bssid"]: r for r in mle_localize(m).collect()}
+    grouped = {r["bssid"]: r for r in mle_localize_grouped(m).collect()}
+    assert set(batch) == set(grouped) and batch
+    for b, r in batch.items():
+        g = grouped[b]
+        assert r["measurement_count"] == g["measurement_count"], b
+        for c in ("latitude", "longitude", "horizontal_accuracy", "confidence"):
+            assert abs(r[c] - g[c]) < 1e-9, (b, c, r[c], g[c])
+
+
 def test_behavioral_hotspot_detection(measurements):
     hotspots = {r["bssid"] for r in behavioral_hotspot_bssids(measurements).collect()}
     assert "aa:00:00:00:00:20" in hotspots          # 2km spatial spread

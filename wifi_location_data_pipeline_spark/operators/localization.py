@@ -175,23 +175,170 @@ def _mle_localize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def mle_localize(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
-    """Tier-2/3 MLE via applyInPandas, with per-AP row cap against skew.
+def _mle_localize_batch(groups: list[dict]) -> list[list]:
+    """Lockstep-vectorized twin of ``_mle_localize_group`` across many APs.
 
-    The cap keeps strongest-RSSI rows (most informative for localization),
-    mirroring the reference's ORDER BY … LIMIT lookback.
+    Same batching rationale as positioning/numeric._mle_batch: the ~100
+    gradient iterations per AP dominate when run sequentially per group.
+    Padded (R×K) tensors with per-AP learning rates and convergence masks;
+    element-wise ops keep per-AP math identical to the sequential reference.
     """
+    R = len(groups)
+    K = max(len(g["rssi"]) for g in groups)
+    rssi = np.zeros((R, K))
+    qw = np.zeros((R, K))  # padding weight 0 → zero ll/grad contribution
+    n_exp = np.full((R, K), 3.0)
+    sigma = np.ones((R, K))
+    ref = np.zeros((R, K))
+    ax = np.zeros((R, K))
+    ay = np.zeros((R, K))
+    valid = np.zeros((R, K), dtype=bool)
+    lat0 = np.zeros(R)
+    lon0 = np.zeros(R)
+    coslat = np.ones(R)
+
+    for r, g in enumerate(groups):
+        k = len(g["rssi"])
+        rssi[r, :k] = g["rssi"]
+        qw[r, :k] = np.where(np.isnan(g["qw"]), 1.0, g["qw"])
+        connected = g["connected"]
+        freq = np.where(np.isnan(g["freq"]), 2437.0, g["freq"])
+        n_exp[r, :k] = np.where(connected, np.where(freq >= 5000, 2.8, 3.0), 3.0)
+        sigma[r, :k] = np.where(connected, 2.5, 6.0)
+        ref[r, :k] = np.where(freq >= 5000, -45.0, -40.0)
+        la, lo = g["lat"], g["lon"]
+        lat0[r], lon0[r] = float(np.mean(la)), float(np.mean(lo))
+        coslat[r] = math.cos(math.radians(lat0[r]))
+        ax[r, :k] = (lo - lon0[r]) * METERS_PER_DEG * coslat[r]
+        ay[r, :k] = (la - lat0[r]) * METERS_PER_DEG
+        valid[r, :k] = True
+
+    w0 = np.where(valid, qw * np.power(10.0, rssi / 10.0), 0.0)
+    sw0 = np.maximum(w0.sum(axis=1), 1e-300)
+    px = (ax * w0).sum(axis=1) / sw0
+    py = (ay * w0).sum(axis=1) / sw0
+    kgrad = 10.0 * n_exp / math.log(10.0)
+
+    def ll_of(x, y):
+        d = np.maximum(np.hypot(ax - x[:, None], ay - y[:, None]), 1.0)
+        err = rssi - (ref - 10.0 * n_exp * np.log10(d))
+        return np.sum(-(err**2) / (2.0 * sigma**2) * qw * valid, axis=1)
+
+    cur_x, cur_y = px.copy(), py.copy()
+    best_x, best_y = px.copy(), py.copy()
+    best_ll = ll_of(px, py)
+    lr = np.ones(R)
+    active = np.ones(R, dtype=bool)
+    for _ in range(C.MLE_MAX_ITERATIONS):
+        if not active.any():
+            break
+        d = np.maximum(np.hypot(ax - cur_x[:, None], ay - cur_y[:, None]), 1.0)
+        err = rssi - (ref - 10.0 * n_exp * np.log10(d))
+        kk = err / (sigma**2) * qw * valid * kgrad / (d**2)
+        gx = np.sum(kk * (ax - cur_x[:, None]), axis=1)
+        gy = np.sum(kk * (ay - cur_y[:, None]), axis=1)
+        gn = np.hypot(gx, gy)
+        active &= gn >= 1e-12
+        if not active.any():
+            break
+        safe = np.where(gn > 0, gn, 1.0)
+        step_x = cur_x + lr * gx / safe
+        step_y = cur_y + lr * gy / safe
+        ll = ll_of(step_x, step_y)
+        improved = active & (ll > best_ll)
+        best_ll = np.where(improved, ll, best_ll)
+        best_x = np.where(improved, step_x, best_x)
+        best_y = np.where(improved, step_y, best_y)
+        cur_x = np.where(improved, step_x, cur_x)
+        cur_y = np.where(improved, step_y, cur_y)
+        lr = np.where(active, np.where(improved, lr * 1.2, lr * 0.5), lr)
+        active &= lr >= C.MLE_CONVERGENCE_M
+
+    out = []
+    for r, g in enumerate(groups):
+        k = len(g["rssi"])
+        d = np.maximum(np.hypot(ax[r, :k] - best_x[r], ay[r, :k] - best_y[r]), 1.0)
+        err = rssi[r, :k] - (ref[r, :k] - 10.0 * n_exp[r, :k] * np.log10(d))
+        resid = float(np.sqrt(np.mean(err**2)))
+        n = k
+        connected_mean = float(np.mean(g["connected"]))
+        alts = g["alt"][~np.isnan(g["alt"])]
+        out.append(
+            [
+                "MLE",
+                lat0[r] + float(best_y[r]) / METERS_PER_DEG,
+                lon0[r] + float(best_x[r]) / (METERS_PER_DEG * coslat[r]),
+                float(alts.mean()) if len(alts) else None,
+                max(3.0, resid * 2.0),
+                min(0.95, 0.5 + 0.002 * n + (0.2 if connected_mean > 0.3 else 0.0)),
+                n,
+            ]
+        )
+    return out
+
+
+_MLE_PACK_COLS = (
+    "latitude", "longitude", "altitude", "rssi",
+    "quality_weight", "connection_status", "frequency",
+)
+
+
+def _run_mle_packed(batches):
+    for pdf in batches:
+        bssids, groups = [], []
+        for bssid, obs in zip(pdf["bssid"], pdf["obs"]):
+            to = lambda key: np.array([o[key] for o in obs], dtype=float)  # noqa: E731
+            bssids.append(bssid)
+            groups.append(
+                {
+                    "lat": to("latitude"),
+                    "lon": to("longitude"),
+                    "alt": to("altitude"),
+                    "rssi": to("rssi"),
+                    "qw": to("quality_weight"),
+                    "connected": np.array(
+                        [o["connection_status"] == "CONNECTED" for o in obs]
+                    ),
+                    "freq": to("frequency"),
+                }
+            )
+        rows = (
+            [[b, *r] for b, r in zip(bssids, _mle_localize_batch(groups))]
+            if groups
+            else []
+        )
+        yield pd.DataFrame(rows, columns=[f.name for f in AP_LOCATION_SCHEMA.fields])
+
+
+def _capped(measurements: DataFrame, max_rows_per_ap: int) -> DataFrame:
+    """Per-AP skew cap keeping strongest-RSSI rows (most informative),
+    mirroring the reference's ORDER BY … LIMIT lookback."""
     w = Window.partitionBy("bssid").orderBy(F.col("rssi").desc(), F.col("event_id"))
-    capped = (
+    return (
         measurements.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_rows_per_ap)
         .drop("_rn")
     )
-    cols = [
-        "bssid", "latitude", "longitude", "altitude", "rssi",
-        "quality_weight", "connection_status", "frequency",
-    ]
-    return capped.select(*cols).groupBy("bssid").applyInPandas(
+
+
+def mle_localize(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
+    """Tier-2/3 MLE: pack each AP's capped rows into one array row, then run
+    the lockstep-batched gradient ascent in mapInPandas (one Python call per
+    Arrow batch of APs instead of one per AP)."""
+    capped = _capped(measurements, max_rows_per_ap)
+    packed = capped.groupBy("bssid").agg(
+        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
+    )
+    spark = measurements.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return packed.repartition(n_parts).mapInPandas(_run_mle_packed, AP_LOCATION_SCHEMA)
+
+
+def mle_localize_grouped(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
+    """Reference shape: one applyInPandas call per AP (parity baseline for
+    the packed-batch path)."""
+    cols = ["bssid", *_MLE_PACK_COLS]
+    return _capped(measurements, max_rows_per_ap).select(*cols).groupBy("bssid").applyInPandas(
         _mle_localize_group, AP_LOCATION_SCHEMA
     )
 

@@ -1058,6 +1058,42 @@ FROM (SELECT * FROM kept UNION ALL SELECT * FROM weak) u
 """,
 )
 
+register(
+    "skew_salted_agg",
+    "Skew-hardened aggregation: a hot key (one AP owns ~40% of rows via the "
+    "mod-7 fold) is salted into 16 subkeys, partially aggregated per "
+    "(key, salt), then finalized per key — the two-level shape that keeps a "
+    "1000-executor shuffle balanced when one BSSID has millions of rows "
+    "(SURVEY §4 physical-strategy note; complements AQE skew-join handling).",
+    sql=lambda d: f"""
+WITH m AS ({measurements_cte(d)}),
+skewed AS (
+  -- fold most traffic onto ap 0: a synthetic mega-popular AP
+  SELECT CASE WHEN ap_id % 7 < 3 THEN 0 ELSE ap_id END AS hot_ap_id,
+    rssi, quality_weight, event_id
+  FROM m
+),
+salted AS (
+  SELECT hot_ap_id, CAST(event_id % 16 AS BIGINT) AS salt,
+    CAST(COUNT(*) AS BIGINT) AS part_n,
+    SUM(rssi) AS part_rssi_sum,
+    SUM(quality_weight) AS part_w_sum,
+    MIN(rssi) AS part_min, MAX(rssi) AS part_max
+  FROM skewed
+  GROUP BY hot_ap_id, CAST(event_id % 16 AS BIGINT)
+)
+SELECT hot_ap_id,
+  CAST(SUM(part_n) AS BIGINT) AS n_rows,
+  ROUND(SUM(part_rssi_sum) / SUM(part_n), 4) AS avg_rssi,
+  ROUND(SUM(part_w_sum), 4) AS total_weight,
+  ROUND(MIN(part_min), 4) AS min_rssi,
+  ROUND(MAX(part_max), 4) AS max_rssi,
+  CAST(COUNT(*) AS BIGINT) AS n_salt_partials
+FROM salted
+GROUP BY hot_ap_id
+""",
+)
+
 # ---------------------------------------------------------------------------
 # Geospatial index: geohash cells (the reference's wifi_access_points GSI)
 # ---------------------------------------------------------------------------
