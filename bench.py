@@ -25,7 +25,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from wifi_location_data_pipeline_spark.session import build_session
 
-    spark = build_session(app_name="bench", extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")})
+    # 16g, not bigger: with a 48g heap the accumulated garbage of a 50-query
+    # session produces multi-second full-GC pauses that land on whichever
+    # query is running (~25s total inflation, one random query spiking 5-8x);
+    # a right-sized heap collects incrementally and the suite is stable
+    spark = build_session(app_name="bench", extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")})
 
     qs = entry_mod.queries()
     only = os.environ.get("BENCH_QUERIES")
