@@ -62,6 +62,18 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # pre-warm the Python worker pool (one per core): forking + importing
+    # numpy/pandas costs ~2s per worker and would otherwise be billed to the
+    # first pandas-tier query instead of the session
+    def _noop(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers, 1, n_workers).mapInPandas(_noop, "id long").count()
+
     timings: dict[str, float] = {}
     for name in names:
         # isolate queries from each other: no inherited cached plans, and a
