@@ -1,0 +1,70 @@
+"""End-to-end job chain through the CLI surface (jobs.py):
+
+transform → quality → localize → position, each invoked exactly as a user
+would (`python -m wifi_location_data_pipeline_spark.jobs <job> ...`), sharing
+one SparkSession via build_session's getOrCreate."""
+
+import base64
+import gzip
+import json
+import math
+
+import pytest
+
+from tests.wifi_fixtures import PLANTED_APS, documents_as_json_lines
+from wifi_location_data_pipeline_spark.jobs import main as jobs_main
+
+
+@pytest.fixture(scope="module")
+def zone(tmp_path_factory):
+    base = tmp_path_factory.mktemp("jobs")
+    raw = base / "raw"
+    raw.mkdir()
+    with open(raw / "u0.txt", "w") as f:
+        for line in documents_as_json_lines():
+            f.write(base64.b64encode(gzip.compress(line.encode(), mtime=0)).decode() + "\n")
+    return base
+
+
+def test_job_chain(spark, zone):
+    table = str(zone / "measurements")
+    clean = str(zone / "clean")
+    aps = str(zone / "aps")
+    out = str(zone / "positions")
+
+    jobs_main(["transform", "--raw-zone", str(zone / "raw"), "--table", table,
+               "--mode", "overwrite"])
+    assert spark.read.parquet(table).count() > 0
+
+    jobs_main(["quality", "--table", table, "--out", clean])
+    cleaned = spark.read.parquet(clean)
+    assert "is_global_outlier" in cleaned.columns and cleaned.count() > 0
+
+    jobs_main(["localize", "--table", clean, "--ap-table", aps])
+    located = {r["mac_addr"]: r for r in spark.read.parquet(aps).collect()}
+    assert located
+    # localization recovers at least one planted AP within 60 m
+    for mac, _ssid, lat, lon, *_ in PLANTED_APS[:3]:
+        if mac in located:
+            r = located[mac]
+            err_m = math.hypot(
+                (r["latitude"] - lat) * 111_000.0,
+                (r["longitude"] - lon) * 111_000.0 * math.cos(math.radians(lat)),
+            )
+            assert err_m < 60.0, (mac, err_m)
+
+    # positioning request against the freshly localized AP table
+    req_path = str(zone / "requests.json")
+    known = next(iter(located))
+    with open(req_path, "w") as f:
+        f.write(json.dumps({
+            "requestId": "job-req-1", "client": "cli", "application": "test",
+            "calculationDetail": False,
+            "wifiScanResults": [{
+                "macAddress": known, "signalStrength": -60.0, "frequency": 2437,
+                "ssid": "t", "linkSpeed": None, "channelWidth": None,
+            }],
+        }) + "\n")
+    jobs_main(["position", "--requests", req_path, "--ap-table", aps, "--out", out])
+    pos = spark.read.parquet(out).collect()
+    assert len(pos) == 1 and pos[0]["request_id"] == "job-req-1"
