@@ -71,3 +71,37 @@ def test_haversine_known_distance(spark):
         haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
     ).first()["d"]
     assert 5_500_000 < d < 5_600_000
+
+
+def test_compare_positions_and_report(spark):
+    """ComparisonService semantics: agreement iff haversine distance is within
+    the combined claimed uncertainty; one-sided answers classify as *_ONLY."""
+    from wifi_location_data_pipeline_spark.operators.comparison import (
+        agreement_report,
+        compare_positions,
+    )
+
+    primary = spark.createDataFrame(
+        [
+            ("r1", 40.7580, -73.9855, 30.0),   # ~22m off shadow, within budget
+            ("r2", 40.7580, -73.9855, 5.0),    # ~111m off shadow, outside
+            ("r3", 40.7000, -74.0000, 10.0),   # no shadow answer
+        ],
+        "request_id string, latitude double, longitude double, accuracy double",
+    )
+    shadow = spark.createDataFrame(
+        [
+            ("r1", 40.7582, -73.9855, 20.0),
+            ("r2", 40.7590, -73.9855, 5.0),
+            ("r4", 40.7100, -74.0100, 10.0),   # no primary answer
+        ],
+        "request_id string, latitude double, longitude double, accuracy double",
+    )
+    cmp = {r["request_id"]: r for r in compare_positions(primary, shadow).collect()}
+    assert cmp["r1"]["agreement"] == "AGREE"
+    assert abs(cmp["r1"]["disagreement_m"] - 22.2) < 1.0
+    assert cmp["r2"]["agreement"] == "DISAGREE"
+    assert cmp["r3"]["agreement"] == "PRIMARY_ONLY"
+    assert cmp["r4"]["agreement"] == "SHADOW_ONLY"
+    rep = {r["agreement"]: r for r in agreement_report(compare_positions(primary, shadow)).collect()}
+    assert rep["AGREE"]["n_requests"] == 1 and rep["DISAGREE"]["n_requests"] == 1

@@ -154,6 +154,15 @@ def test_bad_status_ap_unusable(results):
     assert "bad_status" not in results
 
 
+def test_calculation_info_diagnostics(results):
+    """The CalculationInfo analog: every answer carries the selected
+    algorithms and their final selection weights."""
+    r = results["four_plus"]
+    info = {e["algorithm"]: e["weight"] for e in r["calculation_info"]}
+    assert set(r["methods_used"]).issubset(info)
+    assert all(w > 0 for w in info.values())
+
+
 def test_onepass_matches_multipass(spark, ap_df):
     """The one-shuffle array-native plan must agree with the phase-by-phase
     row-wise reference plan on every fixture request."""

@@ -68,11 +68,12 @@ def combine_positions(algorithm_positions: DataFrame) -> DataFrame:
     return _finish(agg)
 
 
-def combine_packed(df: DataFrame, pos_col: str) -> DataFrame:
+def combine_packed(df: DataFrame, pos_col: str, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Array-input twin of ``combine_positions``: one row per request with an
     array of (algorithm, weight, latitude, longitude, altitude, accuracy,
     confidence) structs — zero-shuffle (projection-only) combining for the
-    one-pass pipeline."""
+    one-pass pipeline. ``passthrough`` columns ride along unchanged (e.g.
+    diagnostics)."""
     pos = F.col(pos_col)
     g = lambda name: (lambda p: p.getField(name))  # noqa: E731
     wsum = lambda name: F.aggregate(  # noqa: E731
@@ -110,11 +111,12 @@ def combine_packed(df: DataFrame, pos_col: str) -> DataFrame:
         ).alias("pts"),
         top.dropFields("_w", "_a").alias("top"),
         F.array_distinct(F.transform(pos, g("algorithm"))).alias("methods_used"),
+        *passthrough,
     )
-    return _finish(agg)
+    return _finish(agg, passthrough)
 
 
-def _finish(agg: DataFrame) -> DataFrame:
+def _finish(agg: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Shared combiner core over the aggregate columns
     (n, total_w, swlat/swlon/swalt/swconf, accs, pts, top, methods_used)."""
     # weighted means (the reference normalizes by total weight)
@@ -221,4 +223,5 @@ def _finish(agg: DataFrame) -> DataFrame:
         F.when(single | zero_w, F.col("top.confidence")).otherwise(adj_confidence).alias("confidence"),
         F.array_sort("methods_used").alias("methods_used"),
         F.when(single, F.lit(False)).otherwise(is_collinear).alias("is_collinear"),
+        *passthrough,
     )

@@ -784,9 +784,12 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     )
 
     combined = plain.unionByName(numeric_out)
-    # attach selection weights to each computed position
+    # attach selection weights to each computed position; the selection array
+    # rides through as calculation_info — the reference's CalculationInfo
+    # diagnostics (selected algorithms + final weights per request)
     weighted = combined.select(
         "request_id",
+        F.col("selection").alias("calculation_info"),
         F.filter(
             F.transform(
                 F.col("positions"),
@@ -817,4 +820,4 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
         ).alias("pos"),
     ).filter(F.size("pos") > 0)
 
-    return combine_packed(weighted, "pos")
+    return combine_packed(weighted, "pos", passthrough=("calculation_info",))
