@@ -234,3 +234,49 @@ def test_numeric_packed_matches_grouped(spark, ap_df):
     for k in packed:
         for c in ("latitude", "longitude", "accuracy", "confidence"):
             assert abs(packed[k][c] - grouped[k][c]) < 1e-9, (k, c)
+
+
+def test_physics_gate_array_matches_rowwise(spark):
+    """The nested-array physics gate (onepass) must agree with the row-wise
+    groupBy gate on randomized scan sets dense in the boundary cases
+    (-100/-30 exact bounds, the >-50 strong gate, 45 dB spread edge)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.positioning.onepass import physics_valid_expr
+    from wifi_location_data_pipeline_spark.positioning.prepare import (
+        explode_requests,
+        physics_gate,
+    )
+    from wifi_location_data_pipeline_spark.schemas import POSITIONING_REQUEST_SCHEMA
+
+    rng = random.Random(7)
+    boundary = [-100.0, -99.0, -95.0, -80.0, -51.0, -50.0, -49.0, -35.0, -31.0, -30.0, -29.0, -101.0]
+    reqs = []
+    for k in range(60):
+        n = rng.randint(1, 8)
+        scans = [
+            {
+                "macAddress": f"00:00:00:00:{k:02x}:{i:02x}",
+                "signalStrength": rng.choice(boundary) if rng.random() < 0.7
+                else float(rng.randint(-105, -25)),
+                "frequency": rng.choice([2437, 2437, 5180]),
+                "ssid": "t", "linkSpeed": None, "channelWidth": None,
+            }
+            for i in range(n)
+        ]
+        reqs.append({"requestId": f"q{k}", "client": "t", "application": "t",
+                     "calculationDetail": False, "wifiScanResults": scans})
+    rdf = spark.createDataFrame(reqs, POSITIONING_REQUEST_SCHEMA)
+
+    array_pass = {
+        r["requestId"]
+        for r in rdf.filter(physics_valid_expr(F.col("wifiScanResults"))).collect()
+    }
+    rowwise_pass = {
+        r["request_id"]
+        for r in physics_gate(explode_requests(rdf)).select("request_id").distinct().collect()
+    }
+    assert array_pass == rowwise_pass
+    assert 0 < len(array_pass) < 60  # both branches of the gate exercised
