@@ -154,6 +154,58 @@ def test_bad_status_ap_unusable(results):
     assert "bad_status" not in results
 
 
+@pytest.fixture(scope="module")
+def extended_results(spark, ap_df):
+    """Further scenarios from the reference acceptance corpus
+    (run-comprehensive-tests.sh:553-1079): high-density cluster, mixed
+    quality, repeated time-series scans, duplicate-mac handling."""
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        # high-density: all 5 spread APs strong → MLE-eligible, tight answer
+        req("high_density", [scan(m, -52.0 - i, f) for i, (m, f) in enumerate(zip(macs, freqs))]),
+        # mixed quality: two strong + three very weak
+        req("mixed_quality", [scan(macs[0], -45.0, freqs[0]), scan(macs[1], -50.0, freqs[1]),
+                              scan(macs[2], -88.0, freqs[2]), scan(macs[3], -89.0, freqs[3]),
+                              scan(macs[4], -90.0, freqs[4])]),
+        # time-series: the same AP scanned repeatedly (duplicate macs in one
+        # request) — keep-first dedup must apply, proximity-family answer
+        req("time_series", [scan(macs[0], -60.0, freqs[0]), scan(macs[0], -61.0, freqs[0]),
+                            scan(macs[0], -59.0, freqs[0])]),
+        # 3D: altitude present on every AP → combined altitude is plausible
+        req("three_d", [scan(m, -58.0 - 2 * i, f) for i, (m, f) in enumerate(zip(macs[:4], freqs[:4]))]),
+    ]
+    return run(spark, ap_df, requests)
+
+
+def test_high_density_cluster(extended_results):
+    r = extended_results["high_density"]
+    assert "maximum_likelihood" in r["methods_used"] or "trilateration" in r["methods_used"]
+    assert dist_m(r, CENTER) < 300
+    assert r["confidence"] >= 0.5
+
+
+def test_mixed_quality_strong_signals_dominate(extended_results):
+    r = extended_results["mixed_quality"]
+    # the two strong APs sit north/center; answer must not be dragged to the
+    # weak trio's centroid more than the hull allows
+    assert dist_m(r, CENTER) < 400
+    assert r["accuracy"] > 0
+
+
+def test_time_series_duplicate_macs(extended_results):
+    r = extended_results["time_series"]
+    # one distinct AP after keep-first dedup → single-AP behavior
+    assert r["methods_used"] == ["proximity"]
+    assert abs(r["latitude"] - 40.7600) < 1e-9
+
+
+def test_three_d_altitude(extended_results):
+    r = extended_results["three_d"]
+    alts = [a[3] for a in APS[:4]]
+    assert min(alts) - 1.0 <= r["altitude"] <= max(alts) + 1.0
+
+
 def test_calculation_info_diagnostics(results):
     """The CalculationInfo analog: every answer carries the selected
     algorithms and their final selection weights."""
