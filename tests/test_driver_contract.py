@@ -1,0 +1,66 @@
+"""Regression tests for the driver contract (__spark_entry__).
+
+Round-1 postmortem: every CORRECTNESS row failed because the driver harness
+builds its own *vanilla* SparkSession, and reading the TIMESTAMP(NANOS)
+fixture ``events.parquet`` requires ``spark.sql.legacy.parquet.nanosAsLong``,
+which only our builder in session.py set. These tests reproduce the driver's
+environment exactly — a bare session in a fresh process — so the contract
+can never silently depend on builder-session config again.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_queries_run_on_vanilla_session_in_fresh_process():
+    """A bare SparkSession.builder.getOrCreate() must run registry queries."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("vanilla-driver-sim")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        # events-table query (the nanos fixture) + one plain-table query.
+        for name in ("timestamp_sanity", "per_ap_stats"):
+            df = qs[name](spark, "/root/testdata/sf0.001")
+            n = df.count()
+            assert n >= 0, name
+            print("OK", name, n)
+        spark.stop()
+        """
+    ).format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "OK timestamp_sanity" in proc.stdout
+    assert "OK per_ap_stats" in proc.stdout
+
+
+def test_loader_flips_nanos_conf_even_if_disabled(spark, sf_dir):
+    """load_table must self-heal a session where the conf is explicitly off."""
+    from wifi_location_data_pipeline_spark.sources import tables
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = tables.load_table(s2, sf_dir, "events")
+    assert df.count() > 0
+    assert s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
