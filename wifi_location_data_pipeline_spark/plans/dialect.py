@@ -36,10 +36,15 @@ def percentile(d: str, col: str, p: float) -> str:
 
 
 def epoch_s(d: str, col: str) -> str:
-    """Whole epoch seconds. Spark ``unix_timestamp`` floors; DuckDB CAST
+    """Whole epoch seconds, timezone-free.
+
+    The corpus timestamps read as TIMESTAMP_NTZ in Spark and naive TIMESTAMP
+    in DuckDB. ``timestampdiff`` against the NTZ epoch avoids any session-
+    timezone interpretation (``unix_timestamp`` would convert NTZ via the
+    session zone — wrong on a non-UTC caller session). DuckDB CAST
     rounds-half-up, so FLOOR explicitly to keep sub-second rows aligned."""
     if d == SPARK:
-        return f"unix_timestamp({col})"
+        return f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
     return f"CAST(FLOOR(epoch({col})) AS BIGINT)"
 
 
@@ -168,11 +173,10 @@ def geohash_parts(
 def ts_expr(d: str, col: str) -> str:
     """Timestamp column from the synthetic corpus.
 
-    The corpus parquet stores TIMESTAMP(NANOS); Spark reads it as BIGINT nanos
-    (spark.sql.legacy.parquet.nanosAsLong) while DuckDB reads a real
-    timestamp. Truncation to microseconds is exact for the corpus (values are
-    microsecond-aligned).
+    The corpus parquet stores TIMESTAMP(MICROS, isAdjustedToUTC=false):
+    Spark reads TIMESTAMP_NTZ, DuckDB a naive TIMESTAMP — same wall-clock
+    values, so both dialects pass the column through. Kept as a helper so a
+    future corpus change (e.g. back to TIMESTAMP(NANOS), which Spark 4.1
+    cannot read without a cast) stays a one-line fix.
     """
-    if d == SPARK:
-        return f"timestamp_micros(CAST({col} / 1000 AS BIGINT))"
     return col

@@ -1252,7 +1252,10 @@ def _derived_measurements_df(spark: SparkSession, sf_dir: str, cap_by_ap: bool =
         F.when(F.col("event_type") == "click", "CONNECTED").otherwise("SCAN").alias("connection_status"),
         F.when(F.col("event_type") == "click", 2.0).otherwise(1.0).alias("quality_weight"),
         F.lit(2437).cast("int").alias("frequency"),
-        (F.col("ts") / 1000000).cast("long").alias("measurement_timestamp"),
+        # epoch millis, timezone-free (ts is TIMESTAMP_NTZ from the corpus)
+        F.expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias(
+            "measurement_timestamp"
+        ),
         F.col("event_id"),
         F.lit(None).cast("boolean").alias("is_global_outlier"),
         F.col("event_id").cast("string").alias("id"),

@@ -52,9 +52,6 @@ def build_session(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # the synthetic corpus stores TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as long and convert via plans.dialect.ts_expr
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

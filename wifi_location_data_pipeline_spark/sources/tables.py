@@ -27,20 +27,12 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make nanosecond-timestamp parquet readable on ANY session.
-
-    The fixture ``events.parquet`` stores ``TIMESTAMP(NANOS)``, which vanilla
-    Spark rejects with PARQUET_TYPE_ILLEGAL. ``nanosAsLong`` is a
-    runtime-settable conf, so set it here rather than relying on the builder
-    in session.py — callers (the correctness driver included) hand us their
-    own sessions."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_nanos_conf(spark)
+    """Load one corpus table. Must work on ANY caller-supplied session (the
+    correctness driver hands us a vanilla one), so nothing here may depend on
+    builder-time confs. The corpus timestamps are TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) → TIMESTAMP_NTZ, readable everywhere; downstream
+    SQL treats them timezone-free (see plans.dialect.epoch_s)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -54,7 +46,6 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Idempotent per (session, sf_dir): every registry query calls this, and
     re-reading ten parquet footers per query adds a constant planning tax
     across the 50+ query suite."""
-    _ensure_nanos_conf(spark)
     registered = getattr(spark, "_graft_views_sf_dir", None)
     if registered == sf_dir:
         return
