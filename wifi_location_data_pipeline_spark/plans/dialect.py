@@ -126,6 +126,13 @@ def dot(d: str, a: str, b: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
+def xor_int(d: str, a: str, b: str) -> str:
+    """Bitwise XOR of two integer expressions (DuckDB ``^`` is power)."""
+    if d == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
+
+
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

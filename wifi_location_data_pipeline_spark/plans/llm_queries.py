@@ -29,6 +29,7 @@ from wifi_location_data_pipeline_spark.plans.dialect import (
     sorted_distinct_words,
     split_words,
     words_with_pos,
+    xor_int,
 )
 from wifi_location_data_pipeline_spark.plans.queries import register
 
@@ -217,19 +218,31 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
 """,
 )
 
-def _minhash_sql(d: str) -> str:
-    """MinHash via one md5 + 12 affine universal hashes, ONE aggregation pass.
+def _minhash_based_sql(d: str) -> str:
+    """Distinct (doc_id, 60-bit md5-derived shingle base) — the ONE relation
+    every MinHash stage (signatures, sizes, exact verify) derives from."""
+    return f"""
+WITH {shingles_cte(d)}
+SELECT doc_id, {hex_to_bigint(d, "substr(md5(shingle), 1, 15)")} AS base
+FROM shingles
+"""
 
-    h_j(x) = (a_j·(base % P) + b_j) mod P over a single md5-derived 60-bit
-    base — the classic universal-hash family. No seeds cross join (12× row
-    expansion) and no 12 md5 calls per shingle; the 12 MIN aggregates come
-    out of one GROUP BY. Banding: 4 bands × 3 rows on numeric signatures.
+
+def _minhash_rest_sql() -> str:
+    """Everything downstream of the ``minhash_based`` relation, dialect-neutral.
+
+    h_j(x) = (a_j·(base % P) + b_j) mod P over the shared base — the classic
+    universal-hash family. No seeds cross join (12× row expansion) and no 12
+    md5 calls per shingle; the 12 MIN aggregates come out of one GROUP BY.
+    Banding: 4 bands × 3 rows on numeric signatures. Verification counts
+    common bases (exact: the base is distinct-per-doc and 60-bit, so base
+    equality ≡ shingle equality up to negligible collisions — and both
+    dialects compute it identically).
     """
     P = 1_000_000_007
     coeffs = [(7 + 10 * j, 13 + 997 * j) for j in range(12)]
     mins = ",\n    ".join(
-        f"MIN(((base % {P}) * {a} + {b}) % {P}) AS m{j}"
-        for j, (a, b) in enumerate(coeffs)
+        f"MIN(((base % {P}) * {a} + {b}) % {P}) AS m{j}" for j, (a, b) in enumerate(coeffs)
     )
     band_rows = "\nUNION ALL\n".join(
         f"SELECT doc_id, {k} AS band, concat(CAST(m{3 * k} AS STRING), ':', "
@@ -237,15 +250,10 @@ def _minhash_sql(d: str) -> str:
         for k in range(4)
     )
     return f"""
-WITH {shingles_cte(d)},
-based AS (
-  SELECT doc_id, {hex_to_bigint(d, "substr(md5(shingle), 1, 15)")} AS base
-  FROM shingles
-),
 mh AS (
   SELECT doc_id,
     {mins}
-  FROM based GROUP BY doc_id
+  FROM minhash_based GROUP BY doc_id
 ),
 bands AS (
   {band_rows}
@@ -255,12 +263,12 @@ candidates AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM minhash_based GROUP BY doc_id),
 verified AS (
   SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
   FROM candidates c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    JOIN minhash_based sa ON sa.doc_id = c.doc_a
+    JOIN minhash_based sb ON sb.doc_id = c.doc_b AND sb.base = sa.base
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT v.doc_a, v.doc_b,
@@ -272,24 +280,112 @@ WHERE CAST(v.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - v.n_common) >= 0.8
 """
 
 
+def _minhash_duck_sql(d: str) -> str:
+    if d == "spark":
+        return None
+    return f"WITH minhash_based AS ({_minhash_based_sql(d)}),\n{_minhash_rest_sql()}"
+
+
+def _minhash_spark_fn(spark, sf_dir):
+    """MinHash+LSH with the shingle-hash table materialized exactly once.
+
+    Round-1 shape re-expanded the shingle CTE per reference (signatures,
+    sizes, and TWO verify joins) — a 23-shuffle / 5-sort-merge-join plan,
+    16× slower than the oracle at sf0.1. Persisting (doc_id, base) — 16
+    bytes/row, the natural checkpoint at 100 TB too — means every downstream
+    stage reads the cache. The downstream is DataFrame ops rather than SQL:
+    a cached DataFrame-backed temp view referenced from inside a WITH clause
+    misses the cache on Spark 4.1 (CTE inlining runs after cache
+    substitution — verified empirically), while direct DataFrame references
+    substitute fine.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    based = spark.sql(_minhash_based_sql("spark")).persist(StorageLevel.MEMORY_AND_DISK)
+    based.count()  # materialize before fan-out (see _simhash_spark_fn)
+
+    P = 1_000_000_007
+    coeffs = [(7 + 10 * j, 13 + 997 * j) for j in range(12)]
+    mh = based.groupBy("doc_id").agg(
+        *[
+            F2.min(((F2.col("base") % P) * a + b) % P).alias(f"m{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F2.explode(
+            F2.array(
+                *[
+                    F2.struct(
+                        F2.lit(k).alias("band"),
+                        F2.concat_ws(
+                            ":",
+                            *[F2.col(f"m{3 * k + r}").cast("string") for r in range(3)],
+                        ).alias("band_sig"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_sig")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            on=[
+                F2.col("x.band") == F2.col("y.band"),
+                F2.col("x.band_sig") == F2.col("y.band_sig"),
+                F2.col("x.doc_id") < F2.col("y.doc_id"),
+            ],
+        )
+        .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = based.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
+    verified = (
+        cand.join(based.alias("sa"), F2.col("doc_a") == F2.col("sa.doc_id"))
+        .join(
+            based.alias("sb"),
+            (F2.col("doc_b") == F2.col("sb.doc_id")) & (F2.col("sb.base") == F2.col("sa.base")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F2.count("*").alias("n_common"))
+    )
+    jac = F2.col("n_common").cast("double") / (
+        F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
+    )
+    return (
+        verified.join(sizes.alias("za"), F2.col("doc_a") == F2.col("za.doc_id"))
+        .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
+    )
+
+
 register(
     "dedup_minhash_lsh",
     "MinHash+LSH near-dup: 12 universal-hash minhashes from one md5 base, "
     "4 bands x 3 rows, candidates join on band signature, exact-Jaccard "
     "verification >= 0.8. The scale path: candidate count is O(true "
-    "near-dups), not O(n^2); signatures come from ONE aggregation pass.",
-    sql=_minhash_sql,
+    "near-dups), not O(n^2); signatures come from ONE aggregation pass over "
+    "a persisted shingle-hash table read by every downstream stage.",
+    sql=_minhash_duck_sql,
+    spark_fn=_minhash_spark_fn,
 )
 
-def _simhash_sql(d: str) -> str:
-    """32-bit SimHash in ONE aggregation pass.
+def _simhash_blocked_sql(d: str) -> str:
+    """Per-document 32-bit SimHash signature as 4 pigeonhole block values.
 
-    Bit b's vote is an aggregate column (no shingle × 32-bits row explosion —
-    at sf0.1 that expansion alone was 14M rows). The md5 is parsed ONCE into
-    four 32-bit integer chunks; each bit is then the parity of one hex digit
-    extracted with integer div/mod (32 string-parse calls per row → 4). The
-    4 pigeonhole blocks are arithmetic over the bit columns, and hamming
-    distance is a 32-term expression evaluated only on blocked candidates.
+    ONE aggregation pass: bit b's vote is an aggregate column (no shingle ×
+    32-bits row explosion — at sf0.1 that expansion alone was 14M rows). The
+    md5 is parsed ONCE into four 32-bit integer chunks; each bit is then the
+    parity of one hex digit extracted with integer div/mod (32 string-parse
+    calls per row → 4). Output: (doc_id, blk0..blk3), one row per document.
     """
 
     def bit(b: int) -> str:
@@ -305,7 +401,6 @@ def _simhash_sql(d: str) -> str:
     blk = lambda lo: " + ".join(  # noqa: E731
         f"s{b} * {2 ** (b - lo)}" for b in range(lo, lo + 8)
     )
-    ham = " + ".join(f"(CASE WHEN a.s{b} <> b.s{b} THEN 1 ELSE 0 END)" for b in range(1, 33))
     return f"""
 WITH {shingles_cte(d)},
 hashed AS (SELECT doc_id, md5(shingle) AS h FROM shingles),
@@ -318,96 +413,211 @@ sigs AS (
   SELECT doc_id,
     {sbits}
   FROM chunked GROUP BY doc_id
-),
-blocked AS (
-  SELECT doc_id,
-    CAST({blk(1)} AS BIGINT) AS blk0,  CAST({blk(9)} AS BIGINT) AS blk1,
-    CAST({blk(17)} AS BIGINT) AS blk2, CAST({blk(25)} AS BIGINT) AS blk3,
-    * FROM sigs
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT doc_id,
+  CAST({blk(1)} AS BIGINT) AS blk0,  CAST({blk(9)} AS BIGINT) AS blk1,
+  CAST({blk(17)} AS BIGINT) AS blk2, CAST({blk(25)} AS BIGINT) AS blk3
+FROM sigs
+"""
+
+
+def _simhash_duck_sql(d: str) -> str:
+    """Oracle form: signature CTE + unpivoted-block candidate join + verify."""
+    if d == "spark":
+        return None
+    block_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {k} AS block_no, blk{k} AS block_val FROM blocked" for k in range(4)
+    )
+    ham = " + ".join(f"bit_count({xor_int(d, f'a.blk{k}', f'b.blk{k}')})" for k in range(4))
+    return f"""
+WITH blocked AS ({_simhash_blocked_sql(d)}),
+blocks AS (
+  {block_rows}
+),
+candidates AS (
+  SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+  FROM blocks ca JOIN blocks cb
+    ON ca.block_no = cb.block_no AND ca.block_val = cb.block_val
+   AND ca.doc_id < cb.doc_id
+)
+SELECT c.doc_a, c.doc_b,
   CAST({ham} AS BIGINT) AS hdist
-FROM blocked a JOIN blocked b ON a.doc_id < b.doc_id
- AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1 OR a.blk2 = b.blk2 OR a.blk3 = b.blk3)
+FROM candidates c
+  JOIN blocked a ON a.doc_id = c.doc_a
+  JOIN blocked b ON b.doc_id = c.doc_b
 WHERE {ham} <= 3
 """
+
+
+def _simhash_spark_fn(spark, sf_dir):
+    """SimHash near-dup with hash-joinable blocking, signature table reused.
+
+    Scale-critical shapes (the round-1 formulation `ON a.blk0=b.blk0 OR …`
+    had no equi-conjunct and executed as a CartesianProduct — O(n²) pairs at
+    100 TB):
+    - The 4 pigeonhole blocks are unpivoted to (doc_id, block_no, block_val)
+      rows, so candidate generation is a plain equi-join on
+      (block_no, block_val) — a shuffled hash join at any scale. Hamming ≤ 3
+      guarantees ≥ 1 of 4 blocks equal (pigeonhole), so recall is unchanged;
+      DISTINCT collapses pairs matching in several blocks.
+    - The per-doc signature table (5 BIGINTs/doc — tiny relative to the
+      corpus) is persisted ONCE and read three times (unpivot + both verify
+      sides). Inlined as a CTE, Spark would re-expand the whole shingle →
+      vote-aggregation pipeline per reference, tripling the dominant cost.
+    - Verification is bit_count(xor) over the 4 block values (the bits are
+      partitioned across blocks), computed only on blocked candidates.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    blocked = spark.sql(_simhash_blocked_sql("spark")).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize eagerly: the downstream join reads `blocked` from three
+    # stages that would otherwise race to compute it before the cache fills.
+    blocked.count()
+    blocks = blocked.select(
+        "doc_id",
+        F2.explode(
+            F2.array(
+                *[
+                    F2.struct(
+                        F2.lit(k).alias("block_no"), F2.col(f"blk{k}").alias("block_val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.block_no", "b.block_val")
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            on=[
+                F2.col("x.block_no") == F2.col("y.block_no"),
+                F2.col("x.block_val") == F2.col("y.block_val"),
+                F2.col("x.doc_id") < F2.col("y.doc_id"),
+            ],
+        )
+        .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ham = sum(
+        F2.bit_count(F2.col(f"a.blk{k}").bitwiseXOR(F2.col(f"b.blk{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(blocked.alias("a"), F2.col("doc_a") == F2.col("a.doc_id"))
+        .join(blocked.alias("b"), F2.col("doc_b") == F2.col("b.doc_id"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hdist"))
+        .filter(ham <= 3)
+    )
 
 
 register(
     "dedup_simhash",
     "SimHash near-dup: 32-bit signature from md5-derived shingle-bit votes "
     "(shingle features, not unigrams — synthetic docs share vocabulary), "
-    "pigeonhole blocking on 8-bit blocks (hamming<=3 => >=1 of 4 blocks "
-    "equal), exact hamming verification <= 3. Single-pass aggregation: "
-    "32 vote columns, no bits-expansion join.",
-    sql=_simhash_sql,
+    "pigeonhole blocking unpivoted to an equi-join on (block_no, block_val) "
+    "(no cartesian), exact hamming verification <= 3 via bit_count(xor). "
+    "Single-pass aggregation: 32 vote columns, no bits-expansion join; "
+    "signature table persisted once, read three times.",
+    sql=_simhash_duck_sql,
+    spark_fn=_simhash_spark_fn,
 )
 
-def _embedding_cosine_fn(spark, sf_dir):
-    """Blocked brute-force cosine pairs via broadcast + NumPy GEMM.
+def _lsh_buckets_cte(d: str) -> str:
+    """CTE fragment ``elems``/``proj``/``buckets``: every vector's 8-bit
+    sign bucket under 8 md5-derived random hyperplanes — ONE aggregation
+    pass over the exploded elements (shared by ann_lsh_bucketed and
+    dedup_embedding_cosine so the recall tier is defined exactly once)."""
+    return f"""
+elems AS ({_vec_elems(d)}),
+proj AS (
+  SELECT vec_id,
+    {", ".join(
+        "CASE WHEN SUM(x * (("
+        + hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
+        + " % 1000) - 499.5)) >= 0 THEN 1 ELSE 0 END AS hb" + str(j)
+        for j in range(1, 9)
+    )}
+  FROM elems GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id,
+    CAST({" + ".join(f"hb{j} * {2 ** (j - 1)}" for j in range(1, 9))} AS BIGINT) AS bucket
+  FROM proj
+)"""
 
-    The SQL formulation pays an interpreted array-fold dot product per pair —
-    at n² pairs that dominates. The scale pattern instead: broadcast the
-    (normalized) corpus matrix, stream row blocks through mapInPandas, and
-    let BLAS compute block × corpusᵀ. At 100 TB the broadcast side becomes
-    the IVF/LSH-bucketed candidate set (ann_lsh_bucketed); the blocked-GEMM
-    kernel is identical.
+
+def _embedding_cosine_sql(d: str) -> str:
+    """Multi-table hyperplane-LSH near-dup with exact cosine verification.
+
+    Round-1 collected the corpus on the driver and broadcast the full matrix
+    (all-pairs GEMM) — a driver-memory wall at 100 TB. The scale shape: L=4
+    LSH tables × k=4 md5-derived hyperplanes each. A vector's 4-bit sign
+    bucket per table is unpivoted to (vec_id, tbl, bucket) rows, so candidate
+    generation is an equi-join on (tbl, bucket) — a shuffled hash join,
+    never all-pairs — and a pair is a candidate if it collides in ANY table
+    (OR-amplification; DISTINCT collapses multi-table collisions). Exact
+    cosine then verifies candidates only. Both dialects compute the identical
+    bucket assignment, so the oracle checks the exact pair set the scale
+    path emits (LSH is approximate by design; the contract is the scheme,
+    and the scheme is deterministic).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F2
+    k, L = 4, 4
 
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
+    def hb(j: int) -> str:
+        plane = (
+            hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
+            + " % 1000) - 499.5"
+        )
+        return f"CASE WHEN SUM(x * (({plane})) >= 0 THEN 1 ELSE 0 END AS hb{j}"
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # corpus matrix fits comfortably (n × 64 floats)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def block_pairs(batches):
-        b_ids, b_mat, b_norms = bc.value
-        order = np.argsort(b_ids)
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (q @ b_mat.T) / (np.sqrt((q * q).sum(axis=1))[:, None] * b_norms[None, :])
-            out_a, out_b, out_s = [], [], []
-            for i, qa in enumerate(q_ids):
-                mask = (b_ids > qa) & (sims[i] >= 0.45)
-                out_a.extend([qa] * int(mask.sum()))
-                out_b.extend(b_ids[mask])
-                out_s.extend(sims[i][mask])
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_s})
-
-    res = emb.repartition(32).mapInPandas(
-        block_pairs, "vec_a long, vec_b long, cos_sim double"
+    projs = ",\n    ".join(hb(j) for j in range(1, k * L + 1))
+    tbl_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        + " + ".join(f"hb{t * k + r + 1} * {2 ** r}" for r in range(k))
+        + " AS bucket FROM proj"
+        for t in range(L)
     )
-    return res.select("vec_a", "vec_b", F2.round("cos_sim", 4).alias("cos_sim"))
+    return f"""
+WITH elems AS ({_vec_elems(d)}),
+proj AS (
+  SELECT vec_id,
+    {projs}
+  FROM elems GROUP BY vec_id
+),
+tbl_buckets AS (
+  {tbl_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM tbl_buckets a JOIN tbl_buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+n AS (
+  SELECT vec_id, {array_double(d, 'embedding')} AS e,
+    sqrt({dot(d, array_double(d, 'embedding'), array_double(d, 'embedding'))}) AS nrm
+  FROM embeddings
+)
+SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
+  SELECT c.vec_a, c.vec_b, {dot(d, 'a.e', 'b.e')} / (a.nrm * b.nrm) AS cos_sim
+  FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+) pairs
+WHERE cos_sim >= 0.45
+"""
 
 
 register(
     "dedup_embedding_cosine",
-    "Embedding-cosine near-dup pairs: exact cosine >= 0.45 (brute-force "
-    "verify tier; LSH buckets are the recall tier). Spark side runs blocked "
-    "NumPy GEMM against a broadcast normalized corpus (mapInPandas); the "
-    "DuckDB oracle verifies values via per-pair dot products.",
-    sql=lambda d: f"""
-WITH v AS (
-  SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings
-),
-n AS (SELECT vec_id, e, sqrt({dot(d, 'e', 'e')}) AS nrm FROM v)
-SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    {dot(d, 'a.e', 'b.e')} / (a.nrm * b.nrm) AS cos_sim
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
-) pairs
-WHERE cos_sim >= 0.45
-"""
-    if d == "duck"
-    else None,
-    spark_fn=_embedding_cosine_fn,
+    "Embedding-cosine near-dup pairs at cosine >= 0.45: 4-table x "
+    "4-hyperplane LSH candidates (equi-join on (tbl, bucket), "
+    "OR-amplified recall — no driver collect, no full-corpus broadcast, "
+    "never all-pairs), exact cosine verification on candidates only.",
+    sql=_embedding_cosine_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -441,25 +651,7 @@ register(
     "8-bit sign bucket; queries probe only their own bucket; exact cosine "
     "re-rank inside the bucket. Bucket join replaces the all-pairs product.",
     sql=lambda d: f"""
-WITH elems AS ({_vec_elems(d)}),
--- 8 hyperplane projections as aggregate columns over the element rows: no
--- (elems x planes) join, one aggregation pass (the hyperplane component for
--- (j, dim) is md5-derived arithmetic, identical in both dialects)
-proj AS (
-  SELECT vec_id,
-    {", ".join(
-        "CASE WHEN SUM(x * (("
-        + hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
-        + " % 1000) - 499.5)) >= 0 THEN 1 ELSE 0 END AS hb" + str(j)
-        for j in range(1, 9)
-    )}
-  FROM elems GROUP BY vec_id
-),
-buckets AS (
-  SELECT vec_id,
-    CAST({" + ".join(f"hb{j} * {2 ** (j - 1)}" for j in range(1, 9))} AS BIGINT) AS bucket
-  FROM proj
-),
+WITH {_lsh_buckets_cte(d)},
 q AS (SELECT b.vec_id, b.bucket, e.embedding
       FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id < 8),
 c AS (SELECT b.vec_id, b.bucket, e.embedding

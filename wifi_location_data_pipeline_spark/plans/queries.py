@@ -950,10 +950,67 @@ FROM gdop
 """,
 )
 
+# SELECTION.md:31-74 weight matrices as Python dicts -> CASE expressions.
+# Round-1 joined four 24/30/18-row VALUES tables per algorithm; the matrices
+# are static, so they fold into pure CASE arithmetic over one exploded
+# 6-element algorithm list: ONE tiny lateral expansion, ZERO multiplier joins.
+_SEL_ALGOS = (
+    "proximity",
+    "rssi_ratio",
+    "weighted_centroid",
+    "trilateration",
+    "maximum_likelihood",
+    "log_distance",
+)
+_SEL_BASE_W = {
+    "SINGLE_AP": (1.0, 0.0, 0.0, 0.0, 0.0, 0.4),
+    "TWO_APS": (0.4, 1.0, 0.8, 0.0, 0.0, 0.5),
+    "THREE_APS": (0.3, 0.7, 0.8, 1.0, 0.0, 0.5),
+    "FOUR_PLUS_APS": (0.2, 0.5, 0.7, 0.8, 1.0, 0.4),
+}
+_SEL_SIG_W = {
+    "STRONG_SIGNAL": (0.9, 1.0, 1.0, 1.1, 1.2, 1.0),
+    "MEDIUM_SIGNAL": (0.7, 0.9, 1.0, 0.8, 0.9, 0.8),
+    "WEAK_SIGNAL": (0.4, 0.6, 0.8, 0.3, 0.5, 0.6),
+    "VERY_WEAK_SIGNAL": (0.5, 0.0, 0.0, 0.0, 0.0, 0.0),
+}
+_SEL_GEO_W = {
+    "EXCELLENT_GDOP": (1.0, 1.0, 1.0, 1.3, 1.2, 1.0),
+    "GOOD_GDOP": (1.0, 1.0, 1.1, 0.9, 1.1, 1.0),
+    "FAIR_GDOP": (1.0, 0.9, 1.2, 0.6, 0.9, 0.8),
+    "POOR_GDOP": (1.0, 0.8, 1.3, 0.3, 0.7, 0.7),
+    "COLLINEAR": (1.0, 0.7, 1.4, 0.0, 0.5, 0.6),
+}
+_SEL_DIST_W = {
+    "UNIFORM_SIGNALS": (1.0, 1.2, 1.0, 1.1, 0.9, 1.1),
+    "MIXED_SIGNALS": (0.7, 0.9, 1.2, 0.8, 1.3, 0.8),
+    "SIGNAL_OUTLIERS": (0.9, 0.7, 1.4, 0.5, 1.2, 0.8),
+}
+
+
+def _sel_mult_case(klass_col: str, table: dict[str, tuple[float, ...]]) -> str:
+    """Nested CASE: multiplier as a function of (context class, algorithm)."""
+    outer = []
+    for klass, mults in table.items():
+        inner = " ".join(f"WHEN '{a}' THEN {m}" for a, m in zip(_SEL_ALGOS, mults))
+        outer.append(f"WHEN '{klass}' THEN CASE algorithm {inner} END")
+    return f"CASE {klass_col} {' '.join(outer)} END"
+
+
+def _sel_algo_lateral(d: str) -> str:
+    """Expand each ctx row into one row per algorithm (literal 6-list, no
+    join): Spark LATERAL VIEW explode, DuckDB unnest-in-FROM."""
+    vals = ", ".join(f"'{a}'" for a in _SEL_ALGOS)
+    if d == SPARK:
+        return f"FROM ctx c LATERAL VIEW explode(array({vals})) t AS algorithm"
+    return f"FROM ctx c, unnest([{vals}]) AS t(algorithm)"
+
+
 register(
     "selection_matrix",
     "Algorithm-selection framework as SQL: context classes (AP count, signal "
-    "quality/distribution, GDOP geometry) x literal weight matrix -> "
+    "quality/distribution, GDOP geometry) x static weight matrix folded to "
+    "CASE arithmetic (no multiplier joins) -> "
     "base*signal*geometry*distribution, threshold 0.4, adaptive top-K "
     "(top-2 if max>0.8 else top-3), best-algorithm fallback "
     "(SELECTION.md:13-85; AlgorithmSelector.java:67-120,365-438; "
@@ -986,55 +1043,14 @@ ctx AS (
     FROM obs GROUP BY user_id
   ) p JOIN gdop g ON p.user_id = g.user_id
 ),
-base_w AS (SELECT * FROM (VALUES
-  ('SINGLE_AP','proximity',1.0),('SINGLE_AP','rssi_ratio',0.0),('SINGLE_AP','weighted_centroid',0.0),
-  ('SINGLE_AP','trilateration',0.0),('SINGLE_AP','maximum_likelihood',0.0),('SINGLE_AP','log_distance',0.4),
-  ('TWO_APS','proximity',0.4),('TWO_APS','rssi_ratio',1.0),('TWO_APS','weighted_centroid',0.8),
-  ('TWO_APS','trilateration',0.0),('TWO_APS','maximum_likelihood',0.0),('TWO_APS','log_distance',0.5),
-  ('THREE_APS','proximity',0.3),('THREE_APS','rssi_ratio',0.7),('THREE_APS','weighted_centroid',0.8),
-  ('THREE_APS','trilateration',1.0),('THREE_APS','maximum_likelihood',0.0),('THREE_APS','log_distance',0.5),
-  ('FOUR_PLUS_APS','proximity',0.2),('FOUR_PLUS_APS','rssi_ratio',0.5),('FOUR_PLUS_APS','weighted_centroid',0.7),
-  ('FOUR_PLUS_APS','trilateration',0.8),('FOUR_PLUS_APS','maximum_likelihood',1.0),('FOUR_PLUS_APS','log_distance',0.4)
-) AS t(klass, algorithm, mult)),
-sig_w AS (SELECT * FROM (VALUES
-  ('STRONG_SIGNAL','proximity',0.9),('STRONG_SIGNAL','rssi_ratio',1.0),('STRONG_SIGNAL','weighted_centroid',1.0),
-  ('STRONG_SIGNAL','trilateration',1.1),('STRONG_SIGNAL','maximum_likelihood',1.2),('STRONG_SIGNAL','log_distance',1.0),
-  ('MEDIUM_SIGNAL','proximity',0.7),('MEDIUM_SIGNAL','rssi_ratio',0.9),('MEDIUM_SIGNAL','weighted_centroid',1.0),
-  ('MEDIUM_SIGNAL','trilateration',0.8),('MEDIUM_SIGNAL','maximum_likelihood',0.9),('MEDIUM_SIGNAL','log_distance',0.8),
-  ('WEAK_SIGNAL','proximity',0.4),('WEAK_SIGNAL','rssi_ratio',0.6),('WEAK_SIGNAL','weighted_centroid',0.8),
-  ('WEAK_SIGNAL','trilateration',0.3),('WEAK_SIGNAL','maximum_likelihood',0.5),('WEAK_SIGNAL','log_distance',0.6),
-  ('VERY_WEAK_SIGNAL','proximity',0.5),('VERY_WEAK_SIGNAL','rssi_ratio',0.0),('VERY_WEAK_SIGNAL','weighted_centroid',0.0),
-  ('VERY_WEAK_SIGNAL','trilateration',0.0),('VERY_WEAK_SIGNAL','maximum_likelihood',0.0),('VERY_WEAK_SIGNAL','log_distance',0.0)
-) AS t(klass, algorithm, mult)),
-geo_w AS (SELECT * FROM (VALUES
-  ('EXCELLENT_GDOP','proximity',1.0),('EXCELLENT_GDOP','rssi_ratio',1.0),('EXCELLENT_GDOP','weighted_centroid',1.0),
-  ('EXCELLENT_GDOP','trilateration',1.3),('EXCELLENT_GDOP','maximum_likelihood',1.2),('EXCELLENT_GDOP','log_distance',1.0),
-  ('GOOD_GDOP','proximity',1.0),('GOOD_GDOP','rssi_ratio',1.0),('GOOD_GDOP','weighted_centroid',1.1),
-  ('GOOD_GDOP','trilateration',0.9),('GOOD_GDOP','maximum_likelihood',1.1),('GOOD_GDOP','log_distance',1.0),
-  ('FAIR_GDOP','proximity',1.0),('FAIR_GDOP','rssi_ratio',0.9),('FAIR_GDOP','weighted_centroid',1.2),
-  ('FAIR_GDOP','trilateration',0.6),('FAIR_GDOP','maximum_likelihood',0.9),('FAIR_GDOP','log_distance',0.8),
-  ('POOR_GDOP','proximity',1.0),('POOR_GDOP','rssi_ratio',0.8),('POOR_GDOP','weighted_centroid',1.3),
-  ('POOR_GDOP','trilateration',0.3),('POOR_GDOP','maximum_likelihood',0.7),('POOR_GDOP','log_distance',0.7),
-  ('COLLINEAR','proximity',1.0),('COLLINEAR','rssi_ratio',0.7),('COLLINEAR','weighted_centroid',1.4),
-  ('COLLINEAR','trilateration',0.0),('COLLINEAR','maximum_likelihood',0.5),('COLLINEAR','log_distance',0.6)
-) AS t(klass, algorithm, mult)),
-dist_w AS (SELECT * FROM (VALUES
-  ('UNIFORM_SIGNALS','proximity',1.0),('UNIFORM_SIGNALS','rssi_ratio',1.2),('UNIFORM_SIGNALS','weighted_centroid',1.0),
-  ('UNIFORM_SIGNALS','trilateration',1.1),('UNIFORM_SIGNALS','maximum_likelihood',0.9),('UNIFORM_SIGNALS','log_distance',1.1),
-  ('MIXED_SIGNALS','proximity',0.7),('MIXED_SIGNALS','rssi_ratio',0.9),('MIXED_SIGNALS','weighted_centroid',1.2),
-  ('MIXED_SIGNALS','trilateration',0.8),('MIXED_SIGNALS','maximum_likelihood',1.3),('MIXED_SIGNALS','log_distance',0.8),
-  ('SIGNAL_OUTLIERS','proximity',0.9),('SIGNAL_OUTLIERS','rssi_ratio',0.7),('SIGNAL_OUTLIERS','weighted_centroid',1.4),
-  ('SIGNAL_OUTLIERS','trilateration',0.5),('SIGNAL_OUTLIERS','maximum_likelihood',1.2),('SIGNAL_OUTLIERS','log_distance',0.8)
-) AS t(klass, algorithm, mult)),
 weighted AS (
-  SELECT c.user_id, b.algorithm,
-    b.mult * s.mult * g.mult * dw.mult AS weight,
+  SELECT c.user_id, algorithm,
+    ({_sel_mult_case('c.ap_count_class', _SEL_BASE_W)})
+    * ({_sel_mult_case('c.signal_quality', _SEL_SIG_W)})
+    * ({_sel_mult_case('c.geometric_quality', _SEL_GEO_W)})
+    * ({_sel_mult_case('c.signal_distribution', _SEL_DIST_W)}) AS weight,
     c.signal_quality
-  FROM ctx c
-    JOIN base_w b ON b.klass = c.ap_count_class
-    JOIN sig_w s ON s.klass = c.signal_quality AND s.algorithm = b.algorithm
-    JOIN geo_w g ON g.klass = c.geometric_quality AND g.algorithm = b.algorithm
-    JOIN dist_w dw ON dw.klass = c.signal_distribution AND dw.algorithm = b.algorithm
+  {_sel_algo_lateral(d)}
 ),
 ranked AS (
   SELECT user_id, algorithm, weight,
