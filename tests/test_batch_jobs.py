@@ -191,3 +191,67 @@ def test_dml_emulation(spark):
     source = spark.createDataFrame([("k3", 30, "c2"), ("k4", 4, "d")], "k string, v int, s string")
     merged = {r["k"]: r for r in table_dml.merge_upsert(target, source, ["k"]).collect()}
     assert merged["k3"]["v"] == 30 and merged["k4"]["v"] == 4 and merged["k1"]["v"] == 1
+
+
+def test_bayesian_tier_fuses_prior(measurements):
+    """FRAMEWORK:163-169 parity: the BAYESIAN tier is MAP estimation. A vague
+    prior must reproduce the MLE answer; a sharp planted prior must pin the
+    estimate to it; an AP with no prior row degrades to (labeled) MLE."""
+    from wifi_location_data_pipeline_spark.operators.localization import (
+        bayesian_localize,
+        mle_localize,
+    )
+
+    spark = measurements.sparkSession
+    m = measurements.filter(F.col("rssi").isNotNull()).filter(
+        F.col("bssid") == "aa:00:00:00:00:13"
+    )
+    mle = mle_localize(m).collect()[0]
+
+    weak = spark.createDataFrame(
+        [("aa:00:00:00:00:13", 40.7600, -73.9800, 1.0e12)],
+        "bssid string, latitude double, longitude double, p_var_m2 double",
+    )
+    r_weak = bayesian_localize(m, weak).collect()[0]
+    assert r_weak["algorithm"] == "BAYESIAN"
+    assert abs(r_weak["latitude"] - mle["latitude"]) < 1e-5
+    assert abs(r_weak["longitude"] - mle["longitude"]) < 1e-5
+
+    plat, plon = 40.7600, -73.9800
+    strong = spark.createDataFrame(
+        [("aa:00:00:00:00:13", plat, plon, 1.0)],
+        "bssid string, latitude double, longitude double, p_var_m2 double",
+    )
+    r_strong = bayesian_localize(m, strong).collect()[0]
+    err_m = math.hypot(
+        (r_strong["latitude"] - plat) * 111_000.0,
+        (r_strong["longitude"] - plon) * 111_000.0 * math.cos(math.radians(plat)),
+    )
+    assert err_m < 10.0, f"strong prior ignored: {err_m:.1f} m off the prior"
+    # posterior accuracy tightens: 1/P_post = 1/P_prior + 1/R_batch
+    assert r_strong["horizontal_accuracy"] <= mle["horizontal_accuracy"]
+
+    unrelated = spark.createDataFrame(
+        [("ff:ff:00:00:00:01", plat, plon, 1.0)],
+        "bssid string, latitude double, longitude double, p_var_m2 double",
+    )
+    r_none = bayesian_localize(m, unrelated).collect()[0]
+    assert r_none["algorithm"] == "MLE"
+    assert abs(r_none["latitude"] - mle["latitude"]) < 1e-9
+
+
+def test_localize_with_history_routes_bayesian(measurements):
+    """N>=100 APs must come out of the history loop as BAYESIAN; the other
+    tiers are untouched relative to localize_all."""
+    from wifi_location_data_pipeline_spark.operators.localization import (
+        localize_with_history,
+    )
+
+    flagged = flag_global_outliers(measurements, algorithm="MAD", exact=True)
+    routing = {r["bssid"]: r["tier"] for r in tier_routing(flagged).collect()}
+    out = {r["bssid"]: r for r in localize_with_history(flagged).collect()}
+    assert set(out) == set(routing)
+    assert any(t == "BAYESIAN" for t in routing.values())
+    for bssid, tier in routing.items():
+        got = out[bssid]["algorithm"]
+        assert got == tier, (bssid, tier, got)

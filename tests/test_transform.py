@@ -113,3 +113,24 @@ def test_conform_schema_has_45_columns(measurements):
     conformed = conform_to_measurements_schema(measurements)
     assert len(conformed.columns) == 45
     assert conformed.filter(F.col("is_global_outlier").isNotNull()).count() == 0
+
+
+def test_stream_name_extraction(spark):
+    """FeedUploadEvent.extractStreamName parity (FeedUploadEvent.java:94-165):
+    second-to-last path component, URL-decoded, 'unknown' on failure."""
+    from wifi_location_data_pipeline_spark.sources.codec import stream_name_expr
+
+    cases = [
+        ("year%3D2025/month%3D08/day%3D13/hour%3D22/MVS-stream/file.txt", "MVS-stream"),
+        ("year=2025/month=08/day=13/hour=22/MVS-stream/file.txt", "MVS-stream"),
+        ("2025/08/13/22/MVS-stream/file.txt", "MVS-stream"),
+        ("prefix/2025/08/13/22/MVS-stream/file.txt", "MVS-stream"),
+        ("MVS-stream/file.txt", "MVS-stream"),
+        ("just-a-filename.txt", "unknown"),
+        ("", "unknown"),
+        ("a//file.txt", "unknown"),  # blank component
+        ("x" * 201 + "/file.txt", "unknown"),  # over length limit
+    ]
+    df = spark.createDataFrame([(k,) for k, _ in cases], "key string")
+    got = [r["s"] for r in df.select(stream_name_expr(F.col("key")).alias("s")).collect()]
+    assert got == [want for _, want in cases]

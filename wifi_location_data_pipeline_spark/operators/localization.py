@@ -182,6 +182,12 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
     gradient iterations per AP dominate when run sequentially per group.
     Padded (R×K) tensors with per-AP learning rates and convergence masks;
     element-wise ops keep per-AP math identical to the sequential reference.
+
+    Bayesian tier (doc :163-169): a group may carry ``prior`` =
+    (lat, lon, p_var_m2) — the AP's persisted state (x̂, P). The objective
+    becomes the log-posterior: log-likelihood plus the Gaussian log-prior
+    −(‖pos − x̂‖²)/(2P) in the local meter frame, i.e. MAP estimation. With
+    no prior the extra term is zero and the math is exactly the MLE tier.
     """
     R = len(groups)
     K = max(len(g["rssi"]) for g in groups)
@@ -196,6 +202,9 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
     lat0 = np.zeros(R)
     lon0 = np.zeros(R)
     coslat = np.ones(R)
+    ppx = np.zeros(R)  # prior mean in the local meter frame
+    ppy = np.zeros(R)
+    ipv = np.zeros(R)  # 1/P (prior precision); 0 = no prior = plain MLE
 
     for r, g in enumerate(groups):
         k = len(g["rssi"])
@@ -212,6 +221,12 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
         ax[r, :k] = (lo - lon0[r]) * METERS_PER_DEG * coslat[r]
         ay[r, :k] = (la - lat0[r]) * METERS_PER_DEG
         valid[r, :k] = True
+        prior = g.get("prior")
+        if prior is not None:
+            p_lat, p_lon, p_var = prior
+            ppx[r] = (p_lon - lon0[r]) * METERS_PER_DEG * coslat[r]
+            ppy[r] = (p_lat - lat0[r]) * METERS_PER_DEG
+            ipv[r] = 1.0 / max(float(p_var), 1.0)
 
     w0 = np.where(valid, qw * np.power(10.0, rssi / 10.0), 0.0)
     sw0 = np.maximum(w0.sum(axis=1), 1e-300)
@@ -222,7 +237,9 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
     def ll_of(x, y):
         d = np.maximum(np.hypot(ax - x[:, None], ay - y[:, None]), 1.0)
         err = rssi - (ref - 10.0 * n_exp * np.log10(d))
-        return np.sum(-(err**2) / (2.0 * sigma**2) * qw * valid, axis=1)
+        ll = np.sum(-(err**2) / (2.0 * sigma**2) * qw * valid, axis=1)
+        # Gaussian log-prior (zero when ipv=0): MAP = MLE + prior pull
+        return ll - 0.5 * ipv * ((x - ppx) ** 2 + (y - ppy) ** 2)
 
     cur_x, cur_y = px.copy(), py.copy()
     best_x, best_y = px.copy(), py.copy()
@@ -235,8 +252,8 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
         d = np.maximum(np.hypot(ax - cur_x[:, None], ay - cur_y[:, None]), 1.0)
         err = rssi - (ref - 10.0 * n_exp * np.log10(d))
         kk = err / (sigma**2) * qw * valid * kgrad / (d**2)
-        gx = np.sum(kk * (ax - cur_x[:, None]), axis=1)
-        gy = np.sum(kk * (ay - cur_y[:, None]), axis=1)
+        gx = np.sum(kk * (ax - cur_x[:, None]), axis=1) + ipv * (ppx - cur_x)
+        gy = np.sum(kk * (ay - cur_y[:, None]), axis=1) + ipv * (ppy - cur_y)
         gn = np.hypot(gx, gy)
         active &= gn >= 1e-12
         if not active.any():
@@ -263,14 +280,21 @@ def _mle_localize_batch(groups: list[dict]) -> list[list]:
         n = k
         connected_mean = float(np.mean(g["connected"]))
         alts = g["alt"][~np.isnan(g["alt"])]
+        # posterior accuracy: 1/P_post = 1/P_prior + 1/R_batch (doc :195-206);
+        # prior-less groups have ipv=0, reducing to the plain MLE accuracy
+        r_std = max(3.0, resid * 2.0)
+        post_var = 1.0 / (ipv[r] + 1.0 / (r_std * r_std))
+        conf = min(0.95, 0.5 + 0.002 * n + (0.2 if connected_mean > 0.3 else 0.0))
+        if ipv[r] > 0.0:
+            conf = min(0.97, conf + 0.05)  # tighter posterior (doc :159)
         out.append(
             [
-                "MLE",
+                "BAYESIAN" if ipv[r] > 0.0 else "MLE",
                 lat0[r] + float(best_y[r]) / METERS_PER_DEG,
                 lon0[r] + float(best_x[r]) / (METERS_PER_DEG * coslat[r]),
                 float(alts.mean()) if len(alts) else None,
-                max(3.0, resid * 2.0),
-                min(0.95, 0.5 + 0.002 * n + (0.2 if connected_mean > 0.3 else 0.0)),
+                max(3.0, math.sqrt(post_var)),
+                conf,
                 n,
             ]
         )
@@ -286,22 +310,28 @@ _MLE_PACK_COLS = (
 def _run_mle_packed(batches):
     for pdf in batches:
         bssids, groups = [], []
-        for bssid, obs in zip(pdf["bssid"], pdf["obs"]):
+        has_prior = "prior_lat" in pdf.columns
+        for i, (bssid, obs) in enumerate(zip(pdf["bssid"], pdf["obs"])):
             to = lambda key: np.array([o[key] for o in obs], dtype=float)  # noqa: E731
             bssids.append(bssid)
-            groups.append(
-                {
-                    "lat": to("latitude"),
-                    "lon": to("longitude"),
-                    "alt": to("altitude"),
-                    "rssi": to("rssi"),
-                    "qw": to("quality_weight"),
-                    "connected": np.array(
-                        [o["connection_status"] == "CONNECTED" for o in obs]
-                    ),
-                    "freq": to("frequency"),
-                }
-            )
+            g = {
+                "lat": to("latitude"),
+                "lon": to("longitude"),
+                "alt": to("altitude"),
+                "rssi": to("rssi"),
+                "qw": to("quality_weight"),
+                "connected": np.array(
+                    [o["connection_status"] == "CONNECTED" for o in obs]
+                ),
+                "freq": to("frequency"),
+            }
+            if has_prior and pd.notna(pdf["prior_lat"].iloc[i]):
+                g["prior"] = (
+                    float(pdf["prior_lat"].iloc[i]),
+                    float(pdf["prior_lon"].iloc[i]),
+                    float(pdf["prior_var"].iloc[i]),
+                )
+            groups.append(g)
         rows = (
             [[b, *r] for b, r in zip(bssids, _mle_localize_batch(groups))]
             if groups
@@ -343,21 +373,100 @@ def mle_localize_grouped(measurements: DataFrame, max_rows_per_ap: int = 2000) -
     )
 
 
+def bayesian_localize(
+    measurements: DataFrame, prior_state: DataFrame, max_rows_per_ap: int = 2000
+) -> DataFrame:
+    """Tier-3 Bayesian inference (doc :163-169): MAP gradient ascent fusing
+    the per-AP prior state (x̂, P) with the batch log-likelihood — the same
+    lockstep-batched kernel as the MLE tier with the Gaussian log-prior term
+    switched on. APs with no prior row degrade gracefully to plain MLE
+    (label stays honest: 'MLE').
+
+    prior_state: (bssid, latitude, longitude, p_var_m2) — the kalman_update
+    state convention."""
+    capped = _capped(measurements, max_rows_per_ap)
+    packed = capped.groupBy("bssid").agg(
+        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
+    )
+    prior = prior_state.select(
+        "bssid",
+        F.col("latitude").alias("prior_lat"),
+        F.col("longitude").alias("prior_lon"),
+        F.col("p_var_m2").alias("prior_var"),
+    )
+    packed = packed.join(F.broadcast(prior), "bssid", "left")
+    spark = measurements.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return packed.repartition(n_parts).mapInPandas(_run_mle_packed, AP_LOCATION_SCHEMA)
+
+
+def wcl_prior_state(history: DataFrame) -> DataFrame:
+    """Prior state (x̂, P) from historical measurements: the WCL estimate with
+    a spread-derived scalar variance — the bootstrap form of the persisted
+    Kalman state when no previous batch exists (doc :184-191)."""
+    est = wcl_localize(history)
+    return est.select(
+        "bssid",
+        "latitude",
+        "longitude",
+        F.pow(F.col("horizontal_accuracy"), 2).alias("p_var_m2"),
+    )
+
+
 def localize_all(
-    measurements: DataFrame, cfg: C.EngineConfig = C.DEFAULT_CONFIG
+    measurements: DataFrame,
+    cfg: C.EngineConfig = C.DEFAULT_CONFIG,
+    prior_state: DataFrame | None = None,
 ) -> DataFrame:
     """Route every sufficient BSSID to its maturity tier and localize.
 
-    Tier 3 currently runs the MLE estimator; its Bayesian prior fusion happens
-    in ``kalman_update`` against the existing AP state (doc :184-213).
+    With ``prior_state`` (the persisted AP state), tier-3 BAYESIAN APs run
+    MAP estimation against their prior (doc :163-169). Without it they run
+    the prior-less MLE estimator and the posterior fusion is deferred to
+    ``kalman_update`` against the existing AP state (doc :184-213).
     """
     clean = measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
     routing = tier_routing(measurements, cfg)
     wcl_ids = routing.filter(F.col("tier") == "WCL").select("bssid")
-    mle_ids = routing.filter(F.col("tier").isin("MLE", "BAYESIAN")).select("bssid")
     wcl_out = wcl_localize(clean.join(wcl_ids, "bssid", "left_semi"))
+    if prior_state is None:
+        mle_ids = routing.filter(F.col("tier").isin("MLE", "BAYESIAN")).select("bssid")
+        return wcl_out.unionByName(mle_localize(clean.join(mle_ids, "bssid", "left_semi")))
+    mle_ids = routing.filter(F.col("tier") == "MLE").select("bssid")
+    bayes_ids = routing.filter(F.col("tier") == "BAYESIAN").select("bssid")
     mle_out = mle_localize(clean.join(mle_ids, "bssid", "left_semi"))
-    return wcl_out.unionByName(mle_out)
+    bayes_out = bayesian_localize(clean.join(bayes_ids, "bssid", "left_semi"), prior_state)
+    return wcl_out.unionByName(mle_out).unionByName(bayes_out)
+
+
+def localize_with_history(
+    measurements: DataFrame, cfg: C.EngineConfig = C.DEFAULT_CONFIG
+) -> DataFrame:
+    """The doc :196-206 feedback loop in one batch job: tier-3 APs take their
+    prior from the chronologically older half of their rows (the 'persisted
+    state' analog) and fuse it with the newer half's likelihood; WCL/MLE
+    tiers are unchanged. Tier routing stays on TOTAL N — maturity counts all
+    data ever collected, not the slice used for the likelihood.
+
+    Requires ``measurement_timestamp`` and ``id`` columns (the
+    wifi_measurements layout) for the deterministic history split.
+    """
+    clean = measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
+    routing = tier_routing(measurements, cfg)
+    bayes_ids = routing.filter(F.col("tier") == "BAYESIAN").select("bssid")
+
+    rest_out = localize_all(measurements.join(bayes_ids, "bssid", "left_anti"), cfg)
+
+    bayes = clean.join(bayes_ids, "bssid", "left_semi")
+    w = Window.partitionBy("bssid").orderBy("measurement_timestamp", "id")
+    cnt = Window.partitionBy("bssid")
+    split = bayes.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(cnt)
+    )
+    hist = split.filter(F.col("_rn") <= F.col("_n") / 2).drop("_rn", "_n")
+    new = split.filter(F.col("_rn") > F.col("_n") / 2).drop("_rn", "_n")
+    bayes_out = bayesian_localize(new, wcl_prior_state(hist))
+    return rest_out.unionByName(bayes_out)
 
 
 def kalman_update(prior_state: DataFrame, new_estimates: DataFrame) -> DataFrame:

@@ -352,6 +352,50 @@ WHERE status IN ('active', 'warning', 'verified', 'test', 'imported')
 """,
 )
 
+register(
+    "comparison_enriched",
+    "AP-enrichment report (AccessPointEnrichmentService.java:36-230): each "
+    "request's scanned APs left-joined to the AP registry on id -> per-AP "
+    "found/db-status/eligible/used detail, aggregated to the reference's "
+    "request metrics: found/not-found/eligible/used counts, "
+    "percentRequestFound, percentFoundUsed, unknownExclusions = "
+    "max(0, eligible - used). Registry analog: every 5th AP absent "
+    "(DynamoDB miss), status from the ap_id%8 derivation shared with "
+    "status_filter; 'used' = eligible AND rssi >= -95 (the very-weak "
+    "hard-constraint threshold, SELECTION.md).",
+    sql=lambda d: f"""
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+registry AS (
+  SELECT ap_id,
+    CASE CAST(ap_id % 8 AS BIGINT)
+      WHEN 0 THEN 'active' WHEN 1 THEN 'warning' WHEN 2 THEN 'error'
+      WHEN 3 THEN 'expired' WHEN 4 THEN 'wifi-hotspot' WHEN 5 THEN 'verified'
+      WHEN 6 THEN 'test' ELSE 'imported' END AS status,
+    true_lat AS db_lat, true_lon AS db_lon
+  FROM aps WHERE ap_id % 5 <> 4
+),
+detail AS (
+  SELECT o.user_id, o.ap_id, o.rssi,
+    CASE WHEN r.ap_id IS NOT NULL THEN 1 ELSE 0 END AS found,
+    CASE WHEN r.status IN ('active', 'warning') THEN 1 ELSE 0 END AS eligible,
+    CASE WHEN r.status IN ('active', 'warning') AND o.rssi >= -95.0 THEN 1 ELSE 0 END AS used
+  FROM obs o LEFT JOIN registry r ON r.ap_id = o.ap_id
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS total_aps,
+  CAST(SUM(found) AS BIGINT) AS found_count,
+  CAST(COUNT(*) - SUM(found) AS BIGINT) AS not_found_count,
+  CAST(SUM(eligible) AS BIGINT) AS eligible_count,
+  CAST(SUM(used) AS BIGINT) AS used_count,
+  ROUND(SUM(found) * 100.0 / COUNT(*), 4) AS pct_request_found,
+  CASE WHEN SUM(found) > 0
+       THEN ROUND(SUM(used) * 100.0 / SUM(found), 4) END AS pct_found_used,
+  CAST(GREATEST(0, SUM(eligible) - SUM(used)) AS BIGINT) AS unknown_exclusions
+FROM detail
+GROUP BY user_id
+""",
+)
+
 # ---------------------------------------------------------------------------
 # §2.6 Sorts / limits / windows
 # ---------------------------------------------------------------------------
@@ -635,9 +679,9 @@ shifted AS (
 ),
 ref AS (SELECT MAX({epoch_s(d, 'ts')}) AS now_s FROM m)
 SELECT s.ap_id, s.event_id, ROUND(s.rssi, 4) AS rssi, s.ts_s
-FROM shifted s CROSS JOIN ref
-WHERE s.ts_s <= ref.now_s
-  AND s.ts_s >= ref.now_s - 20 * 86400
+FROM shifted s
+WHERE s.ts_s <= (SELECT now_s FROM ref)
+  AND s.ts_s >= (SELECT now_s FROM ref) - 20 * 86400
 """,
 )
 
@@ -723,11 +767,14 @@ register(
 WITH m AS ({measurements_cte(d)}),
 split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
 planted AS (
+  -- scalar subquery, not a CROSS JOIN: Spark plans the one-row aggregate as
+  -- a reused ScalarSubquery instead of a nested-loop join
   SELECT m.ap_id,
-    m.latitude + CASE WHEN m.ap_id % 10 = 0 AND {epoch_s(d, 'ts')} > s.mid_s
+    m.latitude + CASE WHEN m.ap_id % 10 = 0
+                       AND {epoch_s(d, 'ts')} > (SELECT mid_s FROM split)
                       THEN 0.01 ELSE 0.0 END AS latitude,
-    m.longitude, {epoch_s(d, 'ts')} AS ts_s, s.mid_s
-  FROM m CROSS JOIN split s
+    m.longitude, {epoch_s(d, 'ts')} AS ts_s, (SELECT mid_s FROM split) AS mid_s
+  FROM m
 ),
 halves AS (
   SELECT ap_id, CASE WHEN ts_s <= mid_s THEN 'old' ELSE 'new' END AS half,
@@ -813,13 +860,16 @@ WITH m AS ({measurements_cte(d)}),
 split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
 halves AS (
   -- every 10th AP gets a planted 0.01-degree move in the new half so the
-  -- innovation-triggered relocation reset branch is exercised
+  -- innovation-triggered relocation reset branch is exercised; the one-row
+  -- median is a reused ScalarSubquery, not a nested-loop join
   SELECT m.ap_id,
-    CASE WHEN {epoch_s(d, 'ts')} <= s.mid_s THEN 'old' ELSE 'new' END AS half,
-    m.latitude + CASE WHEN m.ap_id % 10 = 0 AND {epoch_s(d, 'ts')} > s.mid_s
+    CASE WHEN {epoch_s(d, 'ts')} <= (SELECT mid_s FROM split)
+         THEN 'old' ELSE 'new' END AS half,
+    m.latitude + CASE WHEN m.ap_id % 10 = 0
+                       AND {epoch_s(d, 'ts')} > (SELECT mid_s FROM split)
                       THEN 0.01 ELSE 0.0 END AS latitude,
     m.longitude
-  FROM m CROSS JOIN split s
+  FROM m
 ),
 est AS (
   SELECT ap_id, half,
@@ -1119,19 +1169,25 @@ def _geohash_cells_sql(d: str) -> str:
     from wifi_location_data_pipeline_spark.plans.dialect import geohash_parts
 
     gx, gy, gh = geohash_parts(d, "m.latitude", "m.longitude", precision=6)
+    # Aggregate on the INTEGER cell coords first (gx, gy) — a bijection of
+    # the geohash string — and build the 6-char base32 string once per
+    # DISTINCT cell. Round-1 evaluated the ~60-term char-extraction
+    # expression per input row (interpreted, 32x slower than the oracle);
+    # now it runs on the handful of aggregated cells.
     return f"""
 WITH m AS ({measurements_cte(d)}),
 cells AS (
   SELECT m.ap_id, {gx} AS gx, {gy} AS gy FROM m
 ),
-hashed AS (
-  SELECT ap_id, {gh} AS geohash6 FROM cells
+agg AS (
+  SELECT gx, gy,
+    CAST(COUNT(*) AS BIGINT) AS n_measurements,
+    CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS n_aps
+  FROM cells
+  GROUP BY gx, gy
 )
-SELECT geohash6,
-  CAST(COUNT(*) AS BIGINT) AS n_measurements,
-  CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS n_aps
-FROM hashed
-GROUP BY geohash6
+SELECT {gh} AS geohash6, n_measurements, n_aps
+FROM agg
 """
 
 
@@ -1399,15 +1455,19 @@ SELECT doc_id, sha256(text) AS roundtrip_sha FROM documents
 
 def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maturity-tiered batch localization end-to-end (SURVEY §2.9/§3.3):
-    tier routing (WCL / applyInPandas MLE) over every sufficient BSSID in one
-    job. Iterative gradient ascent -> not SQL-expressible -> rows-only check.
+    tier routing (WCL / applyInPandas MLE / Bayesian-with-prior for N>=100,
+    prior = WCL state of each AP's older half) over every sufficient BSSID
+    in one job. Iterative gradient ascent -> not SQL-expressible ->
+    rows-only check.
     """
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.operators.localization import localize_all
+    from wifi_location_data_pipeline_spark.operators.localization import (
+        localize_with_history,
+    )
 
     m = _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
-    out = localize_all(m)
+    out = localize_with_history(m)
     return out.select(
         "bssid",
         "algorithm",
@@ -1423,7 +1483,8 @@ register(
     "batch_localization_tiered",
     "Batch AP localization with maturity-tier routing: WCL tier as pure SQL "
     "aggregate, MLE tier as applyInPandas gradient ascent with tier-specific "
-    "path-loss/sigma per row class, per-AP skew cap "
+    "path-loss/sigma per row class, BAYESIAN tier (N>=100) as MAP estimation "
+    "against the AP's prior state, per-AP skew cap "
     "(FRAMEWORK:121-169; operators/localization.py; implements the stubbed "
     "wifi-data-pipeline-computation algorithm layer).",
     spark_fn=_batch_localization_fn,

@@ -67,6 +67,34 @@ def decode_line_text(line_col: Column) -> Column:
     )
 
 
+def stream_name_expr(path_col: Column) -> Column:
+    """Feed/stream identity from an S3-style object path, for per-feed
+    dispatch (FeedUploadEvent.extractStreamName, FeedUploadEvent.java:94-126;
+    URL-decode :147-165).
+
+    Semantics mirrored exactly:
+    - URL-decode only when the key contains ``%`` (graceful on bad encoding:
+      fall back to the raw key);
+    - the stream name is the second-to-last ``/`` component (right before
+      the filename), across all layouts (``year=2025/.../STREAM/file``,
+      ``2025/08/13/22/STREAM/file``, ``STREAM/file``);
+    - fewer than 2 components, blank, or > 200 chars → ``'unknown'``.
+    """
+    decoded = F.when(
+        path_col.contains("%"), F.coalesce(F.try_url_decode(path_col), path_col)
+    ).otherwise(path_col)
+    parts = F.split(decoded, "/")
+    # F.get (not element_at): NULL on out-of-range instead of an ANSI error
+    candidate = F.get(parts, F.size(parts) - 2)
+    valid = (
+        (F.size(parts) >= 2)
+        & candidate.isNotNull()
+        & (F.trim(candidate) != "")
+        & (F.length(candidate) <= 200)
+    )
+    return F.when(valid, candidate).otherwise(F.lit("unknown"))
+
+
 def decode_scan_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """NDJSON-of-base64-gzip lines → typed scan-document rows.
 
@@ -86,4 +114,9 @@ def decode_scan_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn("doc", F.from_json(F.col("_json"), RAW_SCAN_DOCUMENT_SCHEMA))
         .filter(F.col("doc").isNotNull())
     )
-    return decoded.select("doc.*", F.input_file_name().alias("source_file"))
+    return decoded.select(
+        "doc.*",
+        F.input_file_name().alias("source_file"),
+        # per-feed multiplexing identity (FeedProcessorFactory dispatch key)
+        stream_name_expr(F.input_file_name()).alias("stream_name"),
+    )
