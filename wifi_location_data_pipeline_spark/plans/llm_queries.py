@@ -526,22 +526,53 @@ register(
     spark_fn=_simhash_spark_fn,
 )
 
+EMB_DIM = 64  # the corpus embedding length (all SFs; checked at generation)
+
+
+def _plane_weights(j: int, dims: int = EMB_DIM) -> list[float]:
+    """Hyperplane j's per-dimension weight, md5-derived for determinism.
+
+    Computed HERE (Python hashlib) and emitted as SQL literals: the round-1
+    formulation computed md5(concat(j,'_',dim)) per element row per plane
+    inside the aggregation — planes × dims × vectors hash calls (8.2M at
+    sf0.1 for the 64-plane query) for what is a 64×64 CONSTANT matrix.
+    Same digest function on both sides, so the values are unchanged."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{j}_{dim}".encode()).hexdigest()[:8], 16) % 1000) - 499.5
+        for dim in range(1, dims + 1)
+    ]
+
+
+def _array_lit(d: str, vals: list[float]) -> str:
+    s = ", ".join(repr(v) for v in vals)
+    return f"array({s})" if d == "spark" else f"[{s}]"
+
+
+def _sign_bits(d: str, n_planes: int, vec: str = "e") -> str:
+    """n_planes sign-bit columns hb1..hbN: dot the double-array column
+    against each literal hyperplane. Deterministic fold order in BOTH
+    dialects (list order), unlike a SUM over exploded rows."""
+    return ",\n    ".join(
+        f"CASE WHEN {dot(d, vec, _array_lit(d, _plane_weights(j)))} >= 0 "
+        f"THEN 1 ELSE 0 END AS hb{j}"
+        for j in range(1, n_planes + 1)
+    )
+
+
 def _lsh_buckets_cte(d: str) -> str:
-    """CTE fragment ``elems``/``proj``/``buckets``: every vector's 8-bit
-    sign bucket under 8 md5-derived random hyperplanes — ONE aggregation
-    pass over the exploded elements (shared by ann_lsh_bucketed and
-    dedup_embedding_cosine so the recall tier is defined exactly once)."""
+    """CTE fragment ``v``/``proj``/``buckets``: every vector's 8-bit sign
+    bucket under 8 md5-derived random hyperplanes — literal-weight dot
+    products straight on the embedding array, no explode, no per-row hashing
+    (shared by ann_lsh_bucketed and dedup_embedding_cosine so the recall
+    tier is defined exactly once)."""
     return f"""
-elems AS ({_vec_elems(d)}),
+v AS (SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings),
 proj AS (
   SELECT vec_id,
-    {", ".join(
-        "CASE WHEN SUM(x * (("
-        + hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
-        + " % 1000) - 499.5)) >= 0 THEN 1 ELSE 0 END AS hb" + str(j)
-        for j in range(1, 9)
-    )}
-  FROM elems GROUP BY vec_id
+    {_sign_bits(d, 8)}
+  FROM v
 ),
 buckets AS (
   SELECT vec_id,
@@ -550,12 +581,99 @@ buckets AS (
 )"""
 
 
+def _embedding_lsh_spark_fn(spark, sf_dir):
+    """Spark execution of the multi-table LSH dedup: the bucket assignment is
+    a single BLAS GEMM (embeddings × hyperplane matrix) per Arrow batch in
+    mapInPandas, and pair verification is a vectorized pandas-UDF cosine.
+
+    The pure-SQL form (kept as the DuckDB oracle) spends seconds in
+    Spark's INTERPRETED higher-order functions — 64 planes × n vectors ×
+    64 dims of lambda evaluations — for what is one matrix multiply. DuckDB's
+    native list_dot_product has no such penalty, so each dialect runs the
+    formulation that is idiomatic for it; the scheme (and result set) is
+    identical.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    k, L = 8, 8
+    W = np.array([_plane_weights(j) for j in range(1, k * L + 1)])  # (64 planes, 64 dims)
+    powers = 2 ** np.arange(k)
+
+    def to_buckets(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(ids) == 0:
+                yield pd.DataFrame({"vec_id": [], "tbl": [], "bucket": []})
+                continue
+            bits = (M @ W.T >= 0).astype(np.int64)  # (n, k*L) sign bits
+            out = []
+            for t in range(L):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": np.full(len(ids), t, dtype=np.int32),
+                            "bucket": bits[:, t * k : (t + 1) * k] @ powers,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = emb.mapInPandas(to_buckets, "vec_id long, tbl int, bucket long")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F2.col("a.tbl") == F2.col("b.tbl"),
+                F2.col("a.bucket") == F2.col("b.bucket"),
+                F2.col("a.vec_id") < F2.col("b.vec_id"),
+            ],
+        )
+        .select(F2.col("a.vec_id").alias("vec_a"), F2.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+    def _pair_cos(a, b):
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        return pd.Series(
+            (A * B).sum(axis=1)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve
+    _pair_cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    pair_cos = F2.pandas_udf(_pair_cos, T2.DoubleType())
+
+    pairs = (
+        cand.join(emb.alias("ea"), F2.col("vec_a") == F2.col("ea.vec_id"))
+        .join(emb.alias("eb"), F2.col("vec_b") == F2.col("eb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            pair_cos(F2.col("ea.embedding"), F2.col("eb.embedding")).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F2.col("cos_sim") >= 0.45).select(
+        "vec_a", "vec_b", F2.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 def _embedding_cosine_sql(d: str) -> str:
     """Multi-table hyperplane-LSH near-dup with exact cosine verification.
 
     Round-1 collected the corpus on the driver and broadcast the full matrix
-    (all-pairs GEMM) — a driver-memory wall at 100 TB. The scale shape: L=4
-    LSH tables × k=4 md5-derived hyperplanes each. A vector's 4-bit sign
+    (all-pairs GEMM) — a driver-memory wall at 100 TB. The scale shape: L=8
+    LSH tables × k=8 md5-derived hyperplanes each. A vector's 8-bit sign
     bucket per table is unpivoted to (vec_id, tbl, bucket) rows, so candidate
     generation is an equi-join on (tbl, bucket) — a shuffled hash join,
     never all-pairs — and a pair is a candidate if it collides in ANY table
@@ -564,32 +682,38 @@ def _embedding_cosine_sql(d: str) -> str:
     bucket assignment, so the oracle checks the exact pair set the scale
     path emits (LSH is approximate by design; the contract is the scheme,
     and the scheme is deterministic).
+
+    (k, L) tuning: random (non-dup) pairs collide per table with probability
+    ~(1/2)^k, so expected junk candidates ≈ L·n²/2^(k+1) — k=8, L=8 keeps
+    the verify stage ~8× cheaper than k=4, L=4 at equal table count while
+    high-similarity pairs (the near-dup regime) still collide with
+    probability 1-(1-(1-θ/π)^k)^L.
     """
-    k, L = 4, 4
-
-    def hb(j: int) -> str:
-        plane = (
-            hex_to_bigint(d, f"substr(md5(concat('{j}_', CAST(dim AS STRING))), 1, 8)")
-            + " % 1000) - 499.5"
-        )
-        return f"CASE WHEN SUM(x * (({plane})) >= 0 THEN 1 ELSE 0 END AS hb{j}"
-
-    projs = ",\n    ".join(hb(j) for j in range(1, k * L + 1))
-    tbl_rows = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, {t} AS tbl, "
-        + " + ".join(f"hb{t * k + r + 1} * {2 ** r}" for r in range(k))
-        + " AS bucket FROM proj"
-        for t in range(L)
+    k, L = 8, 8
+    buckets = ", ".join(
+        " + ".join(f"hb{t * k + r + 1} * {2 ** r}" for r in range(k)) for t in range(L)
     )
+    # Unpivot the L bucket values via ONE explode, not L UNION branches: each
+    # UNION branch re-expands the k*L-column projection (verified: the UNION
+    # form recomputed it L times — CTEs are not materialized).
+    if d == "spark":
+        tbl_sql = (
+            f"SELECT vec_id, posexplode(array({buckets})) AS (tbl, bucket) FROM proj"
+        )
+    else:
+        tbl_sql = (
+            f"SELECT vec_id, generate_subscripts([{buckets}], 1) - 1 AS tbl, "
+            f"unnest([{buckets}]) AS bucket FROM proj"
+        )
     return f"""
-WITH elems AS ({_vec_elems(d)}),
+WITH v AS (SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings),
 proj AS (
   SELECT vec_id,
-    {projs}
-  FROM elems GROUP BY vec_id
+    {_sign_bits(d, k * L)}
+  FROM v
 ),
 tbl_buckets AS (
-  {tbl_rows}
+  {tbl_sql}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -597,9 +721,8 @@ cand AS (
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 n AS (
-  SELECT vec_id, {array_double(d, 'embedding')} AS e,
-    sqrt({dot(d, array_double(d, 'embedding'), array_double(d, 'embedding'))}) AS nrm
-  FROM embeddings
+  SELECT vec_id, e, sqrt({dot(d, 'e', 'e')}) AS nrm
+  FROM v
 )
 SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim FROM (
   SELECT c.vec_a, c.vec_b, {dot(d, 'a.e', 'b.e')} / (a.nrm * b.nrm) AS cos_sim
@@ -613,11 +736,14 @@ WHERE cos_sim >= 0.45
 
 register(
     "dedup_embedding_cosine",
-    "Embedding-cosine near-dup pairs at cosine >= 0.45: 4-table x "
-    "4-hyperplane LSH candidates (equi-join on (tbl, bucket), "
+    "Embedding-cosine near-dup pairs at cosine >= 0.45: 8-table x "
+    "8-hyperplane LSH candidates (equi-join on (tbl, bucket), "
     "OR-amplified recall — no driver collect, no full-corpus broadcast, "
-    "never all-pairs), exact cosine verification on candidates only.",
-    sql=_embedding_cosine_sql,
+    "never all-pairs), exact cosine verification on candidates only. "
+    "Spark side: BLAS GEMM bucket assignment + vectorized pandas cosine; "
+    "oracle side: the same scheme as literal-hyperplane SQL.",
+    sql=lambda d: None if d == "spark" else _embedding_cosine_sql(d),
+    spark_fn=_embedding_lsh_spark_fn,
 )
 
 # ---------------------------------------------------------------------------
