@@ -94,3 +94,17 @@ def test_streaming_ap_state_kalman(spark, tmpzone):
         assert not rows["ap1"]["relocated"]
     finally:
         q.stop()
+
+
+def test_kafka_reader_option_wiring():
+    """No broker/jar in the sandbox: assert the source options match the
+    reference consumer's poll contract (application.yml:96)."""
+    from wifi_location_data_pipeline_spark.streaming.ingest import kafka_reader_options
+
+    opts = kafka_reader_options("broker-1:9092,broker-2:9092", "wifi-scans")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "wifi-scans",
+        "maxOffsetsPerTrigger": "150",
+    }
+    assert kafka_reader_options("b:9092", "t", 500)["maxOffsetsPerTrigger"] == "500"

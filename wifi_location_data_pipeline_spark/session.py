@@ -52,6 +52,11 @@ def build_session(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # error-context capture walks the Python stack AND makes an extra
+        # py4j call per DataFrame operation; the array-native positioning
+        # plan issues ~25k ops, where this wrapper alone cost ~40% of the
+        # driver-side plan build
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

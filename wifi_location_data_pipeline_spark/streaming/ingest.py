@@ -82,21 +82,31 @@ def start_ingest(
     return writer.start()
 
 
+def kafka_reader_options(
+    bootstrap_servers: str, topic: str, max_offsets_per_trigger: int = 150
+) -> dict[str, str]:
+    """Kafka source options, factored out so the wiring is unit-testable
+    without the connector jar (no broker in the test sandbox).
+
+    ``maxOffsetsPerTrigger`` mirrors the reference consumer's 150-records/poll
+    (wifi-scan-queue-consumer application.yml:96)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+    }
+
+
 def read_kafka_scan_stream(
     spark: SparkSession, bootstrap_servers: str, topic: str, max_offsets_per_trigger: int = 150
 ) -> DataFrame:
     """Kafka source variant: value = base64(gzip(json)) message bodies.
 
-    ``maxOffsetsPerTrigger`` mirrors the reference consumer's 150-records/poll
-    (wifi-scan-queue-consumer application.yml:96). Requires the Kafka
-    connector jar; import-guarded at call time, not module load.
+    Requires the Kafka connector jar; fails at ``load()``, not module load.
     """
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .load()
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap_servers, topic, max_offsets_per_trigger).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     lines = raw.select(F.col("value").cast("string").alias("value"))
     return decode_scan_lines(lines)
