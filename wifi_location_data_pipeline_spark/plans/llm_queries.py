@@ -407,10 +407,11 @@ def _simhash_blocked_sql(d: str) -> str:
     """
 
     def bit(b: int) -> str:
+        # bit = parity of hex digit (7 - (b-1)%8) of chunk (b-1)//8: one
+        # integer divide by 2^s + %2, not the two-step DIV-16^i %16 %2 form
         chunk = f"c{(b - 1) // 8}"
-        shift = 16 ** (7 - (b - 1) % 8)
-        digit = f"({bigint_div(d, chunk, shift)} % 16)"
-        return f"CASE WHEN SUM(({digit} % 2) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
+        shift = 2 ** (4 * (7 - (b - 1) % 8))
+        return f"CASE WHEN SUM(({bigint_div(d, chunk, shift)} % 2) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
 
     sbits = ",\n    ".join(f"{bit(b)} AS s{b}" for b in range(1, 33))
     chunks = ",\n    ".join(
