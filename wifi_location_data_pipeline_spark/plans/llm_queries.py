@@ -767,6 +767,34 @@ register(
     spark_fn=_embedding_lsh_spark_fn,
 )
 
+register(
+    "decontamination_overlap",
+    "Benchmark decontamination: n-gram CONTAINMENT of each held-out eval "
+    "document in the training corpus (every 11th doc plays the eval set). "
+    "Candidates block on shared 3-gram shingles (equi-join, never "
+    "all-pairs); containment = |eval shingles found in train doc| / |eval "
+    "shingles| >= 0.5 flags the (eval, train) contamination pair — the "
+    "containment direction, not Jaccard, is what leakage checking needs "
+    "(a small eval doc inside a big train doc must still flag).",
+    sql=lambda d: f"""
+WITH {shingles_cte(d)},
+ev AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 11 = 0),
+train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 11 <> 0),
+ev_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ev GROUP BY doc_id),
+hits AS (
+  SELECT /*+ SHUFFLE_HASH(e, t) */
+    e.doc_id AS eval_doc, t.doc_id AS train_doc,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ev e JOIN train t ON e.shingle = t.shingle
+  GROUP BY e.doc_id, t.doc_id
+)
+SELECT h.eval_doc, h.train_doc, h.n_shared,
+  ROUND(CAST(h.n_shared AS DOUBLE) / s.n_sh, 4) AS containment
+FROM hits h JOIN ev_sizes s ON s.doc_id = h.eval_doc
+WHERE CAST(h.n_shared AS DOUBLE) / s.n_sh >= 0.5
+""",
+)
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
