@@ -134,3 +134,10 @@ def test_stream_name_extraction(spark):
     df = spark.createDataFrame([(k,) for k, _ in cases], "key string")
     got = [r["s"] for r in df.select(stream_name_expr(F.col("key")).alias("s")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_processing_batch_id_is_per_source_file(measurements):
+    """Batch id per processed object (DefaultFeedProcessor.java:70): the
+    source file path when lineage exists."""
+    vals = {r["processing_batch_id"] for r in measurements.select("processing_batch_id").distinct().collect()}
+    assert vals == {"mem://fixture"}

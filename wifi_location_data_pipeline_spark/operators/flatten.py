@@ -167,8 +167,18 @@ def union_tiers(connected: DataFrame, scans: DataFrame) -> DataFrame:
 
 
 def with_derived_columns(measurements: DataFrame, batch_id: str = "batch-0") -> DataFrame:
-    """Attach quality weight/score, deterministic ids, processing metadata."""
+    """Attach quality weight/score, deterministic ids, processing metadata.
+
+    ``processing_batch_id`` is per source FILE when lineage is available
+    (the reference allocates one batch id per processed object,
+    DefaultFeedProcessor.java:70; the file path is its deterministic
+    equivalent), falling back to the caller-supplied run id."""
     eid = event_id(F.col("measurement_timestamp"), F.col("bssid"))
+    pbid = (
+        F.coalesce(F.col("source_file"), F.lit(batch_id))
+        if "source_file" in measurements.columns
+        else F.lit(batch_id)
+    )
     return (
         measurements.withColumn("event_id", eid)
         .withColumn("id", row_id(F.col("event_id"), F.col("connection_status")))
@@ -178,5 +188,5 @@ def with_derived_columns(measurements: DataFrame, batch_id: str = "batch-0") -> 
         )
         .withColumn("quality_score", quality_score(F.col("location_accuracy"), F.col("rssi")))
         .withColumn("ingestion_timestamp", F.current_timestamp())
-        .withColumn("processing_batch_id", F.lit(batch_id))
+        .withColumn("processing_batch_id", pbid)
     )
