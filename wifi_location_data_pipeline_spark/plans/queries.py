@@ -1423,7 +1423,10 @@ def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the corpus is one parquet file = one input split; spread the per-row
+    # Python gzip work across the worker pool instead of one worker
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(n_parts)
     encoded = docs.select("doc_id", encode_scan_line(F2.col("text")).alias("line"))
     garbage = spark.createDataFrame(
         [(-1, "!!!not-base64"), (-2, ""), (-3, "aGVsbG8=")],  # bad b64 / empty / not gzip
