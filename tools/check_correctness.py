@@ -33,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(9)
-        elif isinstance(df[c].dtype, object.__class__) and df[c].dtype == object:
+        elif df[c].dtype == object:
             # duckdb can hand back Decimals; normalize to float when numeric
             try:
                 conv = pd.to_numeric(df[c])

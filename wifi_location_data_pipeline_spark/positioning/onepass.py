@@ -749,8 +749,15 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
         "geometric_quality": F.col("_geometric_quality"),
         "all_very_weak": F.col("_all_very_weak"),
     }
-    df = df.withColumn("selection", _selection_array(ctx))
-    df = df.withColumn("_closed", _closed_positions_from_named(arr, F.col("n_scanned")))
+    # one boundary, not two: selection and the closed-form positions are
+    # independent, and every DataFrame transformation re-analyzes the whole
+    # (large) accumulated plan eagerly
+    df = df.withColumns(
+        {
+            "selection": _selection_array(ctx),
+            "_closed": _closed_positions_from_named(arr, F.col("n_scanned")),
+        }
+    )
 
     sel = F.col("selection")
     staged = df.select(
