@@ -68,52 +68,158 @@ def combine_positions(algorithm_positions: DataFrame) -> DataFrame:
     return _finish(agg)
 
 
+_PACKED_VIEW_SEQ = [0]
+
+
 def combine_packed(df: DataFrame, pos_col: str, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Array-input twin of ``combine_positions``: one row per request with an
     array of (algorithm, weight, latitude, longitude, altitude, accuracy,
     confidence) structs — zero-shuffle (projection-only) combining for the
     one-pass pipeline. ``passthrough`` columns ride along unchanged (e.g.
-    diagnostics)."""
-    pos = F.col(pos_col)
-    g = lambda name: (lambda p: p.getField(name))  # noqa: E731
-    wsum = lambda name: F.aggregate(  # noqa: E731
-        pos, F.lit(0.0), lambda a, p: a + p.getField(name) * p.getField("weight")
-    )
-    top = F.array_max(
-        F.transform(
-            pos,
-            lambda p: F.struct(
-                p.getField("weight").alias("_w"),
-                p.getField("algorithm").alias("_a"),
-                p.getField("latitude").alias("latitude"),
-                p.getField("longitude").alias("longitude"),
-                p.getField("altitude").alias("altitude"),
-                p.getField("accuracy").alias("accuracy"),
-                p.getField("confidence").alias("confidence"),
-            ),
-        )
-    )
-    agg = df.select(
-        "request_id",
-        F.size(pos).cast("long").alias("n"),
-        F.aggregate(pos, F.lit(0.0), lambda a, p: a + p.getField("weight")).alias("total_w"),
-        wsum("latitude").alias("swlat"),
-        wsum("longitude").alias("swlon"),
-        wsum("altitude").alias("swalt"),
-        wsum("confidence").alias("swconf"),
-        F.array_sort(F.transform(pos, g("accuracy"))).alias("accs"),
-        F.transform(
-            pos,
-            lambda p: F.struct(
-                p.getField("latitude").alias("latitude"),
-                p.getField("longitude").alias("longitude"),
-            ),
-        ).alias("pts"),
-        top.dropFields("_w", "_a").alias("top"),
-        F.array_distinct(F.transform(pos, g("algorithm"))).alias("methods_used"),
-        *passthrough,
-    )
-    return _finish(agg, passthrough)
+    diagnostics).
+
+    Emitted as ONE generated spark.sql statement over a temp view rather
+    than the Column DSL: the DSL builds this tree through thousands of
+    eager-analyzed py4j calls (a measured multi-second driver cost per
+    invocation), while a single SQL string parses and analyzes once
+    JVM-side. ``combine_positions`` keeps the Column implementation, so the
+    onepass-vs-multipass parity tests cross-check the two formulations.
+    Semantics are _finish()'s, replicated expression for expression
+    (WeightedAveragePositionCombiner.java:105-461; GDOPCalculator.java:650-731).
+    """
+    _PACKED_VIEW_SEQ[0] += 1
+    view = f"_combine_packed_in_{_PACKED_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(view)
+    pt = "".join(f", {c}" for c in passthrough)
+    pos = pos_col
+    sing = SINGULARITY
+    sql = f"""
+WITH b1 AS (
+  SELECT request_id{pt},
+    CAST(size({pos}) AS BIGINT) AS n,
+    aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.weight) AS total_w,
+    aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.latitude * p.weight) AS swlat,
+    aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.longitude * p.weight) AS swlon,
+    aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.altitude * p.weight) AS swalt,
+    aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.confidence * p.weight) AS swconf,
+    array_sort(transform({pos}, p -> p.accuracy)) AS accs,
+    transform({pos}, p -> named_struct('latitude', p.latitude, 'longitude', p.longitude)) AS pts,
+    array_max(transform({pos}, p -> named_struct(
+      '_w', p.weight, '_a', p.algorithm, 'latitude', p.latitude,
+      'longitude', p.longitude, 'altitude', p.altitude,
+      'accuracy', p.accuracy, 'confidence', p.confidence))) AS topw,
+    array_distinct(transform({pos}, p -> p.algorithm)) AS methods_used
+  FROM {view}
+),
+b2 AS (
+  SELECT *,
+    swlat / total_w AS mean_lat, swlon / total_w AS mean_lon,
+    swalt / total_w AS mean_alt, swconf / total_w AS mean_conf,
+    CAST(size(pts) AS DOUBLE) AS npts
+  FROM b1
+),
+b3 AS (
+  SELECT *,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + power(p.latitude - mean_lat, 2)) / npts AS cov_ll,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + power(p.longitude - mean_lon, 2)) / npts AS cov_oo,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + (p.latitude - mean_lat) * (p.longitude - mean_lon)) / npts AS cov_lo,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.latitude) / npts AS plain_lat,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.longitude) / npts AS plain_lon
+  FROM b2
+),
+b4 AS (
+  SELECT *,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + power(p.latitude - plain_lat, 2)) / npts AS pcov_ll,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + power(p.longitude - plain_lon, 2)) / npts AS pcov_oo,
+    aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + (p.latitude - plain_lat) * (p.longitude - plain_lon)) / npts AS pcov_lo,
+    cov_ll + cov_oo AS trace_v,
+    cov_ll * cov_oo - cov_lo * cov_lo AS det_v
+  FROM b3
+),
+b5 AS (
+  SELECT *,
+    trace_v * trace_v - 4.0 * det_v AS disc_v,
+    try_divide(pcov_lo, pcov_oo) AS slope
+  FROM b4
+),
+b6 AS (
+  SELECT *,
+    CASE WHEN abs(det_v) < {sing} OR disc_v < 0.0 THEN CAST(1e12 AS DOUBLE)
+         ELSE coalesce(try_divide(
+                abs((trace_v + sqrt(greatest(disc_v, CAST(0.0 AS DOUBLE)))) / 2.0),
+                greatest(abs((trace_v - sqrt(greatest(disc_v, CAST(0.0 AS DOUBLE)))) / 2.0),
+                         CAST({sing} AS DOUBLE))),
+              CAST(1e12 AS DOUBLE)) END AS cond_v,
+    plain_lat - slope * plain_lon AS intercept_v
+  FROM b5
+),
+b7 AS (
+  SELECT *,
+    array_max(transform(pts, p -> abs(p.latitude - (slope * p.longitude + intercept_v)))) AS max_dev,
+    CASE WHEN size(accs) % 2 = 1 THEN element_at(accs, CAST(size(accs) / 2 AS INT) + 1)
+         ELSE (element_at(accs, CAST(size(accs) / 2 AS INT))
+             + element_at(accs, CAST(size(accs) / 2 AS INT) + 1)) / 2.0 END AS med
+  FROM b6
+),
+b8 AS (
+  SELECT *,
+    (size(pts) >= 3) AND (pcov_ll < {sing} OR pcov_oo < {sing}
+      OR coalesce(max_dev, CAST(0.0 AS DOUBLE)) <= {COLLINEARITY_MAX_DEVIATION_DEG}) AS is_collinear,
+    CASE WHEN size(accs) <= 3 THEN med
+         ELSE 0.7 * med + 0.3 * (
+           aggregate(
+             slice(accs, CAST(FLOOR(size(accs) * {C.COMBINER_TRIM_FRACTION}) AS INT) + 1,
+                   CAST(size(accs) - 2 * CAST(FLOOR(size(accs) * {C.COMBINER_TRIM_FRACTION}) AS INT) AS INT)),
+             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+           / size(slice(accs, CAST(FLOOR(size(accs) * {C.COMBINER_TRIM_FRACTION}) AS INT) + 1,
+                        CAST(size(accs) - 2 * CAST(FLOOR(size(accs) * {C.COMBINER_TRIM_FRACTION}) AS INT) AS INT)))
+         ) END AS robust0,
+    array_sort(transform(accs, x -> abs(x - med))) AS deviations
+  FROM b7
+),
+b9 AS (
+  SELECT *,
+    CASE WHEN size(deviations) % 2 = 1 THEN element_at(deviations, CAST(size(deviations) / 2 AS INT) + 1)
+         ELSE (element_at(deviations, CAST(size(deviations) / 2 AS INT))
+             + element_at(deviations, CAST(size(deviations) / 2 AS INT) + 1)) / 2.0 END AS mad
+  FROM b8
+),
+b10 AS (
+  SELECT *,
+    size(filter(accs, x -> x > med + {C.COMBINER_MAD_MULTIPLIER} * mad)) AS n_outliers,
+    CASE WHEN is_collinear
+         THEN 2.0 + least(CAST(1.0 AS DOUBLE), log10(greatest(cond_v, CAST(1.0 AS DOUBLE))) / 2.0)
+         ELSE CASE WHEN cond_v < 5.0 THEN CAST(1.0 AS DOUBLE)
+                   WHEN cond_v < 20.0 THEN 1.0 + (cond_v - 5.0) / 15.0
+                   ELSE 2.0 + least(CAST(1.0 AS DOUBLE), (cond_v - 20.0) / 80.0) END END AS gqf
+  FROM b9
+),
+b11 AS (
+  SELECT *,
+    robust0 * (1.0 + (CAST(n_outliers AS DOUBLE) / CAST(size(accs) AS DOUBLE)) * 0.5) AS robust
+  FROM b10
+),
+b12 AS (
+  SELECT *,
+    CASE WHEN is_collinear
+         THEN greatest(CAST(6.0 AS DOUBLE), robust * greatest(gqf, sqrt(cond_v / 10.0)))
+         ELSE greatest(robust, robust * gqf) END AS adj_accuracy,
+    CASE WHEN is_collinear
+         THEN least(CAST({C.COMBINER_COLLINEAR_CONF_CAP} AS DOUBLE), mean_conf / (gqf * 1.2))
+         ELSE mean_conf / sqrt(gqf) END AS adj_confidence
+  FROM b11
+)
+SELECT request_id,
+  CASE WHEN n = 1 OR total_w <= 0.0 THEN topw.latitude ELSE mean_lat END AS latitude,
+  CASE WHEN n = 1 OR total_w <= 0.0 THEN topw.longitude ELSE mean_lon END AS longitude,
+  CASE WHEN n = 1 OR total_w <= 0.0 THEN topw.altitude ELSE mean_alt END AS altitude,
+  CASE WHEN n = 1 OR total_w <= 0.0 THEN topw.accuracy ELSE adj_accuracy END AS accuracy,
+  CASE WHEN n = 1 OR total_w <= 0.0 THEN topw.confidence ELSE adj_confidence END AS confidence,
+  array_sort(methods_used) AS methods_used,
+  CASE WHEN n = 1 THEN false ELSE is_collinear END AS is_collinear{pt}
+FROM b12
+"""
+    return df.sparkSession.sql(sql)
 
 
 def _finish(agg: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
