@@ -768,6 +768,86 @@ register(
 )
 
 register(
+    "quality_stratified_sample",
+    "Quality-stratified corpus sampling: documents score into quality bands "
+    "(the text_quality_score composite), each band keeps a different "
+    "deterministic fraction (high 100% / mid 50% / low 10%) via an "
+    "md5-derived per-doc uniform — the standard up/down-sampling step when "
+    "assembling a training mix. Pure per-row arithmetic + one aggregation: "
+    "map-side partial agg, no shuffle beyond the final rollup.",
+    sql=lambda d: f"""
+WITH words AS ({words_with_pos(d)}),
+stats AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
+    SUM(CASE WHEN word IN ('the', 'a', 'of', 'and', 'to', 'in') THEN 1 ELSE 0 END) AS n_stop
+  FROM words GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    LEAST(1.0,
+        0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+      + 0.2 * LEAST(CAST(n_stop AS DOUBLE) * 5.0 / n_tokens, 1.0)) AS quality
+  FROM stats
+),
+banded AS (
+  SELECT doc_id, n_tokens, quality,
+    CASE WHEN quality >= 0.8 THEN 'high'
+         WHEN quality >= 0.5 THEN 'mid' ELSE 'low' END AS band,
+    CASE WHEN quality >= 0.8 THEN 1.0
+         WHEN quality >= 0.5 THEN 0.5 ELSE 0.1 END AS keep_rate,
+    CAST({hex_to_bigint(d, "substr(md5(concat('sample_', CAST(doc_id AS STRING))), 1, 8)")} % 10000 AS DOUBLE) / 10000.0 AS u
+  FROM scored
+)
+SELECT band,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN u < keep_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN u < keep_rate THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+  ROUND(AVG(quality), 4) AS mean_quality
+FROM banded
+GROUP BY band
+""",
+)
+
+register(
+    "sequence_packing_plan",
+    "Sequence-packing plan: assign documents to fixed 2048-token context "
+    "windows by running token-count prefix sums WITHIN hash shards "
+    "(doc_id % 8) — per-shard window functions, so the prefix sum "
+    "parallelizes across shards instead of forcing one global ordered "
+    "chain (the 100 TB shape: packing is per output shard anyway). A "
+    "document lands in the bin where its exclusive prefix starts; per-bin "
+    "fill ratio reports packing efficiency.",
+    sql=lambda d: f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(doc_id % 8 AS BIGINT) AS shard,
+    CAST({"size" if d == "spark" else "len"}({split_words(d, 'text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pref AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_tokens
+  FROM toks
+),
+binned AS (
+  SELECT shard, doc_id, n_tokens,
+    CAST(FLOOR(COALESCE(prior_tokens, 0) / 2048.0) AS BIGINT) AS bin
+  FROM pref
+)
+SELECT shard, bin,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  ROUND(SUM(n_tokens) / 2048.0, 4) AS fill_ratio
+FROM binned
+GROUP BY shard, bin
+""",
+)
+
+register(
     "decontamination_overlap",
     "Benchmark decontamination: n-gram CONTAINMENT of each held-out eval "
     "document in the training corpus (every 11th doc plays the eval set). "
