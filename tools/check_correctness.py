@@ -83,11 +83,52 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def schema_sweep(sf_dir: str) -> int:
+    """Analyze (don't execute) every registry query; flag DecimalType leaks.
+
+    Spark parses bare numeric literals (``100.0``) as DECIMAL, so an
+    unguarded literal in generated SQL silently turns a DOUBLE output column
+    into decimal(p,s) — values identical, but the driver's hash (which
+    includes the rendered type) fails. This sweep catches that class before
+    the driver does.
+    """
+    import __spark_entry__ as entry_mod
+    from pyspark.sql.types import DecimalType
+    from wifi_location_data_pipeline_spark.session import build_session
+
+    spark = build_session(
+        app_name="schema-sweep",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=8,
+    )
+    leaks = 0
+    for name, fn in entry_mod.queries().items():
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception as ex:  # noqa: BLE001
+            print(f"ERR   {name}: {str(ex).splitlines()[0][:160]}")
+            leaks += 1
+            continue
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        if bad:
+            print(f"LEAK  {name}: DecimalType columns {bad}")
+            leaks += 1
+        else:
+            print(f"OK    {name}")
+    spark.stop()
+    print(f"\n{leaks} queries with DecimalType leaks/errors")
+    return 1 if leaks else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--schema-only", action="store_true")
     args = ap.parse_args()
+
+    if args.schema_only:
+        return schema_sweep(args.sf_dir)
 
     import __spark_entry__ as entry_mod
     from wifi_location_data_pipeline_spark.session import build_session

@@ -841,7 +841,7 @@ binned AS (
 SELECT shard, bin,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-  ROUND(SUM(n_tokens) / 2048.0, 4) AS fill_ratio
+  CAST(ROUND(SUM(n_tokens) / 2048.0, 4) AS DOUBLE) AS fill_ratio
 FROM binned
 GROUP BY shard, bin
 """,

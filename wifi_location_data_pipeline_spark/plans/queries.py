@@ -49,7 +49,7 @@ def measurements_cte(d: str) -> str:
     CAST(-30 - (event_id % 60) AS DOUBLE) AS rssi,
     CAST(5.0 + value * 5.0 AS DOUBLE) AS accuracy,
     CASE WHEN event_type = 'click' THEN 'CONNECTED' ELSE 'SCAN' END AS connection_status,
-    CASE WHEN event_type = 'click' THEN 2.0 ELSE 1.0 END AS quality_weight,
+    CAST(CASE WHEN event_type = 'click' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS quality_weight,
     {ts_expr(d, 'ts')} AS ts, event_id, user_id, value
   FROM events
 """
@@ -387,9 +387,9 @@ SELECT user_id,
   CAST(COUNT(*) - SUM(found) AS BIGINT) AS not_found_count,
   CAST(SUM(eligible) AS BIGINT) AS eligible_count,
   CAST(SUM(used) AS BIGINT) AS used_count,
-  ROUND(SUM(found) * 100.0 / COUNT(*), 4) AS pct_request_found,
-  CASE WHEN SUM(found) > 0
-       THEN ROUND(SUM(used) * 100.0 / SUM(found), 4) END AS pct_found_used,
+  CAST(ROUND(SUM(found) * 100.0 / COUNT(*), 4) AS DOUBLE) AS pct_request_found,
+  CAST(CASE WHEN SUM(found) > 0
+       THEN ROUND(SUM(used) * 100.0 / SUM(found), 4) END AS DOUBLE) AS pct_found_used,
   CAST(GREATEST(0, SUM(eligible) - SUM(used)) AS BIGINT) AS unknown_exclusions
 FROM detail
 GROUP BY user_id
@@ -652,10 +652,11 @@ SELECT ap_id, event_id,
   -- tie-stable rounding: Spark's round() HALF_UPs the shortest decimal repr
   -- while DuckDB rounds the binary double; floor(x*1e4+0.5) is the same
   -- double arithmetic in both engines
-  FLOOR(LEAST(1.0,
+  CAST(FLOOR(LEAST(1.0,
       0.5
     + 0.3 * GREATEST(0.0, 1.0 - accuracy / 100.0)
-    + 0.2 * GREATEST(0.0, (rssi + 100.0) / 100.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score,
+    + 0.2 * GREATEST(0.0, (rssi + 100.0) / 100.0)) * 10000.0 + 0.5) AS DOUBLE)
+    / 10000.0 AS quality_score,
   {'sha2(concat(CAST(event_id AS STRING), chr(58), CAST(ap_id AS STRING)), 256)' if d == SPARK
    else "sha256(concat(CAST(event_id AS STRING), chr(58), CAST(ap_id AS STRING)))"} AS deterministic_event_id
 FROM enriched
@@ -1042,7 +1043,12 @@ def _sel_mult_case(klass_col: str, table: dict[str, tuple[float, ...]]) -> str:
     """Nested CASE: multiplier as a function of (context class, algorithm)."""
     outer = []
     for klass, mults in table.items():
-        inner = " ".join(f"WHEN '{a}' THEN {m}" for a, m in zip(_SEL_ALGOS, mults))
+        # CAST each multiplier: bare `1.3` parses as DECIMAL in both engines
+        # and a decimal product leaks into the output type (hash mismatch vs
+        # the DOUBLE oracle column) — same discipline as onepass_sql._weight_case.
+        inner = " ".join(
+            f"WHEN '{a}' THEN CAST({m} AS DOUBLE)" for a, m in zip(_SEL_ALGOS, mults)
+        )
         outer.append(f"WHEN '{klass}' THEN CASE algorithm {inner} END")
     return f"CASE {klass_col} {' '.join(outer)} END"
 
@@ -1116,7 +1122,7 @@ kept AS (
 ),
 weak AS (
   SELECT user_id, 'proximity' AS algorithm,
-    GREATEST(0.5, 0.5) AS weight, CAST(1 AS BIGINT) AS rn
+    CAST(0.5 AS DOUBLE) AS weight, CAST(1 AS BIGINT) AS rn
   FROM ctx WHERE signal_quality = 'VERY_WEAK_SIGNAL'
 )
 SELECT user_id, algorithm, weight, CAST(rn AS BIGINT) AS rank
