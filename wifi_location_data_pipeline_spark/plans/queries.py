@@ -945,22 +945,24 @@ def _gdop_cte(d: str) -> str:
     trace((H^T H)^-1) for the 2x2 case is (Sxx+Syy)/(Sxx*Syy - Sxy^2) — a
     pure SQL aggregate, no linear algebra library
     (GDOPCalculator.java:38,45,237-267; SURVEY §2.7).
+
+    Plan note: single-reference CTE chain — the round-2 form computed the
+    centroid as a separate aggregate joined back to req_aps, which Spark 4.1
+    CTE re-inlining expanded into two full obs subtrees; the window-function
+    centroid keeps one pass, partitioned by user_id throughout.
     """
     return f"""
 req_aps AS (
   SELECT DISTINCT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon
   FROM obs o JOIN aps a ON o.ap_id = a.ap_id
 ),
-center AS (
-  SELECT user_id, AVG(lat) AS clat, AVG(lon) AS clon,
-    CAST(COUNT(*) AS BIGINT) AS n_aps
-  FROM req_aps GROUP BY user_id
-),
 vecs AS (
-  SELECT r.user_id, c.n_aps,
-    (r.lon - c.clon) * cos(radians(c.clat)) AS dx,
-    (r.lat - c.clat) AS dy
-  FROM req_aps r JOIN center c ON r.user_id = c.user_id
+  SELECT user_id,
+    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_aps,
+    (lon - AVG(lon) OVER (PARTITION BY user_id))
+      * cos(radians(AVG(lat) OVER (PARTITION BY user_id))) AS dx,
+    lat - AVG(lat) OVER (PARTITION BY user_id) AS dy
+  FROM req_aps
 ),
 units AS (
   SELECT user_id, n_aps,
@@ -1070,34 +1072,76 @@ register(
     "base*signal*geometry*distribution, threshold 0.4, adaptive top-K "
     "(top-2 if max>0.8 else top-3), best-algorithm fallback "
     "(SELECTION.md:13-85; AlgorithmSelector.java:67-120,365-438; "
-    "positioning/selection.py is the DataFrame twin).",
+    "positioning/selection.py is the DataFrame twin). Plan note: every CTE "
+    "is referenced exactly ONCE — Spark 4.1 re-inlines multiply-referenced "
+    "CTEs, and the round-2 formulation (obs x3, req_aps x2, ctx x2) "
+    "re-scanned events a dozen exchanges deep. Signal stats ride the same "
+    "per-(user,ap) chain as the GDOP gram (centroid via window functions), "
+    "and the very-weak proximity fallback folds into the ranked filter "
+    "instead of a second ctx reference; the whole middle stays partitioned "
+    "by user_id after the one obs window shuffle.",
     sql=lambda d: f"""
 WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
-{_gdop_cte(d)},
+perap AS (
+  SELECT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    SUM(o.rssi) AS sr, SUM(o.rssi * o.rssi) AS srr
+  FROM obs o JOIN aps a ON o.ap_id = a.ap_id
+  GROUP BY o.user_id, o.ap_id, a.true_lat, a.true_lon
+),
+vecs AS (
+  SELECT user_id, n_rows, sr, srr,
+    (lon - AVG(lon) OVER (PARTITION BY user_id))
+      * cos(radians(AVG(lat) OVER (PARTITION BY user_id))) AS dx,
+    lat - AVG(lat) OVER (PARTITION BY user_id) AS dy
+  FROM perap
+),
+units AS (
+  SELECT user_id, n_rows, sr, srr,
+    dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS ux,
+    dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS uy
+  FROM vecs
+),
+byuser AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS ap_count,
+    SUM(n_rows) AS n_obs, SUM(sr) AS s_sum, SUM(srr) AS s_sq,
+    SUM(ux * ux) AS sxx, SUM(ux * uy) AS sxy, SUM(uy * uy) AS syy
+  FROM units GROUP BY user_id
+),
+gdop AS (
+  SELECT user_id, ap_count, n_obs, s_sum, s_sq,
+    CASE WHEN sxx * syy - sxy * sxy < 1e-9 THEN 30.0
+         ELSE LEAST(sqrt((sxx + syy) / (sxx * syy - sxy * sxy)), 30.0)
+    END AS gdop
+  FROM byuser
+),
 ctx AS (
-  SELECT p.user_id,
-    CASE WHEN p.avg_rssi > -70.0 THEN 'STRONG_SIGNAL'
-         WHEN p.avg_rssi > -85.0 THEN 'MEDIUM_SIGNAL'
-         WHEN p.avg_rssi > -95.0 THEN 'WEAK_SIGNAL'
+  SELECT user_id,
+    CASE WHEN s_sum / n_obs > -70.0 THEN 'STRONG_SIGNAL'
+         WHEN s_sum / n_obs > -85.0 THEN 'MEDIUM_SIGNAL'
+         WHEN s_sum / n_obs > -95.0 THEN 'WEAK_SIGNAL'
          ELSE 'VERY_WEAK_SIGNAL' END AS signal_quality,
-    CASE WHEN p.rssi_sd > 10.0 THEN 'SIGNAL_OUTLIERS'
-         WHEN p.rssi_sd > 3.0 THEN 'MIXED_SIGNALS'
+    -- sample stddev, algebraic; divisor floored at 1 (n_obs=1 -> numerator
+    -- exactly 0, so the value is still the n=1 stddev of 0) because Spark's
+    -- ANSI mode evaluates both AND operands and would raise DIVIDE_BY_ZERO
+    CASE WHEN sqrt(GREATEST(0.0,
+           (s_sq - n_obs * (s_sum / n_obs) * (s_sum / n_obs))
+           / GREATEST(n_obs - 1.0, 1.0))) > 10.0 THEN 'SIGNAL_OUTLIERS'
+         WHEN sqrt(GREATEST(0.0,
+           (s_sq - n_obs * (s_sum / n_obs) * (s_sum / n_obs))
+           / GREATEST(n_obs - 1.0, 1.0))) > 3.0 THEN 'MIXED_SIGNALS'
          ELSE 'UNIFORM_SIGNALS' END AS signal_distribution,
-    CASE WHEN p.ap_count = 1 THEN 'SINGLE_AP'
-         WHEN p.ap_count = 2 THEN 'TWO_APS'
-         WHEN p.ap_count = 3 THEN 'THREE_APS'
+    CASE WHEN ap_count = 1 THEN 'SINGLE_AP'
+         WHEN ap_count = 2 THEN 'TWO_APS'
+         WHEN ap_count = 3 THEN 'THREE_APS'
          ELSE 'FOUR_PLUS_APS' END AS ap_count_class,
-    CASE WHEN g.gdop >= 30.0 THEN 'COLLINEAR'
-         WHEN g.gdop < 2.0 THEN 'EXCELLENT_GDOP'
-         WHEN g.gdop < 4.0 THEN 'GOOD_GDOP'
-         WHEN g.gdop < 6.0 THEN 'FAIR_GDOP'
+    CASE WHEN gdop >= 30.0 THEN 'COLLINEAR'
+         WHEN gdop < 2.0 THEN 'EXCELLENT_GDOP'
+         WHEN gdop < 4.0 THEN 'GOOD_GDOP'
+         WHEN gdop < 6.0 THEN 'FAIR_GDOP'
          ELSE 'POOR_GDOP' END AS geometric_quality
-  FROM (
-    SELECT user_id, AVG(rssi) AS avg_rssi,
-      COALESCE(STDDEV_SAMP(rssi), 0.0) AS rssi_sd,
-      CAST(COUNT(DISTINCT ap_id) AS BIGINT) AS ap_count
-    FROM obs GROUP BY user_id
-  ) p JOIN gdop g ON p.user_id = g.user_id
+  FROM gdop
 ),
 weighted AS (
   SELECT c.user_id, algorithm,
@@ -1110,23 +1154,20 @@ weighted AS (
 ),
 ranked AS (
   SELECT user_id, algorithm, weight,
+    signal_quality = 'VERY_WEAK_SIGNAL' AS very_weak,
     MAX(weight) OVER (PARTITION BY user_id) AS max_w,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY weight DESC, algorithm) AS rn
   FROM weighted
-  WHERE weight > 0.0 AND signal_quality <> 'VERY_WEAK_SIGNAL'
-),
-kept AS (
-  SELECT user_id, algorithm, weight, rn FROM ranked
-  WHERE (weight >= 0.4 AND rn <= CASE WHEN max_w > 0.8 THEN 2 ELSE 3 END)
-     OR rn = 1
-),
-weak AS (
-  SELECT user_id, 'proximity' AS algorithm,
-    CAST(0.5 AS DOUBLE) AS weight, CAST(1 AS BIGINT) AS rn
-  FROM ctx WHERE signal_quality = 'VERY_WEAK_SIGNAL'
+  WHERE (signal_quality <> 'VERY_WEAK_SIGNAL' AND weight > 0.0)
+     OR (signal_quality = 'VERY_WEAK_SIGNAL' AND algorithm = 'proximity')
 )
-SELECT user_id, algorithm, weight, CAST(rn AS BIGINT) AS rank
-FROM (SELECT * FROM kept UNION ALL SELECT * FROM weak) u
+SELECT user_id, algorithm,
+  CASE WHEN very_weak THEN CAST(0.5 AS DOUBLE) ELSE weight END AS weight,
+  CAST(rn AS BIGINT) AS rank
+FROM ranked
+WHERE very_weak
+   OR (weight >= 0.4 AND rn <= CASE WHEN max_w > 0.8 THEN 2 ELSE 3 END)
+   OR rn = 1
 """,
 )
 
