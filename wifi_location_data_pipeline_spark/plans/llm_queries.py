@@ -206,21 +206,29 @@ GROUP BY md5(trim(lower(text)))
 """,
 )
 
-register(
-    "dedup_ngram_jaccard",
-    "N-gram Jaccard near-dup pairs: 3-word shingles, candidates blocked by "
-    "shared shingle (equi-join, never all-pairs), exact Jaccard >= 0.8.",
-    sql=lambda d: f"""
+NGRAM_DF_CAP = 50  # max document frequency for a blocking shingle
+
+
+def _ngram_jaccard_duck_sql(d: str) -> str | None:
+    if d == "spark":
+        return None
+    return f"""
 WITH {shingles_cte(d)},
+dfreq AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+),
+rare AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
-  -- SHUFFLE_HASH: both sides are the full shingle table; broadcasting one
-  -- (driver collect + hash build of every shingle) costs more than the
-  -- shuffle. Hint is a comment to DuckDB.
-  SELECT /*+ SHUFFLE_HASH(a, b) */
-    a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM candidates c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
   ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
@@ -228,7 +236,84 @@ FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
-""",
+"""
+
+
+def _ngram_jaccard_spark_fn(spark, sf_dir):
+    """N-gram Jaccard with a document-frequency cap on the blocking key.
+
+    The round-2 form blocked candidates on raw shingle equality: one hot
+    shingle with document frequency df produces O(df²) candidate pairs — a
+    quadratic blow-up on a single skewed key at 100 TB that AQE skew-split
+    can spread but not shrink. Candidates now come only from shingles with
+    df <= NGRAM_DF_CAP (bounded per-key fanout <= CAP²), while verification
+    still counts ALL common shingles so Jaccard stays exact for every
+    surviving pair. The shingle table is persisted once (same Spark 4.1
+    cache-before-reference discipline as _minhash_spark_fn — a WITH-clause
+    reference would re-expand the CTE per consumer).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sh = spark.sql(
+        f"WITH {shingles_cte('spark')} SELECT doc_id, shingle FROM shingles"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # materialize before fan-out
+
+    rare_keys = (
+        sh.groupBy("shingle")
+        .agg(F2.count("*").alias("df"))
+        .filter(F2.col("df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    rare = sh.join(rare_keys, "shingle")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            on=[
+                F2.col("a.shingle") == F2.col("b.shingle"),
+                F2.col("a.doc_id") < F2.col("b.doc_id"),
+            ],
+        )
+        .select(F2.col("a.doc_id").alias("doc_a"), F2.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("sa")
+        .join(F2.broadcast(cand), F2.col("doc_a") == F2.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F2.col("doc_b") == F2.col("sb.doc_id"))
+            & (F2.col("sb.shingle") == F2.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F2.count("*").alias("n_common"))
+    )
+    jac = F2.col("n_common").cast("double") / (
+        F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
+    )
+    return (
+        sizes.alias("za")
+        .join(F2.broadcast(inter), F2.col("doc_a") == F2.col("za.doc_id"))
+        .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    "N-gram Jaccard near-dup pairs: 3-word shingles, candidates blocked by "
+    "shared RARE shingle (document frequency <= 50 -> bounded per-key "
+    "fanout; one hot shingle can no longer drive O(df²) pairs), exact "
+    "Jaccard over ALL common shingles >= 0.8.",
+    sql=_ngram_jaccard_duck_sql,
+    spark_fn=_ngram_jaccard_spark_fn,
 )
 
 def _minhash_based_sql(d: str) -> str:

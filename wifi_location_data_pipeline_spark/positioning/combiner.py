@@ -91,10 +91,55 @@ def combine_packed(df: DataFrame, pos_col: str, passthrough: tuple[str, ...] = (
     view = f"_combine_packed_in_{_PACKED_VIEW_SEQ[0]}"
     df.createOrReplaceTempView(view)
     pt = "".join(f", {c}" for c in passthrough)
-    pos = pos_col
+    out = df.sparkSession.sql(f"WITH {_combine_sql_body(view, pt, pos_col)}")
+    # the analyzed plan no longer needs the view; drop it so long-lived
+    # sessions don't accumulate one per invocation
+    df.sparkSession.catalog.dropTempView(view)
+    return out
+
+
+def combine_weighted_packed(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """One-statement tail for the one-pass pipeline: attach each computed
+    position's selection weight, drop weightless positions and empty
+    requests, then combine — the weight-attach projection (formerly a
+    Column-DSL tree, ~0.7 s of eager py4j analysis per invocation) is the
+    ``b0`` layer of the same generated SQL statement as the combiner.
+
+    Input schema: (request_id, selection: array<struct<algorithm, weight>>,
+    positions: array<struct<algorithm, latitude, longitude, altitude,
+    accuracy, confidence>>). ``selection`` rides through as
+    ``calculation_info`` (the reference's CalculationInfo diagnostics).
+    """
+    _PACKED_VIEW_SEQ[0] += 1
+    view = f"_combine_packed_in_{_PACKED_VIEW_SEQ[0]}"
+    df.createOrReplaceTempView(view)
+    pt = "".join(f", {c}" for c in ("calculation_info", *passthrough))
+    b0 = f"""b0 AS (
+  SELECT request_id, selection AS calculation_info,
+    filter(transform(positions, p -> named_struct(
+      'algorithm', p.algorithm,
+      'weight', coalesce(element_at(transform(
+          filter(selection, e -> e.algorithm = p.algorithm),
+          e -> e.weight), 1), CAST(0.0 AS DOUBLE)),
+      'latitude', p.latitude, 'longitude', p.longitude,
+      'altitude', p.altitude, 'accuracy', p.accuracy,
+      'confidence', p.confidence)),
+      p -> p.weight > 0.0) AS pos
+  FROM {view}
+)"""
+    out = df.sparkSession.sql(
+        f"WITH {b0},\n{_combine_sql_body('b0 WHERE size(pos) > 0', pt, 'pos')}"
+    )
+    df.sparkSession.catalog.dropTempView(view)
+    return out
+
+
+def _combine_sql_body(src: str, pt: str, pos: str) -> str:
+    """The combiner as chained CTE text ``b1 .. b12 SELECT`` (no leading
+    WITH) over relation ``src`` — shared by combine_packed and
+    combine_weighted_packed."""
     sing = SINGULARITY
-    sql = f"""
-WITH b1 AS (
+    return f"""b1 AS (
   SELECT request_id{pt},
     CAST(size({pos}) AS BIGINT) AS n,
     aggregate({pos}, CAST(0.0 AS DOUBLE), (a, p) -> a + p.weight) AS total_w,
@@ -109,7 +154,7 @@ WITH b1 AS (
       'longitude', p.longitude, 'altitude', p.altitude,
       'accuracy', p.accuracy, 'confidence', p.confidence))) AS topw,
     array_distinct(transform({pos}, p -> p.algorithm)) AS methods_used
-  FROM {view}
+  FROM {src}
 ),
 b2 AS (
   SELECT *,
@@ -219,7 +264,6 @@ SELECT request_id,
   CASE WHEN n = 1 THEN false ELSE is_collinear END AS is_collinear{pt}
 FROM b12
 """
-    return df.sparkSession.sql(sql)
 
 
 def _finish(agg: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:

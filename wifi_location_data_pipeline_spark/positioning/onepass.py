@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from wifi_location_data_pipeline_spark import config as C
-from wifi_location_data_pipeline_spark.positioning.combiner import combine_packed
+from wifi_location_data_pipeline_spark.positioning.combiner import combine_weighted_packed
 from wifi_location_data_pipeline_spark.positioning.numeric import (
     _group_arrays,
     _mle_batch,
@@ -198,6 +198,8 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     # the substitution pass; same gotcha as the MinHash pipeline).
     staged = requests.sparkSession.sql(staged_sql(view)).cache()
     staged.count()  # materialize before the two downstream readers race
+    # the analyzed plan holds its own reference; don't leak the view
+    requests.sparkSession.catalog.dropTempView(view)
 
     plain = staged.filter(~F.col("_has_numeric")).select(
         "request_id", "selection", "positions"
@@ -212,40 +214,8 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     )
 
     combined = plain.unionByName(numeric_out)
-    # attach selection weights to each computed position; the selection array
+    # weight attach + empty-request drop + robust combine as ONE generated
+    # SQL statement (combiner.combine_weighted_packed); the selection array
     # rides through as calculation_info — the reference's CalculationInfo
     # diagnostics (selected algorithms + final weights per request)
-    weighted = combined.select(
-        "request_id",
-        F.col("selection").alias("calculation_info"),
-        F.filter(
-            F.transform(
-                F.col("positions"),
-                lambda p: F.struct(
-                    p.getField("algorithm").alias("algorithm"),
-                    F.coalesce(
-                        F.element_at(
-                            F.transform(
-                                F.filter(
-                                    F.col("selection"),
-                                    lambda e: e.getField("algorithm")
-                                    == p.getField("algorithm"),
-                                ),
-                                lambda e: e.getField("weight"),
-                            ),
-                            1,
-                        ),
-                        F.lit(0.0),
-                    ).alias("weight"),
-                    p.getField("latitude").alias("latitude"),
-                    p.getField("longitude").alias("longitude"),
-                    p.getField("altitude").alias("altitude"),
-                    p.getField("accuracy").alias("accuracy"),
-                    p.getField("confidence").alias("confidence"),
-                ),
-            ),
-            lambda p: p.getField("weight") > 0.0,
-        ).alias("pos"),
-    ).filter(F.size("pos") > 0)
-
-    return combine_packed(weighted, "pos", passthrough=("calculation_info",))
+    return combine_weighted_packed(combined.select("request_id", "selection", "positions"))
