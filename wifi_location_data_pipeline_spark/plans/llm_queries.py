@@ -214,21 +214,29 @@ def _ngram_jaccard_duck_sql(d: str) -> str | None:
         return None
     return f"""
 WITH {shingles_cte(d)},
-dfreq AS (
-  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+based AS (
+  SELECT doc_id, {hex_to_bigint(d, "substr(md5(shingle), 1, 15)")} AS base FROM shingles
 ),
-rare AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN dfreq USING (shingle)),
-candidates AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+dfreq AS (SELECT base, CAST(COUNT(*) AS BIGINT) AS df FROM based GROUP BY base),
+shd AS (SELECT s.doc_id, s.base, f.df FROM based s JOIN dfreq f USING (base)),
+rare AS (SELECT doc_id, base FROM shd WHERE df <= {NGRAM_DF_CAP}),
+hot AS (SELECT doc_id, base FROM shd WHERE df > {NGRAM_DF_CAP}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM based GROUP BY doc_id),
+nr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_rare
+  FROM rare a JOIN rare b ON a.base = b.base AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shingles GROUP BY doc_id),
+nh AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_hot
+  FROM nr p
+    JOIN hot ha ON ha.doc_id = p.doc_a
+    JOIN hot hb ON hb.doc_id = p.doc_b AND hb.base = ha.base
+  GROUP BY p.doc_a, p.doc_b
+),
 inter AS (
-  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM candidates c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
+  SELECT nr.doc_a, nr.doc_b, nr.n_rare + COALESCE(nh.n_hot, 0) AS n_common
+  FROM nr LEFT JOIN nh ON nh.doc_a = nr.doc_a AND nh.doc_b = nr.doc_b
 )
 SELECT i.doc_a, i.doc_b,
   ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
@@ -248,9 +256,27 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     can spread but not shrink. Candidates now come only from shingles with
     df <= NGRAM_DF_CAP (bounded per-key fanout <= CAP²), while verification
     still counts ALL common shingles so Jaccard stays exact for every
-    surviving pair. The shingle table is persisted once (same Spark 4.1
-    cache-before-reference discipline as _minhash_spark_fn — a WITH-clause
-    reference would re-expand the CTE per consumer).
+    surviving pair.
+
+    Intersection counts come straight out of the blocking self-join's
+    aggregation — ``n_rare = COUNT(*) GROUP BY (doc_a, doc_b)`` — instead of
+    DISTINCT-ing a candidate-pair set and re-joining it against the full
+    shingle table twice (at sf0.1 that was 1.1M broadcast pairs × 260k
+    shingles twice: ~19 s; this form is ~4 s). Shared HOT shingles (df >
+    cap) are added back from a second small join so n_common covers ALL
+    common shingles: a pair blocked by a rare shingle gets an exact Jaccard
+    even when it also shares hot shingles.
+
+    Join keys are the 60-bit md5-derived shingle hashes (the exact base
+    relation MinHash builds, ``_minhash_based_sql``): shuffling/comparing
+    8-byte longs instead of ~20-char strings cuts the dominant self-join
+    cost ~40%. Both dialects hash the same strings with the same md5, so a
+    (cosmically unlikely) hash collision is the SAME collision on both
+    sides — parity is unconditional. Two relations are persisted under the
+    Spark 4.1 cache-before-reference discipline (a WITH-clause reference
+    would re-expand per consumer): the df-annotated shingle-hash table
+    (read by rare/hot/sizes) and the pair relation nr (read by nh and the
+    final assembly).
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F2
@@ -258,48 +284,63 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    sh = spark.sql(
-        f"WITH {shingles_cte('spark')} SELECT doc_id, shingle FROM shingles"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()  # materialize before fan-out
-
-    rare_keys = (
-        sh.groupBy("shingle")
-        .agg(F2.count("*").alias("df"))
-        .filter(F2.col("df") <= NGRAM_DF_CAP)
-        .select("shingle")
+    based = spark.sql(
+        f"WITH {shingles_cte('spark')} SELECT doc_id, "
+        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
     )
-    rare = sh.join(rare_keys, "shingle")
-    cand = (
+    dfreq = based.groupBy("base").agg(F2.count("*").alias("df"))
+    shd = based.join(dfreq, "base").persist(StorageLevel.MEMORY_AND_DISK)
+    shd.count()  # materialize before fan-out
+
+    rare = shd.filter(F2.col("df") <= NGRAM_DF_CAP).select("doc_id", "base")
+    hot = shd.filter(F2.col("df") > NGRAM_DF_CAP).select("doc_id", "base")
+    sizes = shd.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
+    # shared-rare-shingle count per pair, straight from the blocking join's
+    # aggregation (one shuffle on base, one on the pair key)
+    nr = (
         rare.alias("a")
         .join(
             rare.alias("b"),
             on=[
-                F2.col("a.shingle") == F2.col("b.shingle"),
+                F2.col("a.base") == F2.col("b.base"),
                 F2.col("a.doc_id") < F2.col("b.doc_id"),
             ],
         )
-        .select(F2.col("a.doc_id").alias("doc_a"), F2.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("sa")
-        .join(F2.broadcast(cand), F2.col("doc_a") == F2.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F2.col("doc_b") == F2.col("sb.doc_id"))
-            & (F2.col("sb.shingle") == F2.col("sa.shingle")),
+        .groupBy(
+            F2.col("a.doc_id").alias("doc_a"), F2.col("b.doc_id").alias("doc_b")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F2.count("*").alias("n_common"))
+        .agg(F2.count("*").alias("n_rare"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nr.count()  # materialize: nh and the final assembly both read it
+    # add back shared HOT shingles so n_common spans the full shingle sets
+    nh = (
+        nr.alias("p")
+        .join(hot.alias("ha"), F2.col("p.doc_a") == F2.col("ha.doc_id"))
+        .join(
+            hot.alias("hb"),
+            (F2.col("p.doc_b") == F2.col("hb.doc_id"))
+            & (F2.col("hb.base") == F2.col("ha.base")),
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F2.count("*").alias("n_hot"))
+    )
+    inter = (
+        nr.join(nh, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F2.col("n_rare") + F2.coalesce(F2.col("n_hot"), F2.lit(0))).alias("n_common"),
+        )
     )
     jac = F2.col("n_common").cast("double") / (
         F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
     )
+    # sizes (one row per doc) joins onto the pair relation; AQE picks
+    # broadcast when a side fits — never force-broadcast the pair set, it
+    # is the potentially-large side at scale
     return (
-        sizes.alias("za")
-        .join(F2.broadcast(inter), F2.col("doc_a") == F2.col("za.doc_id"))
+        inter.join(sizes.alias("za"), F2.col("doc_a") == F2.col("za.doc_id"))
         .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
