@@ -258,25 +258,33 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     still counts ALL common shingles so Jaccard stays exact for every
     surviving pair.
 
-    Intersection counts come straight out of the blocking self-join's
-    aggregation — ``n_rare = COUNT(*) GROUP BY (doc_a, doc_b)`` — instead of
-    DISTINCT-ing a candidate-pair set and re-joining it against the full
-    shingle table twice (at sf0.1 that was 1.1M broadcast pairs × 260k
-    shingles twice: ~19 s; this form is ~4 s). Shared HOT shingles (df >
-    cap) are added back from a second small join so n_common covers ALL
-    common shingles: a pair blocked by a rare shingle gets an exact Jaccard
-    even when it also shares hot shingles.
+    Intersection counts come straight out of the blocking structure —
+    ``n_rare = COUNT(*) GROUP BY (doc_a, doc_b)`` over generated pairs —
+    instead of DISTINCT-ing a candidate-pair set and re-joining it against
+    the full shingle table twice (at sf0.1 that was 1.1M broadcast pairs ×
+    260k shingles twice: ~19 s; this form is ~3 s). Shared HOT shingles
+    (df > cap) are added back from a second small join so n_common covers
+    ALL common shingles: a pair blocked by a rare shingle gets an exact
+    Jaccard even when it also shares hot shingles.
 
-    Join keys are the 60-bit md5-derived shingle hashes (the exact base
-    relation MinHash builds, ``_minhash_based_sql``): shuffling/comparing
-    8-byte longs instead of ~20-char strings cuts the dominant self-join
-    cost ~40%. Both dialects hash the same strings with the same md5, so a
-    (cosmically unlikely) hash collision is the SAME collision on both
-    sides — parity is unconditional. Two relations are persisted under the
-    Spark 4.1 cache-before-reference discipline (a WITH-clause reference
-    would re-expand per consumer): the df-annotated shingle-hash table
-    (read by rare/hot/sizes) and the pair relation nr (read by nh and the
-    final assembly).
+    The pair generation is an inverted-index doc-list walk, not a
+    self-join: group shingle hashes to a sorted doc list per hash (df-cap
+    bounds the list), then explode each list's i<j pairs with an array
+    comprehension — narrow, codegen'd, no join build/probe, and one fewer
+    shuffle than the equi-self-join (which cost ~2.5 s on its own here).
+    Shingles are keyed by their 60-bit md5-derived hash (the exact base
+    relation MinHash builds, ``_minhash_based_sql``): 8-byte longs shuffle
+    far cheaper than ~20-char strings, and both dialects hash the same
+    strings with the same md5, so a (cosmically unlikely) hash collision is
+    the SAME collision on both sides — parity is unconditional. Per-doc
+    shingle-set sizes come narrowly from the per-doc array (no shuffle).
+    Three small relations persist under the Spark 4.1
+    cache-before-reference discipline (a WITH-clause reference would
+    re-expand per consumer): the per-doc array table, the per-hash doc
+    lists, and the pair relation nr (read by nh and the final assembly).
+
+    Gotcha encoded below: Spark's ``sequence(1, 0)`` DESCENDS (it is not
+    empty), so single-doc lists must be filtered out before pair-gen.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F2
@@ -284,31 +292,45 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    based = spark.sql(
-        f"WITH {shingles_cte('spark')} SELECT doc_id, "
-        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
-    )
-    dfreq = based.groupBy("base").agg(F2.count("*").alias("df"))
-    shd = based.join(dfreq, "base").persist(StorageLevel.MEMORY_AND_DISK)
-    shd.count()  # materialize before fan-out
+    gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
+    docarr = spark.sql(
+        f"""
+SELECT doc_id,
+  transform(array_distinct(transform(sequence(1, size(w) - 2), i -> concat({gram}))),
+            s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)) AS bases
+FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+WHERE size(w) >= 3"""
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docarr.count()  # materialize before fan-out
 
-    rare = shd.filter(F2.col("df") <= NGRAM_DF_CAP).select("doc_id", "base")
-    hot = shd.filter(F2.col("df") > NGRAM_DF_CAP).select("doc_id", "base")
-    sizes = shd.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
-    # shared-rare-shingle count per pair, straight from the blocking join's
-    # aggregation (one shuffle on base, one on the pair key)
+    sizes = docarr.select("doc_id", F2.size("bases").alias("n_sh"))
+    blists = (
+        docarr.select("doc_id", F2.explode("bases").alias("base"))
+        .groupBy("base")
+        .agg(F2.array_sort(F2.collect_list("doc_id")).alias("ds"))
+        .filter(F2.size("ds") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    blists.count()
+    rare_pairs = (
+        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
+        .select(
+            F2.explode(
+                F2.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1), "
+                    "i -> transform(sequence(i + 1, CAST(size(ds) AS BIGINT)), "
+                    "j -> struct(element_at(ds, CAST(i AS INT)) AS doc_a, "
+                    "element_at(ds, CAST(j AS INT)) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    hot = blists.filter(F2.size("ds") > NGRAM_DF_CAP).select(
+        "base", F2.explode("ds").alias("doc_id")
+    )
     nr = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            on=[
-                F2.col("a.base") == F2.col("b.base"),
-                F2.col("a.doc_id") < F2.col("b.doc_id"),
-            ],
-        )
-        .groupBy(
-            F2.col("a.doc_id").alias("doc_a"), F2.col("b.doc_id").alias("doc_b")
-        )
+        rare_pairs.groupBy("doc_a", "doc_b")
         .agg(F2.count("*").alias("n_rare"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

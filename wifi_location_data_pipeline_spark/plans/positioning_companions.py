@@ -110,7 +110,7 @@ FROM (
         (CASE WHEN fin.n <= 3 THEN fin.med ELSE 0.7 * fin.med + 0.3 * fin.trimmed END)
           * (1.0 + (CAST(fin.n_outliers AS DOUBLE) / fin.npts) * 0.5) AS robust
       FROM (
-        WITH g1 AS (
+        WITH g1 AS MATERIALIZED (
           SELECT request_id,
             COUNT(*) AS n,
             CAST(COUNT(*) AS DOUBLE) AS npts,
@@ -124,7 +124,7 @@ FROM (
             array_to_string(list_sort(list(DISTINCT algorithm)), ',') AS methods_used
           FROM {rel} GROUP BY request_id
         ),
-        g2 AS (
+        g2 AS MATERIALIZED (
           SELECT g1.*,
             CASE WHEN total_w > 0.0 THEN swlat / total_w END AS mean_lat,
             CASE WHEN total_w > 0.0 THEN swlon / total_w END AS mean_lon,
@@ -134,7 +134,7 @@ FROM (
             slon / npts AS plain_lon
           FROM g1
         ),
-        c1 AS (
+        c1 AS MATERIALIZED (
           SELECT p.request_id,
             SUM((p.latitude - g.mean_lat) * (p.latitude - g.mean_lat)) / MAX(g.npts) AS cov_ll,
             SUM((p.longitude - g.mean_lon) * (p.longitude - g.mean_lon)) / MAX(g.npts) AS cov_oo,
@@ -269,7 +269,7 @@ def combiner_robust_fn(spark, sf_dir):
 
 def combiner_robust_oracle() -> str:
     return f"""
-WITH posrel AS ({combiner_positions_sql(DUCK)})
+WITH posrel AS MATERIALIZED ({combiner_positions_sql(DUCK)})
 {combiner_oracle_sql('posrel')}
 """
 
@@ -439,9 +439,9 @@ def ensemble_closed_oracle() -> str:
         * CASE WHEN vendor IS NOT NULL THEN 1.2 ELSE 0.85 END))"""
     sfac = "GREATEST(1.0, LEAST(3.0, (-(st.avg_s) - 50.0) / 10.0))"
     return f"""
-WITH eobs AS ({ecf_obs_sql(DUCK)}),
-apsdim AS ({ecf_aps_sql(DUCK)}),
-gated AS (
+WITH eobs AS MATERIALIZED ({ecf_obs_sql(DUCK)}),
+apsdim AS MATERIALIZED ({ecf_aps_sql(DUCK)}),
+gated AS MATERIALIZED (
   SELECT e.user_id, e.rssi, a.mac, a.lat, a.lon, a.alt, a.hacc, a.conf,
          a.vendor, a.frequency
   FROM eobs e JOIN apsdim a USING (ap_id)
@@ -584,7 +584,7 @@ allpos AS (
   FROM pr p JOIN st USING (user_id)
   WHERE st.n_scans >= 2 AND p.n_pairs > 0 AND p.spw > 0.0
 ),
-posx AS (
+posx AS MATERIALIZED (
   SELECT CAST(s.user_id AS VARCHAR) AS request_id, s.algorithm, s.w AS weight,
     p.latitude, p.longitude, p.altitude, p.accuracy, p.confidence
   FROM sel s JOIN allpos p
