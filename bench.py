@@ -83,7 +83,7 @@ def main() -> None:
     attempts = max(1, int(os.environ.get("BENCH_ATTEMPTS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        best = None
+        samples: list[float] = []
         for _ in range(attempts):
             # isolate queries/attempts from each other: no inherited cached
             # plans, and a driver GC so the ContextCleaner releases earlier
@@ -93,9 +93,22 @@ def main() -> None:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # the host shows multi-second scheduling/GC spikes that land on
+        # random queries; when the recorded attempts disagree badly the
+        # minimum itself is suspect, so buy one extra sample — bounded to
+        # noisy non-trivial queries, not a blanket attempts bump
+        if (
+            len(samples) > 1
+            and min(samples) > 0.5
+            and max(samples) > 1.4 * min(samples)
+        ):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

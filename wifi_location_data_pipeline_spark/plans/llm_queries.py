@@ -735,7 +735,17 @@ def _lsh_buckets_cte(d: str) -> str:
     bucket under 8 md5-derived random hyperplanes — literal-weight dot
     products straight on the embedding array, no explode, no per-row hashing
     (shared by ann_lsh_bucketed and dedup_embedding_cosine so the recall
-    tier is defined exactly once)."""
+    tier is defined exactly once).
+
+    Cross-engine sign-bit stability: the Spark path computes the projection
+    with a BLAS GEMM (pairwise summation) while this SQL folds sequentially,
+    so the two engines' float64 sums can differ by up to ~64·eps·max|term|
+    ≈ 2e-12. A sign bit flips between engines only when the true projection
+    lands inside that window around 0; with the corpus embeddings
+    (|x| ≤ 0.53) and half-integer weights (|w| ≤ 499.5) the projections are
+    ~N(0, σ≈350), so the per-dot flip probability is ~6e-15 (~1e-9 per full
+    sf0.1 run) — quantified and accepted rather than papered over with an
+    epsilon that only moves the boundary."""
     return f"""
 v AS (SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings),
 proj AS (

@@ -622,3 +622,218 @@ register(
     sql=lambda d: combiner_robust_oracle(),
     spark_fn=combiner_robust_fn,
 )
+
+
+# ---------------------------------------------------------------------------
+# selection_reasons: selectAlgorithmsWithReasons over every factor combination
+# ---------------------------------------------------------------------------
+
+_AP_CLASSES = ("SINGLE_AP", "TWO_APS", "THREE_APS", "FOUR_PLUS_APS")
+_SQ_CLASSES = ("STRONG_SIGNAL", "MEDIUM_SIGNAL", "WEAK_SIGNAL", "VERY_WEAK_SIGNAL")
+_GEO_CLASSES = ("EXCELLENT_GDOP", "GOOD_GDOP", "FAIR_GDOP", "POOR_GDOP", "COLLINEAR")
+_DIST_CLASSES = ("UNIFORM_SIGNALS", "MIXED_SIGNALS", "SIGNAL_OUTLIERS")
+
+
+def selreason_ctx_sql(d: str) -> str:
+    """480 contexts covering EVERY (ap x signal x geometry x distribution x
+    all_very_weak) combination, keyed by event_id (0..479 exists at every
+    SF)."""
+    intdiv = (lambda a, b: f"({a} DIV {b})") if d == SPARK else (lambda a, b: f"({a} // {b})")
+    e = "event_id"
+    return f"""
+  SELECT CAST(event_id AS BIGINT) AS request_id,
+    {_pick(d, _AP_CLASSES, f"{e} % 4 + 1")} AS ap_count_class,
+    {_pick(d, _SQ_CLASSES, f"{intdiv(e, 4)} % 4 + 1")} AS signal_quality,
+    {_pick(d, _GEO_CLASSES, f"{intdiv(e, 16)} % 5 + 1")} AS geometric_quality,
+    {_pick(d, _DIST_CLASSES, f"{intdiv(e, 80)} % 3 + 1")} AS signal_distribution,
+    ({intdiv(e, 240)} % 2) = 1 AS all_very_weak
+  FROM events WHERE event_id < 480
+"""
+
+
+def selection_reasons_fn(spark, sf_dir):
+    """REAL reason-annotated selection (selection.select_algorithms_with_reasons)
+    over the full combinatorial context grid; reasons joined to one string
+    for the value compare (AlgorithmSelector.java:308-330; SURVEY §2.7
+    'Algorithm selection framework' — the reference's
+    selectAlgorithmsWithReasons diagnostics, previously unimplemented)."""
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.positioning.selection import (
+        select_algorithms_with_reasons,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    ctx = spark.sql(f"SELECT * FROM ({selreason_ctx_sql(SPARK)}) c")
+    out = select_algorithms_with_reasons(ctx)
+    return out.select(
+        "request_id",
+        "algorithm",
+        "selected",
+        F.col("weight").cast("double").alias("weight"),
+        F.array_join("reasons", " | ").alias("reasons"),
+    )
+
+
+def _factor_case(col: str, table: dict, algo_idx: int) -> str:
+    """CASE <class-col> ... CASE algorithm ... multiplier AS DOUBLE (duck)."""
+    whens = " ".join(
+        f"WHEN '{klass}' THEN CAST({float(m[algo_idx])} AS DOUBLE)"
+        for klass, m in table.items()
+    )
+    return f"CASE {col} {whens} END"
+
+
+def _j2f(expr: str) -> str:
+    """Java-semantics %.2f for DuckDB: java.util.Formatter rounds the
+    double's SHORTEST decimal representation HALF_UP (0.3*0.5*0.7 prints
+    '0.11' because its shortest repr is 0.105), while C/fmt printf
+    correctly rounds the exact binary value ('0.10'). Reproduce Java:
+    shortest repr via VARCHAR cast, exact reparse as DECIMAL, half-up
+    ROUND to 2 places, then format."""
+    return (
+        f"printf('%.2f', CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) "
+        f"AS DECIMAL(30,20)), 2) AS DOUBLE))"
+    )
+
+
+def selection_reasons_oracle() -> str:
+    """Row-wise DuckDB oracle replicating the three selection phases and the
+    verbatim reason strings of AlgorithmSelector.java:35-48,273-294,343-490.
+    Weight products multiply in the same left-assoc order as the Spark
+    Column tree, so the doubles are bit-identical, and ``_j2f`` reproduces
+    Java's %.2f digits exactly."""
+    algos = ", ".join(
+        f"('{a}', {i})" for i, a in enumerate(ALGORITHMS)
+    )
+    base = "CASE algorithm " + " ".join(
+        f"WHEN '{a}' THEN {_factor_case('ap_count_class', BASE_WEIGHTS, i)}"
+        for i, a in enumerate(ALGORITHMS)
+    ) + " END"
+    sig = "CASE algorithm " + " ".join(
+        f"WHEN '{a}' THEN {_factor_case('signal_quality', SIGNAL_MULT, i)}"
+        for i, a in enumerate(ALGORITHMS)
+    ) + " END"
+    geo = "CASE algorithm " + " ".join(
+        f"WHEN '{a}' THEN {_factor_case('geometric_quality', GEOMETRY_MULT, i)}"
+        for i, a in enumerate(ALGORITHMS)
+    ) + " END"
+    dist = "CASE algorithm " + " ".join(
+        f"WHEN '{a}' THEN {_factor_case('signal_distribution', DISTRIBUTION_MULT, i)}"
+        for i, a in enumerate(ALGORITHMS)
+    ) + " END"
+    wprod = f"((({base}) * ({sig})) * ({geo})) * ({dist})"
+    wcalc_expr = (
+        "'Weight=' || " + _j2f(wprod)
+        + " || ': base(' || " + _j2f(base)
+        + " || ') × signal(' || " + _j2f(sig)
+        + " || ') × geometric(' || " + _j2f(geo)
+        + " || ') × distribution(' || " + _j2f(dist)
+        + " || ')'"
+    )
+    return f"""
+WITH ctx AS MATERIALIZED ({selreason_ctx_sql(DUCK)}),
+crossed AS (
+  SELECT c.*, a.algorithm
+  FROM ctx c CROSS JOIN (VALUES {algos}) a(algorithm, ai)
+),
+p1 AS (
+  SELECT *,
+    (all_very_weak OR signal_quality = 'VERY_WEAK_SIGNAL') AS vweak,
+    CASE ap_count_class
+      WHEN 'SINGLE_AP' THEN algorithm IN ('proximity', 'log_distance')
+      WHEN 'TWO_APS' THEN algorithm NOT IN ('trilateration', 'maximum_likelihood')
+      WHEN 'THREE_APS' THEN algorithm <> 'maximum_likelihood'
+      ELSE TRUE END AS apc_elig,
+    CASE ap_count_class
+      WHEN 'SINGLE_AP' THEN
+        CASE WHEN algorithm = 'proximity' THEN 'Valid for single AP'
+             WHEN algorithm = 'log_distance' THEN 'Valid for single AP with path loss model'
+             ELSE 'DISQUALIFIED (insufficient APs)' END
+      WHEN 'TWO_APS' THEN
+        CASE WHEN algorithm = 'trilateration' THEN 'DISQUALIFIED (requires at least 3 APs)'
+             WHEN algorithm = 'maximum_likelihood' THEN 'DISQUALIFIED (requires at least 4 APS)'
+             ELSE 'Valid for two APs' END
+      WHEN 'THREE_APS' THEN
+        CASE WHEN algorithm = 'maximum_likelihood' THEN 'DISQUALIFIED (requires at least 4 APS)'
+             ELSE 'Valid for three APs' END
+      ELSE 'Valid for 4+ APs' END AS r_apc,
+    geometric_quality IN ('COLLINEAR', 'POOR_GDOP') AS geo_bad,
+    CASE WHEN NOT vweak AND geometric_quality IN ('COLLINEAR', 'POOR_GDOP')
+              AND algorithm = 'trilateration' AND apc_elig
+         THEN CASE WHEN geometric_quality = 'COLLINEAR'
+                   THEN 'DISQUALIFIED (collinear APs)'
+                   ELSE 'DISQUALIFIED (poor geometry)' END END AS r_geo,
+    CASE WHEN vweak THEN algorithm = 'proximity'
+         ELSE apc_elig AND NOT (geo_bad AND algorithm = 'trilateration') END AS eligible,
+    CASE WHEN vweak THEN
+      CASE WHEN algorithm = 'proximity'
+           THEN 'Only viable algorithm for extremely weak signals'
+           ELSE 'DISQUALIFIED (signal too weak)' END
+      ELSE r_apc END AS r1
+  FROM crossed
+),
+p2 AS (
+  SELECT *,
+    CASE WHEN eligible THEN {wprod} END AS weight,
+    CASE WHEN eligible THEN {wcalc_expr} END AS wcalc
+  FROM p1
+),
+p3 AS (
+  SELECT *,
+    SUM(CASE WHEN eligible THEN 1 ELSE 0 END) OVER (PARTITION BY request_id) AS n_elig,
+    CASE WHEN SUM(CASE WHEN eligible THEN 1 ELSE 0 END) OVER (PARTITION BY request_id) = 1
+         THEN weight ELSE CAST(0.4 AS DOUBLE) END AS thr
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+    eligible AND weight >= thr AS above
+  FROM p3
+),
+p5 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY request_id
+      ORDER BY (CASE WHEN above THEN weight END) DESC NULLS LAST, algorithm) AS rn,
+    MAX(CASE WHEN above THEN weight END) OVER (PARTITION BY request_id) AS max_w,
+    SUM(CASE WHEN above THEN 1 ELSE 0 END) OVER (PARTITION BY request_id) AS n_surv
+  FROM p4
+),
+p6 AS (
+  SELECT *,
+    CASE WHEN max_w > CAST(0.8 AS DOUBLE) THEN 2
+         WHEN n_surv > 3 THEN 3 ELSE n_surv END AS keep_n
+  FROM p5
+),
+p7 AS (
+  SELECT *,
+    above AND rn <= keep_n AS sel,
+    CASE
+      WHEN eligible AND NOT above THEN
+        'DISQUALIFIED  (below threshold ' || {_j2f('thr')} || ') . Weight Calculation: ' || wcalc
+      WHEN above AND NOT (above AND rn <= keep_n) THEN
+        CASE WHEN max_w > CAST(0.8 AS DOUBLE)
+             THEN printf('DISQUALIFIED (not in top 2 High Confidence). Weight Calculation: %s', wcalc)
+             ELSE printf('DISQUALIFIED (not in top 3 below High Confidence). Weight Calculation: %s', wcalc) END
+      WHEN above AND rn <= keep_n THEN
+        printf('SELECTED. Weight Calculation: %s', wcalc)
+    END AS r3
+  FROM p6
+)
+SELECT request_id, algorithm, sel AS selected, weight,
+  concat_ws(' | ', r1, r_geo, r3) AS reasons
+FROM p7
+"""
+
+
+register(
+    "selection_reasons",
+    "Reason-annotated algorithm selection (selectAlgorithmsWithReasons): "
+    "hard constraints, weight formula strings, threshold/top-N discard "
+    "reasons, SELECTED annotations — the reference's diagnostic strings "
+    "verbatim over all 480 factor combinations "
+    "(AlgorithmSelector.java:35-48,273-294,308-330,343-490).",
+    sql=lambda d: selection_reasons_oracle(),
+    spark_fn=selection_reasons_fn,
+)

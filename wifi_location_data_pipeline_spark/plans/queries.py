@@ -1645,6 +1645,8 @@ _TAIL = (
     "skew_salted_agg",  # physical-strategy demo (salting), not a §2 operator
     "geohash_cells",  # physical-strategy demo (spatial index build)
     "multimodal_frame_sample",  # multimodal_decode covers the mapInPandas plumbing
+    "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
+    # window slot ceded to the never-checked selection_reasons
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
