@@ -217,12 +217,19 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     # GIL-bound workers). At scale the row count drives it back to full
     # cluster width.
     n_numeric = numeric_in.count()
-    n_parts = max(2, min(spark.sparkContext.defaultParallelism, (n_numeric + 383) // 384))
-    numeric_out = numeric_in.repartition(n_parts).mapInPandas(
-        _run_numeric_onepass, _PACKED_SCHEMA
-    )
-
-    combined = plain.unionByName(numeric_out)
+    if n_numeric == 0:
+        # no request selected trilateration/MLE (e.g. all ≤2-AP requests):
+        # skip the Python tier entirely — an empty mapInPandas still
+        # schedules tasks and spins Arrow workers
+        combined = plain
+    else:
+        n_parts = max(
+            2, min(spark.sparkContext.defaultParallelism, (n_numeric + 383) // 384)
+        )
+        numeric_out = numeric_in.repartition(n_parts).mapInPandas(
+            _run_numeric_onepass, _PACKED_SCHEMA
+        )
+        combined = plain.unionByName(numeric_out)
     # weight attach + empty-request drop + robust combine as ONE generated
     # SQL statement (combiner.combine_weighted_packed); the selection array
     # rides through as calculation_info — the reference's CalculationInfo
