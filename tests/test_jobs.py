@@ -6,6 +6,7 @@ one SparkSession via build_session's getOrCreate."""
 
 import base64
 import gzip
+import os
 import json
 import math
 
@@ -68,3 +69,21 @@ def test_job_chain(spark, zone):
     jobs_main(["position", "--requests", req_path, "--ap-table", aps, "--out", out])
     pos = spark.read.parquet(out).collect()
     assert len(pos) == 1 and pos[0]["request_id"] == "job-req-1"
+
+
+def test_dedup_clusters_loop_matches_union_find(spark, monkeypatch):
+    """The >2M-pair distributed label-propagation loop must produce the same
+    components as the small-graph union-find path (forced via the cutoff)."""
+    import wifi_location_data_pipeline_spark.plans.llm_queries as L
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    small = {
+        tuple(r)
+        for r in L._dedup_clusters_spark_fn(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(L, "CLUSTERS_UNION_FIND_MAX_PAIRS", -1)
+    looped = {
+        tuple(r)
+        for r in L._dedup_clusters_spark_fn(spark, sf_dir).collect()
+    }
+    assert small == looped and len(small) > 0

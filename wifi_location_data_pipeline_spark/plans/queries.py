@@ -1647,6 +1647,8 @@ _TAIL = (
     "multimodal_frame_sample",  # multimodal_decode covers the mapInPandas plumbing
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
+    "dedup_clusters",  # oracle-bearing; iterative driver loop — tail parity
+    # test value-checks it (window stays the 50 single-statement queries)
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
