@@ -1516,7 +1516,14 @@ def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         localize_with_history,
     )
 
-    m = _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
+    from pyspark import StorageLevel
+
+    # the tier router, the per-tier semi-joins, and the history split each
+    # re-scan the measurements relation (6+ consumers) — persist once
+    m = _derived_measurements_df(spark, sf_dir, cap_by_ap=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    m.count()
     out = localize_with_history(m)
     return out.select(
         "bssid",
