@@ -1635,6 +1635,67 @@ def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from wifi_location_data_pipeline_spark.plans import llm_queries  # noqa: E402,F401
 from wifi_location_data_pipeline_spark.plans import positioning_companions  # noqa: E402,F401
 
+def _session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (4h inactivity gap) via Spark's native
+    ``session_window`` — the Structured Streaming session operator run in
+    batch mode (the same expression works under readStream + watermark,
+    which is the production shape for sessionizing the scan feed;
+    SURVEY §2.8). Oracle is the classic gaps-and-islands formulation."""
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id", F2.session_window("ts", "4 hours").alias("w"))
+        .agg(
+            F2.count("*").alias("n_events"),
+            (F2.floor(F2.sum("value") * 10000.0 + 0.5) / 10000.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F2.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F2.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            F2.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )
+    return out
+
+
+register(
+    "session_window_agg",
+    "Per-user session windows with a 4-hour inactivity gap: Spark's native "
+    "session_window operator (streaming-capable, run in batch); oracle is "
+    "the gaps-and-islands SQL (boundary when the gap to the previous event "
+    ">= 4h, session end = last event + gap). Rounding via the shared "
+    "FLOOR(x*1e4+0.5) form (SURVEY §2.8).",
+    sql=lambda d: None if d == "spark" else """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 14400
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(MAX(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  FLOOR(SUM(value) * 10000.0 + 0.5) / 10000.0 AS total_value
+FROM islands
+GROUP BY user_id, session_no
+""",
+    spark_fn=_session_window_fn,
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the external correctness gate value-checks only the FIRST
 # 50 entries, so every slot in the window must carry a DuckDB oracle. Entries
@@ -1654,6 +1715,7 @@ _TAIL = (
     "multimodal_frame_sample",  # multimodal_decode covers the mapInPandas plumbing
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
+    "session_window_agg",  # streaming-analog; tumbling twin already in-window
     "dedup_clusters",  # oracle-bearing; iterative driver loop — tail parity
     # test value-checks it (window stays the 50 single-statement queries)
     # no-oracle demos:
