@@ -696,6 +696,25 @@ register(
 )
 
 EMB_DIM = 64  # the corpus embedding length (all SFs; checked at generation)
+# Dedup-LSH shape: collisions per table scale ~n²/2^k, so k must grow with
+# log2(n) to keep the verify stage linear — the sf1 scaling run (20k
+# vectors, fixed k=8) showed the candidate set and the exact-cosine verify
+# behind it growing ~29× on 10× data. The Spark path therefore picks k
+# adaptively (emb_lsh_k below): k=8 up to 4096 vectors — the regime every
+# oracle comparison runs in (sf0.001/0.01), matching the static DuckDB
+# oracle — then ceil(log2 n)+1 beyond, which holds expected junk
+# candidates per table (n²/2^(k+1)) roughly constant. True near-dup pairs
+# (cosine ≥ 0.9) still collide in ≥1 of the 8 tables with probability
+# ≥ 99.9% at any of these k.
+EMB_LSH_L = 8
+
+
+def emb_lsh_k(n_vectors: int) -> int:
+    import math
+
+    if n_vectors <= 4096:
+        return 8
+    return math.ceil(math.log2(n_vectors)) + 1
 
 
 def _plane_weights(j: int, dims: int = EMB_DIM) -> list[float]:
@@ -779,8 +798,9 @@ def _embedding_lsh_spark_fn(spark, sf_dir):
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    k, L = 8, 8
-    W = np.array([_plane_weights(j) for j in range(1, k * L + 1)])  # (64 planes, 64 dims)
+    L = EMB_LSH_L
+    k = emb_lsh_k(load_table(spark, sf_dir, "embeddings").count())
+    W = np.array([_plane_weights(j) for j in range(1, k * L + 1)])  # (k*L planes, 64 dims)
     powers = 2 ** np.arange(k)
 
     def to_buckets(batches):
@@ -851,9 +871,9 @@ def _embedding_cosine_sql(d: str) -> str:
     """Multi-table hyperplane-LSH near-dup with exact cosine verification.
 
     Round-1 collected the corpus on the driver and broadcast the full matrix
-    (all-pairs GEMM) — a driver-memory wall at 100 TB. The scale shape: L=8
-    LSH tables × k=8 md5-derived hyperplanes each. A vector's 8-bit sign
-    bucket per table is unpivoted to (vec_id, tbl, bucket) rows, so candidate
+    (all-pairs GEMM) — a driver-memory wall at 100 TB. The scale shape: L
+    LSH tables × k md5-derived hyperplanes each (EMB_LSH_K/L). A vector's
+    k-bit sign bucket per table is unpivoted to (vec_id, tbl, bucket) rows, so candidate
     generation is an equi-join on (tbl, bucket) — a shuffled hash join,
     never all-pairs — and a pair is a candidate if it collides in ANY table
     (OR-amplification; DISTINCT collapses multi-table collisions). Exact
@@ -863,12 +883,11 @@ def _embedding_cosine_sql(d: str) -> str:
     and the scheme is deterministic).
 
     (k, L) tuning: random (non-dup) pairs collide per table with probability
-    ~(1/2)^k, so expected junk candidates ≈ L·n²/2^(k+1) — k=8, L=8 keeps
-    the verify stage ~8× cheaper than k=4, L=4 at equal table count while
-    high-similarity pairs (the near-dup regime) still collide with
-    probability 1-(1-(1-θ/π)^k)^L.
+    ~(1/2)^k, so expected junk candidates ≈ L·n²/2^(k+1) — k must track
+    log2(n) (see EMB_LSH_K) while high-similarity pairs (the near-dup
+    regime) still collide with probability 1-(1-(1-θ/π)^k)^L.
     """
-    k, L = 8, 8
+    k, L = 8, EMB_LSH_L  # static SQL form: the <=4096-vector oracle regime
     buckets = ", ".join(
         " + ".join(f"hb{t * k + r + 1} * {2 ** r}" for r in range(k)) for t in range(L)
     )
@@ -1005,32 +1024,93 @@ GROUP BY shard, bin
 """,
 )
 
-register(
-    "decontamination_overlap",
-    "Benchmark decontamination: n-gram CONTAINMENT of each held-out eval "
-    "document in the training corpus (every 11th doc plays the eval set). "
-    "Candidates block on shared 3-gram shingles (equi-join, never "
-    "all-pairs); containment = |eval shingles found in train doc| / |eval "
-    "shingles| >= 0.5 flags the (eval, train) contamination pair — the "
-    "containment direction, not Jaccard, is what leakage checking needs "
-    "(a small eval doc inside a big train doc must still flag).",
-    sql=lambda d: f"""
-WITH {shingles_cte(d)},
-ev AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 11 = 0),
-train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 11 <> 0),
+DECON_NGRAM = 8  # long n-grams: shared ones are near-unique, so the
+# blocking join stays linear — 3-grams hit hot common-word shingles whose
+# eval-df x train-df product grew 100x on the 10x sf1 corpus
+
+
+def _decontamination_duck_sql(d: str) -> str | None:
+    if d == "spark":
+        return None
+    return f"""
+WITH {shingles_cte(d, DECON_NGRAM)},
+based AS (
+  SELECT doc_id, {hex_to_bigint(d, "substr(md5(shingle), 1, 15)")} AS base FROM shingles
+),
+ev AS (SELECT doc_id, base FROM based WHERE doc_id % 11 = 0),
+train AS (SELECT doc_id, base FROM based WHERE doc_id % 11 <> 0),
 ev_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ev GROUP BY doc_id),
 hits AS (
-  SELECT /*+ SHUFFLE_HASH(e, t) */
-    e.doc_id AS eval_doc, t.doc_id AS train_doc,
+  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
     CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM ev e JOIN train t ON e.shingle = t.shingle
+  FROM ev e JOIN train t ON e.base = t.base
   GROUP BY e.doc_id, t.doc_id
 )
 SELECT h.eval_doc, h.train_doc, h.n_shared,
   ROUND(CAST(h.n_shared AS DOUBLE) / s.n_sh, 4) AS containment
 FROM hits h JOIN ev_sizes s ON s.doc_id = h.eval_doc
 WHERE CAST(h.n_shared AS DOUBLE) / s.n_sh >= 0.5
-""",
+"""
+
+
+def _decontamination_spark_fn(spark, sf_dir):
+    """Containment check with the shingle-hash table persisted once.
+
+    The round-2 dual-dialect SQL re-expanded the shingles CTE per reference
+    (ev, train, ev_sizes — Spark re-inlines WITH references), so sf1 paid
+    the 10×-bigger shingle build three times plus a string-keyed join: 46 s.
+    This path builds the 60-bit md5 base table once (same relation MinHash
+    persists; the oracle hashes identically, so parity is unconditional)
+    and joins on longs."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    based = spark.sql(
+        f"WITH {shingles_cte('spark', DECON_NGRAM)} SELECT doc_id, "
+        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    based.count()
+    ev = based.filter(F2.col("doc_id") % 11 == 0)
+    train = based.filter(F2.col("doc_id") % 11 != 0)
+    ev_sizes = ev.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
+    hits = (
+        ev.alias("e")
+        .join(train.alias("t"), F2.col("e.base") == F2.col("t.base"))
+        .groupBy(
+            F2.col("e.doc_id").alias("eval_doc"), F2.col("t.doc_id").alias("train_doc")
+        )
+        .agg(F2.count("*").alias("n_shared"))
+    )
+    cont = F2.col("n_shared").cast("double") / F2.col("n_sh")
+    return (
+        hits.join(ev_sizes.withColumnRenamed("doc_id", "eval_doc"), "eval_doc")
+        .filter(cont >= 0.5)
+        .select(
+            "eval_doc",
+            "train_doc",
+            F2.col("n_shared").cast("long").alias("n_shared"),
+            F2.round(cont, 4).alias("containment"),
+        )
+    )
+
+
+register(
+    "decontamination_overlap",
+    "Benchmark decontamination: 8-gram CONTAINMENT of each held-out eval "
+    "document in the training corpus (every 11th doc plays the eval set; "
+    "long n-grams are the published decontamination practice AND the scale "
+    "guarantee — shared ones are near-unique so blocking stays linear). "
+    "Candidates block on shared 8-gram shingle hashes (equi-join on 60-bit "
+    "longs, never all-pairs); containment = |eval shingles found in train "
+    "doc| / |eval shingles| >= 0.5 flags the (eval, train) contamination "
+    "pair — the containment direction, not Jaccard, is what leakage "
+    "checking needs (a small eval doc inside a big train doc must still "
+    "flag).",
+    sql=_decontamination_duck_sql,
+    spark_fn=_decontamination_spark_fn,
 )
 
 # ---------------------------------------------------------------------------
