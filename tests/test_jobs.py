@@ -87,3 +87,23 @@ def test_dedup_clusters_loop_matches_union_find(spark, monkeypatch):
         for r in L._dedup_clusters_spark_fn(spark, sf_dir).collect()
     }
     assert small == looped and len(small) > 0
+
+
+def test_dedup_job(spark, tmp_path):
+    """jobs dedup: pairs + cluster assignment over a documents dir."""
+    import shutil
+
+    from wifi_location_data_pipeline_spark.jobs import main as jobs_main
+
+    d = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    shutil.copyfile(f"{sf_dir}/documents.parquet", f"{d}/documents.parquet")
+    jobs_main(["dedup", "--data-dir", d, "--out", f"{d}/pairs", "--method", "minhash"])
+    jobs_main(["dedup", "--data-dir", d, "--out", f"{d}/clusters", "--method", "clusters"])
+    pairs = spark.read.parquet(f"{d}/pairs")
+    clusters = spark.read.parquet(f"{d}/clusters")
+    assert pairs.count() > 0 and set(pairs.columns) == {"doc_a", "doc_b", "jaccard"}
+    assert clusters.count() > 0 and set(clusters.columns) == {
+        "doc_id", "canonical_doc_id", "cluster_size",
+    }

@@ -108,3 +108,51 @@ def test_kafka_reader_option_wiring():
         "maxOffsetsPerTrigger": "150",
     }
     assert kafka_reader_options("b:9092", "t", 500)["maxOffsetsPerTrigger"] == "500"
+
+
+def test_session_window_stream_twin(spark, tmpzone):
+    """The session_window expression used by the batch `session_window_agg`
+    query runs unchanged under readStream + watermark: stream a slice of
+    the events table through availableNow and compare the finalized
+    sessions to the batch computation on the same slice (docstring claim
+    in plans.queries._session_window_fn, substantiated)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    src = os.path.join(tmpzone, "events_slice")
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
+    # the cast is value-preserving
+    batch_events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("user_id") < 4)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    batch_events.write.parquet(src)
+
+    agg = lambda df: (  # noqa: E731 — the ONE expression both modes share
+        df.groupBy("user_id", F.session_window("ts", "4 hours").alias("w")).agg(
+            F.count("*").alias("n_events"),
+            (F.floor(F.sum("value") * 10000.0 + 0.5) / 10000.0).alias("total_value"),
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_twin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, str(r.w.start), str(r.w.end), r.n_events, r.total_value)
+        for r in df.collect()
+    )
+    got = canon(spark.sql("SELECT * FROM sess_twin"))
+    want = canon(agg(batch_events))
+    assert got == want and len(got) > 0

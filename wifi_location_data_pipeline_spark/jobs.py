@@ -24,6 +24,8 @@ launch with spark-submit / python -m. One logical job per reference service
                Kalman fusion against the existing AP state
 `position`   = wifi-positioning-service: the 6-algorithm ensemble over a
                batch of requests (one-pass plan)
+`dedup`      = training-data surface: near-dup pairs (exact/ngram/minhash/
+               simhash/embedding) or cluster assignment over a documents dir
 """
 
 from __future__ import annotations
@@ -141,6 +143,41 @@ def job_position(args: argparse.Namespace) -> None:
     print(f"wrote {args.out}")
 
 
+def job_dedup(args: argparse.Namespace) -> None:
+    """Corpus deduplication over a documents table (training-data surface).
+
+    --data-dir holds documents.parquet (and embeddings.parquet for the
+    embedding method) — the corpus layout. The registry query functions
+    resolve tables through the session's registered views, so the job
+    registers exactly the tables it has and marks the view memo
+    (sources.tables.register_views then no-ops instead of demanding the
+    full ten-table corpus)."""
+    from wifi_location_data_pipeline_spark.plans.queries import QUERIES
+
+    spark = _session("dedup")
+    import os as _os
+
+    spark.read.parquet(_os.path.join(args.data_dir, "documents.parquet")).createOrReplaceTempView(
+        "documents"
+    )
+    emb_path = _os.path.join(args.data_dir, "embeddings.parquet")
+    if _os.path.exists(emb_path):
+        spark.read.parquet(emb_path).createOrReplaceTempView("embeddings")
+    spark._graft_views_sf_dir = args.data_dir  # register_views() memo: no-op
+
+    name = {
+        "exact": "dedup_exact",
+        "ngram": "dedup_ngram_jaccard",
+        "minhash": "dedup_minhash_lsh",
+        "simhash": "dedup_simhash",
+        "embedding": "dedup_embedding_cosine",
+        "clusters": "dedup_clusters",
+    }[args.method]
+    out = QUERIES[name].spark(spark, args.data_dir)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out} ({args.method})")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="wifi_location_data_pipeline_spark.jobs")
     sub = p.add_subparsers(dest="job", required=True)
@@ -170,6 +207,16 @@ def main(argv: list[str] | None = None) -> None:
     l.add_argument("--ap-table", required=True)
     l.add_argument("--prior-state", default=None)
     l.set_defaults(fn=job_localize)
+
+    dd = sub.add_parser("dedup", help="corpus dedup: pairs or clusters over documents")
+    dd.add_argument("--data-dir", required=True, help="dir with documents.parquet (+ embeddings.parquet)")
+    dd.add_argument("--out", required=True)
+    dd.add_argument(
+        "--method",
+        default="minhash",
+        choices=("exact", "ngram", "minhash", "simhash", "embedding", "clusters"),
+    )
+    dd.set_defaults(fn=job_dedup)
 
     pos = sub.add_parser("position", help="positioning ensemble over request JSON")
     pos.add_argument("--requests", required=True)
