@@ -379,6 +379,25 @@ register(
     spark_fn=_ngram_jaccard_spark_fn,
 )
 
+def persisted_shingle_bases(spark, sf_dir, n: int = 3):
+    """Persisted, materialized (doc_id, base) shingle-hash relation — the
+    shared checkpoint of the dedup family (MinHash signatures/sizes/verify,
+    decontamination blocking). 16 bytes/row; count() materializes before
+    fan-out so downstream stages read the cache instead of racing to build
+    it (Spark 4.1 cache-before-reference discipline)."""
+    from pyspark import StorageLevel
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {shingles_cte('spark', n)} SELECT doc_id, "
+        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def _minhash_based_sql(d: str) -> str:
     """Distinct (doc_id, 60-bit md5-derived shingle base) — the ONE relation
     every MinHash stage (signatures, sizes, exact verify) derives from."""
@@ -460,14 +479,9 @@ def _minhash_spark_fn(spark, sf_dir):
     substitution — verified empirically), while direct DataFrame references
     substitute fine.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    based = spark.sql(_minhash_based_sql("spark")).persist(StorageLevel.MEMORY_AND_DISK)
-    based.count()  # materialize before fan-out (see _simhash_spark_fn)
+    based = persisted_shingle_bases(spark, sf_dir)
 
     P = 1_000_000_007
     coeffs = [(7 + 10 * j, 13 + 997 * j) for j in range(12)]
@@ -1062,17 +1076,9 @@ def _decontamination_spark_fn(spark, sf_dir):
     This path builds the 60-bit md5 base table once (same relation MinHash
     persists; the oracle hashes identically, so parity is unconditional)
     and joins on longs."""
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    based = spark.sql(
-        f"WITH {shingles_cte('spark', DECON_NGRAM)} SELECT doc_id, "
-        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    based.count()
+    based = persisted_shingle_bases(spark, sf_dir, n=DECON_NGRAM)
     ev = based.filter(F2.col("doc_id") % 11 == 0)
     train = based.filter(F2.col("doc_id") % 11 != 0)
     ev_sizes = ev.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
