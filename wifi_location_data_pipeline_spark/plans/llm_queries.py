@@ -558,29 +558,39 @@ register(
     spark_fn=_minhash_spark_fn,
 )
 
+SIMHASH_BITS = 64  # 4 pigeonhole blocks of 16 bits: candidate collisions
+# scale ~4·n²/2^16 — the 32-bit/8-bit-block form hit ~4·n²/256 candidate
+# pairs at sf1 (50k docs → ~19M pairs), the same quadratic wall the
+# embedding LSH had. Hamming ≤ 3 over 4 blocks keeps the exact pigeonhole
+# recall guarantee at any width.
+
+
 def _simhash_blocked_sql(d: str) -> str:
-    """Per-document 32-bit SimHash signature as 4 pigeonhole block values.
+    """Per-document 64-bit SimHash signature as 4 pigeonhole block values.
 
     ONE aggregation pass: bit b's vote is an aggregate column (no shingle ×
-    32-bits row explosion — at sf0.1 that expansion alone was 14M rows). The
-    md5 is parsed ONCE into four 32-bit integer chunks; each bit is then the
-    parity of one hex digit extracted with integer div/mod (32 string-parse
-    calls per row → 4). Output: (doc_id, blk0..blk3), one row per document.
+    bits row explosion — at sf0.1 that expansion alone was 14M rows). The
+    md5's first 64 bits are parsed ONCE into two 32-bit integer chunks;
+    each signature bit is one digest bit extracted with integer div/mod.
+    Output: (doc_id, blk0..blk3), one 16-bit block value per column.
     """
+    nb = SIMHASH_BITS
 
     def bit(b: int) -> str:
-        # bit = parity of hex digit (7 - (b-1)%8) of chunk (b-1)//8: one
-        # integer divide by 2^s + %2, not the two-step DIV-16^i %16 %2 form
-        chunk = f"c{(b - 1) // 8}"
-        shift = 2 ** (4 * (7 - (b - 1) % 8))
+        # signature bit b = bit b (MSB-first) of the digest's first 64 bits:
+        # 32-bit chunk (b-1)//32, shift 31-((b-1)%32) — one integer divide
+        # by 2^s + %2 per bit
+        chunk = f"c{(b - 1) // 32}"
+        shift = 2 ** (31 - (b - 1) % 32)
         return f"CASE WHEN SUM(({bigint_div(d, chunk, shift)} % 2) * 2 - 1) >= 0 THEN 1 ELSE 0 END"
 
-    sbits = ",\n    ".join(f"{bit(b)} AS s{b}" for b in range(1, 33))
+    sbits = ",\n    ".join(f"{bit(b)} AS s{b}" for b in range(1, nb + 1))
     chunks = ",\n    ".join(
-        f"{hex_to_bigint(d, f'substr(h, {1 + 8 * c}, 8)')} AS c{c}" for c in range(4)
+        f"{hex_to_bigint(d, f'substr(h, {1 + 8 * c}, 8)')} AS c{c}" for c in range(nb // 32)
     )
+    w = nb // 4
     blk = lambda lo: " + ".join(  # noqa: E731
-        f"s{b} * {2 ** (b - lo)}" for b in range(lo, lo + 8)
+        f"s{b} * {2 ** (b - lo)}" for b in range(lo, lo + w)
     )
     return f"""
 WITH {shingles_cte(d)},
@@ -596,8 +606,8 @@ sigs AS (
   FROM chunked GROUP BY doc_id
 )
 SELECT doc_id,
-  CAST({blk(1)} AS BIGINT) AS blk0,  CAST({blk(9)} AS BIGINT) AS blk1,
-  CAST({blk(17)} AS BIGINT) AS blk2, CAST({blk(25)} AS BIGINT) AS blk3
+  CAST({blk(1)} AS BIGINT) AS blk0,  CAST({blk(1 + w)} AS BIGINT) AS blk1,
+  CAST({blk(1 + 2 * w)} AS BIGINT) AS blk2, CAST({blk(1 + 3 * w)} AS BIGINT) AS blk3
 FROM sigs
 """
 
@@ -654,7 +664,65 @@ def _simhash_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    blocked = spark.sql(_simhash_blocked_sql("spark")).persist(StorageLevel.MEMORY_AND_DISK)
+    # Signature build as a narrow Python pass (same pattern as the embedding
+    # GEMM): the SQL form spent ~1.5 s JVM-side on md5 hex parsing + a
+    # 32-SUM-column aggregation over the exploded shingle rows; here each
+    # Arrow batch md5s its shingles with hashlib (C speed), extracts the
+    # vote bits with one vectorized shift per bit, and segment-sums votes
+    # per document — no explode, no shuffle. The md5 and the bit math are
+    # the SQL form's exactly (big-endian u32 chunks of the digest, LSB of
+    # hex digit 7-(b-1)%8), so the signatures — and the oracle compare —
+    # are bit-identical; _simhash_blocked_sql stays as the executable spec.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
+    docarr = spark.sql(
+        f"""
+SELECT doc_id, array_distinct(transform(sequence(1, size(w) - 2), i -> concat({gram}))) AS sh
+FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+WHERE size(w) >= 3"""
+    ).repartition(max(2, spark.sparkContext.defaultParallelism // 4))
+
+    nb, w = SIMHASH_BITS, SIMHASH_BITS // 4
+    shifts = np.array([31 - (b % 32) for b in range(nb)], dtype=np.uint32)
+    powersw = 2 ** np.arange(w, dtype=np.int64)
+
+    def to_sigs(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            lists = list(pdf["sh"])
+            counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+            digest = b"".join(
+                hashlib.md5(sh.encode()).digest() for x in lists for sh in x
+            )
+            chunks = np.frombuffer(digest, dtype=">u4").reshape(-1, 4)
+            # signature bit b = bit b (MSB-first) of the digest's first
+            # 64 bits: chunk b//32, shift 31-(b%32) — the SQL spec's math
+            bits = np.empty((len(chunks), nb), dtype=np.int64)
+            for b in range(nb):
+                bits[:, b] = (chunks[:, b // 32] >> shifts[b]) & 1
+            offsets = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            votes = np.add.reduceat(bits * 2 - 1, offsets, axis=0)
+            sig = (votes >= 0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    **{
+                        f"blk{k}": sig[:, w * k : w * k + w] @ powersw
+                        for k in range(4)
+                    },
+                }
+            )
+
+    blocked = docarr.mapInPandas(
+        to_sigs, "doc_id long, blk0 long, blk1 long, blk2 long, blk3 long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Materialize eagerly: the downstream join reads `blocked` from three
     # stages that would otherwise race to compute it before the cache fills.
     blocked.count()
@@ -699,11 +767,11 @@ def _simhash_spark_fn(spark, sf_dir):
 
 register(
     "dedup_simhash",
-    "SimHash near-dup: 32-bit signature from md5-derived shingle-bit votes "
+    "SimHash near-dup: 64-bit signature from md5-derived shingle-bit votes "
     "(shingle features, not unigrams — synthetic docs share vocabulary), "
     "pigeonhole blocking unpivoted to an equi-join on (block_no, block_val) "
     "(no cartesian), exact hamming verification <= 3 via bit_count(xor). "
-    "Single-pass aggregation: 32 vote columns, no bits-expansion join; "
+    "Single-pass aggregation: one vote column per bit, no bits-expansion join; "
     "signature table persisted once, read three times.",
     sql=_simhash_duck_sql,
     spark_fn=_simhash_spark_fn,
