@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wifi_location_data_pipeline_spark import plan_cache
+
 from wifi_location_data_pipeline_spark import config as C
 from wifi_location_data_pipeline_spark.positioning.combiner import combine_weighted_packed
 from wifi_location_data_pipeline_spark.positioning.numeric import (
@@ -197,7 +199,11 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     # WithCTE node misses substitution on Spark 4.1 (CTE inlining runs after
     # the substitution pass; same gotcha as the MinHash pipeline).
     staged = requests.sparkSession.sql(staged_sql(view)).cache()
-    staged.count()  # materialize before the two downstream readers race
+    # materialize before the two downstream readers race, and count the
+    # numeric tier in the SAME pass (one job instead of count + filter-count)
+    mat = staged.agg(
+        F.sum(F.col("_has_numeric").cast("int")).alias("nn")
+    ).first()
     # the analyzed plan holds its own reference; don't leak the view
     requests.sparkSession.catalog.dropTempView(view)
 
@@ -208,15 +214,14 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
         "request_id", "selection", "positions", "_ded"
     )
     spark = requests.sparkSession
-    # clamp the Python-tier fan-out to the data: staged is cached, so this
-    # count is a cache scan. The MLE kernel is lockstep-VECTORIZED across
-    # the requests in a task's batch, so bigger batches amortize both the
-    # per-iteration numpy dispatch and the worker/Arrow overhead — measured
-    # at sf0.1 (1500 numeric rows): ~384 rows/task is the stable optimum
-    # (4.5s vs 5-8s at 8-32 tasks, which oversubscribe the CPUs with
-    # GIL-bound workers). At scale the row count drives it back to full
-    # cluster width.
-    n_numeric = numeric_in.count()
+    # clamp the Python-tier fan-out to the data. The MLE kernel is
+    # lockstep-VECTORIZED across the requests in a task's batch, so bigger
+    # batches amortize both the per-iteration numpy dispatch and the
+    # worker/Arrow overhead — measured at sf0.1 (1500 numeric rows): ~384
+    # rows/task is the stable optimum (4.5s vs 5-8s at 8-32 tasks, which
+    # oversubscribe the CPUs with GIL-bound workers). At scale the row
+    # count drives it back to full cluster width.
+    n_numeric = int(mat["nn"] or 0)
     if n_numeric == 0:
         # no request selected trilateration/MLE (e.g. all ≤2-AP requests):
         # skip the Python tier entirely — an empty mapInPandas still
@@ -234,4 +239,11 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     # SQL statement (combiner.combine_weighted_packed); the selection array
     # rides through as calculation_info — the reference's CalculationInfo
     # diagnostics (selected algorithms + final weights per request)
-    return combine_weighted_packed(combined.select("request_id", "selection", "positions"))
+    out = combine_weighted_packed(combined.select("request_id", "selection", "positions"))
+    # plan-cache support (plans.queries.QueryDef.service): a caller that
+    # reuses this analyzed plan after spark.catalog.clearCache() must
+    # re-register the interior cache point, or the optimizer re-collapses
+    # the staged expression tree per downstream reader (the combinatorial
+    # re-inlining documented above). cache() re-registration is lazy/cheap.
+    plan_cache.emit(staged.cache)
+    return out

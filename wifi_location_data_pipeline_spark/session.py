@@ -52,6 +52,13 @@ def build_session(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_list/collect_set aggregates (the packed positioning plan,
+        # session packing) run as ObjectHashAggregate; the default 128-entry
+        # in-memory map spills to sort-based aggregation as soon as a
+        # partition holds >128 groups, adding a sort per partition. Typed
+        # object maps of a few thousand packed rows fit comfortably in
+        # executor memory at any sane partition sizing.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
         # error-context capture walks the Python stack AND makes an extra
         # py4j call per DataFrame operation; the array-native positioning
         # plan issues ~25k ops, where this wrapper alone cost ~40% of the
