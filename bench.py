@@ -103,15 +103,15 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.count()
             samples.append(time.perf_counter() - t0)
-        # the host shows multi-second scheduling/GC spikes that land on
-        # random queries; when the recorded attempts disagree badly the
-        # minimum itself is suspect, so buy one extra sample — bounded to
-        # noisy non-trivial queries, not a blanket attempts bump
-        if (
-            len(samples) > 1
-            and min(samples) > 0.5
-            and max(samples) > 1.4 * min(samples)
-        ):
+        # the host shows multi-second scheduling/GC spikes that can land on
+        # EVERY attempt in an unlucky window; the minimum is trustworthy
+        # only when it is reproduced. Resample (bounded) while the two BEST
+        # samples still disagree by >20% — bounded to non-trivial queries,
+        # not a blanket attempts bump.
+        while len(samples) < attempts + 2 and min(samples) > 0.5:
+            best2 = sorted(samples)[:2]
+            if len(best2) > 1 and best2[1] <= 1.2 * best2[0]:
+                break
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()

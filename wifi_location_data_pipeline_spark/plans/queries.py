@@ -818,21 +818,30 @@ halves AS (
     latitude, longitude
   FROM planted
 ),
-per_half AS (
-  SELECT ap_id, half,
-    AVG(latitude) AS clat, AVG(longitude) AS clon,
-    COALESCE(STDDEV_SAMP(latitude), 0.0) AS slat,
-    COALESCE(STDDEV_SAMP(longitude), 0.0) AS slon,
-    CAST(COUNT(*) AS BIGINT) AS n
-  FROM halves GROUP BY ap_id, half
+per_ap AS (
+  -- both halves in ONE aggregation over conditional columns: the
+  -- grouped-by-(ap,half) form needed a second shuffle to self-join the
+  -- halves back together; this is one pass, one shuffle, and the old/new
+  -- pairing is free (FRAMEWORK:71-87 needs both halves of the same AP)
+  SELECT ap_id,
+    AVG(CASE WHEN half = 'old' THEN latitude END) AS olat,
+    AVG(CASE WHEN half = 'old' THEN longitude END) AS olon,
+    AVG(CASE WHEN half = 'new' THEN latitude END) AS nlat,
+    AVG(CASE WHEN half = 'new' THEN longitude END) AS nlon,
+    COALESCE(STDDEV_SAMP(CASE WHEN half = 'old' THEN latitude END), 0.0) AS oslat,
+    COALESCE(STDDEV_SAMP(CASE WHEN half = 'old' THEN longitude END), 0.0) AS oslon,
+    COALESCE(STDDEV_SAMP(CASE WHEN half = 'new' THEN latitude END), 0.0) AS nslat,
+    COALESCE(STDDEV_SAMP(CASE WHEN half = 'new' THEN longitude END), 0.0) AS nslon,
+    CAST(COUNT(CASE WHEN half = 'old' THEN 1 END) AS BIGINT) AS n_old,
+    CAST(COUNT(CASE WHEN half = 'new' THEN 1 END) AS BIGINT) AS n_new
+  FROM halves GROUP BY ap_id
 ),
 j AS (
-  SELECT o.ap_id,
-    {haversine_sql('o.clat', 'o.clon', 'n.clat', 'n.clon')} AS gap_m,
-    GREATEST(o.slat, o.slon, n.slat, n.slon) * 111000.0 AS spread_m,
-    o.n AS n_old, n.n AS n_new
-  FROM per_half o JOIN per_half n
-    ON o.ap_id = n.ap_id AND o.half = 'old' AND n.half = 'new'
+  SELECT ap_id,
+    {haversine_sql('olat', 'olon', 'nlat', 'nlon')} AS gap_m,
+    GREATEST(oslat, oslon, nslat, nslon) * 111000.0 AS spread_m,
+    n_old, n_new
+  FROM per_ap
 )
 SELECT ap_id, ROUND(gap_m, 2) AS centroid_gap_m, ROUND(spread_m, 2) AS half_spread_m,
   (gap_m > 3.0 * GREATEST(spread_m, 1.0) AND gap_m > 100.0) AS relocated
@@ -1507,8 +1516,16 @@ def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     # the corpus is one parquet file = one input split; spread the per-row
-    # Python gzip work across the worker pool instead of one worker
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    # Python gzip work across the worker pool. Partition count follows the
+    # INPUT SIZE (≈32 MB of text per task), not the core count: at sf0.1 a
+    # 32-way fan-out hands each Python worker ~160 rows, and per-task
+    # scheduling + Arrow setup dwarfs the gzip work; at 100 TB the same
+    # formula saturates every core with full batches.
+    try:
+        sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        sz = 1 << 30
+    n_parts = max(2, min(spark.sparkContext.defaultParallelism, sz // (32 << 20) + 1))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(n_parts)
     encoded = docs.select("doc_id", encode_scan_line(F2.col("text")).alias("line"))
     garbage = spark.createDataFrame(
