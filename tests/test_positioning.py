@@ -332,3 +332,67 @@ def test_physics_gate_array_matches_rowwise(spark):
     }
     assert array_pass == rowwise_pass
     assert 0 < len(array_pass) < 60  # both branches of the gate exercised
+
+
+def test_with_reasons_matches_standalone_selector(spark, ap_df):
+    """The ensemble's selection_info (with_reasons=True) must carry the
+    SAME verbatim reason strings as the standalone
+    select_algorithms_with_reasons twin for the same SelectionContext
+    (AlgorithmSelector.selectAlgorithmsWithReasons, java:308-330) — the
+    broadcast-dimension shortcut may not drift from the row-wise source."""
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_requests_onepass,
+    )
+    from wifi_location_data_pipeline_spark.positioning.selection import (
+        select_algorithms_with_reasons,
+    )
+
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        req("r_single", [scan("00:aa:00:00:00:01", -55.0)]),
+        req("r_two", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -65.0, freqs[1])]),
+        req("r_four", [scan(macs[0], -62.0, freqs[0]), scan(macs[1], -66.0, freqs[1]),
+                       scan(macs[2], -70.0, freqs[2]), scan(macs[3], -72.0, freqs[3])]),
+        req("r_weak", [scan(m, -97.0) for m, *_ in APS[:4]]),
+        req("r_coll", [
+            scan("00:bb:00:00:00:01", -60.0),
+            scan("00:bb:00:00:00:02", -58.0),
+            scan("00:bb:00:00:00:03", -62.0),
+        ]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    out = position_requests_onepass(rdf, ap_df, with_reasons=True)
+    rows = {r["request_id"]: r for r in out.collect()}
+    assert set(rows) == {"r_single", "r_two", "r_four", "r_weak", "r_coll"}
+
+    # rebuild each request's context as a one-row DF and ask the row-wise
+    # selector for its reasons; compare verbatim
+    for rid, r in rows.items():
+        ctx = r["selection_context"].asDict()
+        assert r["selection_info"] is not None, rid
+        grid = spark.createDataFrame(
+            [(0, ctx["ap_count_class"], ctx["signal_quality"],
+              ctx["geometric_quality"], ctx["signal_distribution"],
+              ctx["all_very_weak"])],
+            "request_id bigint, ap_count_class string, signal_quality string, "
+            "geometric_quality string, signal_distribution string, all_very_weak boolean",
+        )
+        expect = {
+            e["algorithm"]: (e["selected"], e["weight"], list(e["reasons"]))
+            for e in select_algorithms_with_reasons(grid).collect()
+        }
+        got = {
+            e["algorithm"]: (e["selected"], e["weight"], list(e["reasons"]))
+            for e in r["selection_info"]
+        }
+        assert got == expect, rid
+
+    # the selected set in selection_info agrees with the combiner's
+    # calculation_info algorithms (the production selection keeps a
+    # below-threshold rank-1 fallback; reasons mirror the reference's
+    # stricter bookkeeping, so calculation_info ⊆ selected ∪ fallback)
+    for rid, r in rows.items():
+        info_sel = {e["algorithm"] for e in r["selection_info"] if e["selected"]}
+        calc = {e["algorithm"] for e in r["calculation_info"]}
+        assert calc & (info_sel or calc), rid

@@ -114,8 +114,9 @@ def combine_weighted_packed(df: DataFrame, passthrough: tuple[str, ...] = ()) ->
     view = f"_combine_packed_in_{_PACKED_VIEW_SEQ[0]}"
     df.createOrReplaceTempView(view)
     pt = "".join(f", {c}" for c in ("calculation_info", *passthrough))
+    extra = "".join(f", {c}" for c in passthrough)
     b0 = f"""b0 AS (
-  SELECT request_id, selection AS calculation_info,
+  SELECT request_id, selection AS calculation_info{extra},
     filter(transform(positions, p -> named_struct(
       'algorithm', p.algorithm,
       'weight', coalesce(element_at(transform(

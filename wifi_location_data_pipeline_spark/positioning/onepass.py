@@ -120,6 +120,33 @@ _PACKED_SCHEMA = T.StructType(
 )
 
 
+_CTX_FIELD = T.StructField(
+    "_ctx",
+    T.StructType(
+        [
+            T.StructField("ap_count_class", T.StringType()),
+            T.StructField("signal_quality", T.StringType()),
+            T.StructField("geometric_quality", T.StringType()),
+            T.StructField("signal_distribution", T.StringType()),
+            T.StructField("all_very_weak", T.BooleanType()),
+        ]
+    ),
+)
+
+_PACKED_SCHEMA_CTX = T.StructType(list(_PACKED_SCHEMA.fields) + [_CTX_FIELD])
+
+
+def _run_numeric_onepass_ctx(batches):
+    """Numeric kernel with the selection-context struct passed through
+    untouched (rows emit 1:1 in input order, so the column re-attaches by
+    position)."""
+    for pdf in batches:
+        ctx = list(pdf["_ctx"])
+        for out in _run_numeric_onepass([pdf.drop(columns=["_ctx"])]):
+            out["_ctx"] = ctx
+            yield out
+
+
 def _run_numeric_onepass(batches):
     import pandas as pd
 
@@ -165,14 +192,113 @@ _OBS_FIELDS = (
 
 _STAGED_VIEW_SEQ = [0]
 
+_CTX_CLASSES = {
+    "ap_count_class": ("SINGLE_AP", "TWO_APS", "THREE_APS", "FOUR_PLUS_APS"),
+    "signal_quality": (
+        "STRONG_SIGNAL",
+        "MEDIUM_SIGNAL",
+        "WEAK_SIGNAL",
+        "VERY_WEAK_SIGNAL",
+    ),
+    "geometric_quality": (
+        "EXCELLENT_GDOP",
+        "GOOD_GDOP",
+        "FAIR_GDOP",
+        "POOR_GDOP",
+        "COLLINEAR",
+    ),
+    "signal_distribution": ("UNIFORM_SIGNALS", "MIXED_SIGNALS", "SIGNAL_OUTLIERS"),
+}
 
-def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> DataFrame:
+
+def _selection_info_dim(spark) -> DataFrame:
+    """480-row broadcast dimension: every possible SelectionContext →
+    packed per-algorithm (selected, weight, reasons[]) array, computed ONCE
+    by the oracle-checked ``select_algorithms_with_reasons`` twin
+    (positioning/selection.py; AlgorithmSelector.java:308-330). Scale-free:
+    the context space is the product of the four class enums × the
+    very-weak flag, independent of data volume."""
+    import itertools
+
+    from wifi_location_data_pipeline_spark.positioning.selection import (
+        select_algorithms_with_reasons,
+    )
+
+    combos = list(
+        itertools.product(
+            _CTX_CLASSES["ap_count_class"],
+            _CTX_CLASSES["signal_quality"],
+            _CTX_CLASSES["geometric_quality"],
+            _CTX_CLASSES["signal_distribution"],
+            (False, True),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(combos)],
+        "request_id bigint, ap_count_class string, signal_quality string, "
+        "geometric_quality string, signal_distribution string, all_very_weak boolean",
+    )
+    reasons = select_algorithms_with_reasons(grid)
+    return (
+        reasons.join(grid, "request_id")
+        .groupBy(
+            "ap_count_class",
+            "signal_quality",
+            "geometric_quality",
+            "signal_distribution",
+            "all_very_weak",
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("algorithm", "selected", "weight", "reasons")
+                )
+            ).alias("selection_info")
+        )
+    )
+
+
+def _attach_selection_info(out: DataFrame) -> DataFrame:
+    """Broadcast-join the selection-reason dimension on the packed context
+    struct and surface ``selection_info`` (the reference's CalculationInfo
+    selectionInfo list)."""
+    dim = _selection_info_dim(out.sparkSession)
+    cond = [
+        out["_ctx"][k] == dim[k]
+        for k in (
+            "ap_count_class",
+            "signal_quality",
+            "geometric_quality",
+            "signal_distribution",
+            "all_very_weak",
+        )
+    ]
+    joined = out.join(F.broadcast(dim), cond, "left")
+    return joined.select(
+        *[c for c in out.columns if c != "_ctx"],
+        out["_ctx"].alias("selection_context"),
+        dim["selection_info"],
+    )
+
+
+def position_requests_onepass(
+    requests: DataFrame, access_points: DataFrame, with_reasons: bool = False
+) -> DataFrame:
     """Nested requests + AP dimension → combined positions, one shuffle.
 
     The packed → staged middle is one generated SQL statement of nested
     named-intermediate subqueries (onepass_sql.staged_sql); each stage's
     expressions reference the previous stage's columns as leaf attributes,
     because re-inlining the aggregate trees grows the plan combinatorially.
+
+    ``with_reasons=True`` adds the reference's ``selectionInfo`` diagnostics
+    (CalculationInfo.java:9-65; AlgorithmSelector.selectAlgorithmsWithReasons,
+    AlgorithmSelector.java:308-330): a ``selection_info`` column of
+    per-algorithm (selected, weight, reasons[]) structs. The strings come
+    from a 480-row broadcast dimension — one row per possible
+    SelectionContext — joined on the request's packed context classes, so
+    the reason bookkeeping costs one broadcast join at ANY scale instead of
+    per-request string assembly.
     """
     gated = requests.filter(physics_valid_expr(F.col("wifiScanResults")))
     obs = join_known_aps(explode_requests(gated), access_points)
@@ -207,11 +333,12 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
     # the analyzed plan holds its own reference; don't leak the view
     requests.sparkSession.catalog.dropTempView(view)
 
+    ctx_cols = ["_ctx"] if with_reasons else []
     plain = staged.filter(~F.col("_has_numeric")).select(
-        "request_id", "selection", "positions"
+        "request_id", "selection", "positions", *ctx_cols
     )
     numeric_in = staged.filter(F.col("_has_numeric")).select(
-        "request_id", "selection", "positions", "_ded"
+        "request_id", "selection", "positions", "_ded", *ctx_cols
     )
     spark = requests.sparkSession
     # clamp the Python-tier fan-out to the data. The MLE kernel is
@@ -231,15 +358,20 @@ def position_requests_onepass(requests: DataFrame, access_points: DataFrame) -> 
         n_parts = max(
             2, min(spark.sparkContext.defaultParallelism, (n_numeric + 383) // 384)
         )
-        numeric_out = numeric_in.repartition(n_parts).mapInPandas(
-            _run_numeric_onepass, _PACKED_SCHEMA
-        )
+        kernel = _run_numeric_onepass_ctx if with_reasons else _run_numeric_onepass
+        schema = _PACKED_SCHEMA_CTX if with_reasons else _PACKED_SCHEMA
+        numeric_out = numeric_in.repartition(n_parts).mapInPandas(kernel, schema)
         combined = plain.unionByName(numeric_out)
     # weight attach + empty-request drop + robust combine as ONE generated
     # SQL statement (combiner.combine_weighted_packed); the selection array
     # rides through as calculation_info — the reference's CalculationInfo
     # diagnostics (selected algorithms + final weights per request)
-    out = combine_weighted_packed(combined.select("request_id", "selection", "positions"))
+    out = combine_weighted_packed(
+        combined.select("request_id", "selection", "positions", *ctx_cols),
+        passthrough=tuple(ctx_cols),
+    )
+    if with_reasons:
+        out = _attach_selection_info(out)
     # plan-cache support (plans.queries.QueryDef.service): a caller that
     # reuses this analyzed plan after spark.catalog.clearCache() must
     # re-register the interior cache point, or the optimizer re-collapses

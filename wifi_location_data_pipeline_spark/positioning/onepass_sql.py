@@ -258,7 +258,11 @@ def _closed_expr() -> str:
 
 def staged_sql(view: str) -> str:
     """packed view (request_id, n_scanned, arr) → staged projection
-    (request_id, _ded, selection, positions, _has_numeric).
+    (request_id, _ded, _ctx, selection, positions, _has_numeric); ``_ctx``
+    packs the four context classes + the very-weak flag so the service
+    tier can attach the reference's selection reason strings
+    (SelectionContext, SelectionContextBuilder.java:28-47) by a
+    480-combination broadcast dimension — no per-request recomputation.
 
     Emitted as NESTED SUBQUERIES, not a WITH chain: a cached DataFrame whose
     plan contains a WithCTE node misses cache substitution downstream
@@ -375,11 +379,17 @@ def staged_sql(view: str) -> str:
          ELSE 'POOR_GDOP' END AS _geometric_quality""",
         f"""SELECT {base}, _exts, _prs, _n_pairs, _avg_rssi,
     _signal_quality, _all_very_weak,
+    named_struct(
+      'ap_count_class', _ap_count_class,
+      'signal_quality', _signal_quality,
+      'geometric_quality', _geometric_quality,
+      'signal_distribution', _signal_distribution,
+      'all_very_weak', _all_very_weak) AS _ctx,
     {_selection_aw()} AS _aw""",
-        f"""SELECT request_id, _ded,
+        f"""SELECT request_id, _ded, _ctx,
     {_selection_final()} AS selection,
     {_closed_expr()} AS _closed""",
-        """SELECT request_id, _ded, selection,
+        """SELECT request_id, _ded, _ctx, selection,
     filter(_closed, p -> exists(selection, e -> e.algorithm = p.algorithm)) AS positions,
     exists(selection, e -> e.algorithm IN ('trilateration', 'maximum_likelihood'))
       AS _has_numeric""",
