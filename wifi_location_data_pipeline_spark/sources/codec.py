@@ -38,7 +38,13 @@ def _gzip_compress(data: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def _gzip_decompress_utf8(data: pd.Series) -> pd.Series:
     def _one(b: bytes | None) -> str | None:
-        if b is None:
+        # empty binary → NULL, not "": gzip.decompress(b"") returns b"" on
+        # Python 3.11+ (zero gzip members), and try_to_binary maps
+        # whitespace-only base64 to b"" — a tab-only line must be SKIPPED
+        # (Java's line.trim() strips tabs; DataDecodingService.java:47-108),
+        # not emitted as a phantom empty record. Caught by
+        # tests/test_properties.py::test_codec_malformed_lines_decode_to_null.
+        if not b:
             return None
         try:
             return gzip.decompress(b).decode("utf-8")
