@@ -70,6 +70,18 @@ def test_job_chain(spark, zone):
     pos = spark.read.parquet(out).collect()
     assert len(pos) == 1 and pos[0]["request_id"] == "job-req-1"
 
+    # --reasons = the API's calculationDetail=true: selection diagnostics ride along
+    out_r = str(zone / "positions_reasons")
+    jobs_main([
+        "position", "--requests", req_path, "--ap-table", aps,
+        "--out", out_r, "--reasons",
+    ])
+    pr = spark.read.parquet(out_r).collect()
+    assert len(pr) == 1
+    info = {e["algorithm"]: e for e in pr[0]["selection_info"]}
+    assert pr[0]["selection_context"]["ap_count_class"] == "SINGLE_AP"
+    assert info["proximity"]["selected"] and info["proximity"]["reasons"]
+
 
 def test_dedup_clusters_loop_matches_union_find(spark, monkeypatch):
     """The >2M-pair distributed label-propagation loop must produce the same

@@ -132,13 +132,18 @@ def job_localize(args: argparse.Namespace) -> None:
 
 
 def job_position(args: argparse.Namespace) -> None:
-    from wifi_location_data_pipeline_spark.positioning.pipeline import position_requests
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_requests_onepass,
+    )
     from wifi_location_data_pipeline_spark.schemas import POSITIONING_REQUEST_SCHEMA
 
     spark = _session("position")
     requests = spark.read.schema(POSITIONING_REQUEST_SCHEMA).json(args.requests)
     aps = spark.read.parquet(args.ap_table)
-    out = position_requests(requests, aps)
+    # --reasons mirrors the API's calculationDetail=true response: the
+    # CalculationInfo selectionInfo diagnostics (algorithm, selected,
+    # weight, verbatim reason strings) ride along per request
+    out = position_requests_onepass(requests, aps, with_reasons=args.reasons)
     out.write.mode("overwrite").parquet(args.out)
     print(f"wrote {args.out}")
 
@@ -222,6 +227,11 @@ def main(argv: list[str] | None = None) -> None:
     pos.add_argument("--requests", required=True)
     pos.add_argument("--ap-table", required=True)
     pos.add_argument("--out", required=True)
+    pos.add_argument(
+        "--reasons",
+        action="store_true",
+        help="attach CalculationInfo selection reasons (calculationDetail=true)",
+    )
     pos.set_defaults(fn=job_position)
 
     args = p.parse_args(argv)
