@@ -21,6 +21,7 @@ Scale notes (the 100 TB design intent, validated at sf0.1 by bench.py):
 from __future__ import annotations
 
 from wifi_location_data_pipeline_spark.plans.dialect import (
+    SPARK,
     array_double,
     bigint_div,
     dot,
@@ -117,20 +118,39 @@ FROM documents
 """,
 )
 
+def _tqs_stats(d: str) -> str:
+    """Array-native per-doc stats (see _qss_stats): a full token explode +
+    groupBy + COUNT(DISTINCT) shuffled every token of the corpus to compute
+    four per-doc scalars that size/array_distinct/filter/aggregate produce
+    in one projection. Word-length sums are exact integers, so the mean is
+    bit-identical to the exploded AVG."""
+    stops = "('the', 'a', 'of', 'and', 'to', 'in')"
+    if d == SPARK:
+        return f"""
+  SELECT doc_id,
+    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct,
+    CAST(size(filter(split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop,
+    CAST(aggregate(split(text, ' '), 0L, (a, w) -> a + length(w)) AS DOUBLE)
+      / size(split(text, ' ')) AS mean_word_len
+  FROM documents"""
+    return f"""
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+    CAST(len(list_filter(string_split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop,
+    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_word_len
+  FROM documents"""
+
+
 register(
     "text_quality_score",
     "Document quality scoring: length score, lexical diversity, stopword "
-    "ratio, composite quality in [0,1] (training-data pipeline extension).",
+    "ratio, composite quality in [0,1]; array-native projections, no token "
+    "explode (training-data pipeline extension).",
     sql=lambda d: f"""
-WITH words AS ({words_with_pos(d)}),
-stats AS (
-  SELECT doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
-    SUM(CASE WHEN word IN ('the', 'a', 'of', 'and', 'to', 'in') THEN 1 ELSE 0 END) AS n_stop,
-    AVG(length(word)) AS mean_word_len
-  FROM words GROUP BY doc_id
-)
+WITH stats AS ({_tqs_stats(d)})
 SELECT doc_id, n_tokens,
   ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS diversity,
   ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
@@ -143,35 +163,54 @@ FROM stats
 """,
 )
 
+_LANG_PROFILE = {
+    "de": ("der", "die", "und", "das"),
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+}
+
+
+def _lang_counts(d: str) -> str:
+    """Per-language marker counts as array filters over the split tokens —
+    the former token-explode ⋈ 16-row profile join + groupBy + window
+    shuffled the whole token stream to count ≤16 marker words per doc."""
+    count = (
+        (lambda ws: f"size(filter(split(text, ' '), w -> w IN {ws}))")
+        if d == SPARK
+        else (lambda ws: f"len(list_filter(string_split(text, ' '), w -> w IN {ws}))")
+    )
+    return ",\n    ".join(
+        f"CAST({count(repr(tuple(ws)))} AS BIGINT) AS c_{lang}"
+        for lang, ws in _LANG_PROFILE.items()
+    )
+
+
 register(
     "text_language_id",
-    "Language identification: stopword-profile scoring joined on tokens, "
-    "argmax language per document with deterministic tie-break "
+    "Language identification: stopword-profile marker counts per language "
+    "as array filters (no token explode, no join), argmax language per "
+    "document with deterministic alphabetical tie-break "
     "(training-data pipeline extension).",
     sql=lambda d: f"""
-WITH words AS ({words_with_pos(d)}),
-profile AS (
-  SELECT * FROM (VALUES
-    ('en', 'the'), ('en', 'a'), ('en', 'of'), ('en', 'and'),
-    ('es', 'el'), ('es', 'la'), ('es', 'de'), ('es', 'y'),
-    ('fr', 'le'), ('fr', 'la'), ('fr', 'de'), ('fr', 'et'),
-    ('de', 'der'), ('de', 'die'), ('de', 'und'), ('de', 'das')
-  ) AS t(plang, pword)
+WITH counts AS (
+  SELECT doc_id,
+    {_lang_counts(d)}
+  FROM documents
 ),
-hits AS (
-  SELECT w.doc_id, p.plang, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM words w JOIN profile p ON w.word = p.pword
-  GROUP BY w.doc_id, p.plang
-),
-ranked AS (
-  SELECT doc_id, plang, n_hits,
-    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, plang) AS rn
-  FROM hits
+best AS (
+  SELECT doc_id, c_de, c_en, c_es, c_fr,
+    GREATEST(c_de, c_en, c_es, c_fr) AS m
+  FROM counts
 )
-SELECT dc.doc_id,
-  COALESCE(r.plang, 'und') AS detected_lang,
-  COALESCE(r.n_hits, 0) AS marker_hits
-FROM documents dc LEFT JOIN ranked r ON dc.doc_id = r.doc_id AND r.rn = 1
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und'
+       WHEN c_de = m THEN 'de'
+       WHEN c_en = m THEN 'en'
+       WHEN c_es = m THEN 'es'
+       ELSE 'fr' END AS detected_lang,
+  m AS marker_hits
+FROM best
 """,
 )
 
@@ -1026,23 +1065,39 @@ register(
     spark_fn=_embedding_lsh_spark_fn,
 )
 
+def _qss_stats(d: str) -> str:
+    """Per-doc token stats ARRAY-NATIVELY: size/array_distinct/filter on the
+    split array instead of posexplode + groupBy + COUNT(DISTINCT). The
+    exploded form shuffled every token row and ran a distinct-aggregate per
+    doc (at sf1: 3.3 s vs DuckDB 0.8 s); this is a pure projection — zero
+    shuffles before the final band rollup — and identical counts (split
+    keeps empty tokens in both forms)."""
+    stops = "('the', 'a', 'of', 'and', 'to', 'in')"
+    if d == SPARK:
+        return f"""
+  SELECT doc_id,
+    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct,
+    CAST(size(filter(split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop
+  FROM documents"""
+    return f"""
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+    CAST(len(list_filter(string_split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop
+  FROM documents"""
+
+
 register(
     "quality_stratified_sample",
     "Quality-stratified corpus sampling: documents score into quality bands "
     "(the text_quality_score composite), each band keeps a different "
     "deterministic fraction (high 100% / mid 50% / low 10%) via an "
     "md5-derived per-doc uniform — the standard up/down-sampling step when "
-    "assembling a training mix. Pure per-row arithmetic + one aggregation: "
-    "map-side partial agg, no shuffle beyond the final rollup.",
+    "assembling a training mix. Per-doc stats are array-native projections "
+    "(no token explode); the only shuffle is the final band rollup.",
     sql=lambda d: f"""
-WITH words AS ({words_with_pos(d)}),
-stats AS (
-  SELECT doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct,
-    SUM(CASE WHEN word IN ('the', 'a', 'of', 'and', 'to', 'in') THEN 1 ELSE 0 END) AS n_stop
-  FROM words GROUP BY doc_id
-),
+WITH stats AS ({_qss_stats(d)}),
 scored AS (
   SELECT doc_id, n_tokens,
     LEAST(1.0,
