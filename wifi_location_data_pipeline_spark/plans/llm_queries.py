@@ -1621,6 +1621,68 @@ GROUP BY m.label
 )
 
 
+def _quant_sql(d: str) -> str:
+    """Per-vector int8 quantization, array-native in both dialects.
+
+    scale = max|x|/127; q_i = clamp(floor(x_i/scale + 0.5), ±127) — the
+    explicit FLOOR(+0.5) form so both engines round identically (the repo's
+    standard rounding-parity trick). Errors are computed per element from x
+    directly (no materialized q array), summed in index order (both
+    dialects left-fold; see dialect.dot), and rounded to 4 dp so last-ulp
+    fold noise cannot flip the hash."""
+    a = array_double(d, "embedding")
+    if d == SPARK:
+        amax = f"array_max(transform({a}, x -> abs(x)))"
+        q = "greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE), floor(x / qscale + 0.5)))"
+        err = f"transform({a}, x -> abs(x - ({q}) * qscale))"
+        sq_err = f"transform({a}, x -> (x - ({q}) * qscale) * (x - ({q}) * qscale))"
+        sq = f"transform({a}, x -> x * x)"
+        fold = "aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        maxerr = f"array_max({err})"
+        clipped = f"size(filter({a}, x -> abs(floor(x / qscale + 0.5)) > 127.0))"
+    else:
+        amax = f"list_max(list_transform({a}, x -> abs(x)))"
+        q = "greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE), floor(x / qscale + 0.5)))"
+        err = f"list_transform({a}, x -> abs(x - ({q}) * qscale))"
+        sq_err = f"list_transform({a}, x -> (x - ({q}) * qscale) * (x - ({q}) * qscale))"
+        sq = f"list_transform({a}, x -> x * x)"
+        fold = "list_sum({arr})"
+        maxerr = f"list_max({err})"
+        clipped = f"len(list_filter({a}, x -> abs(floor(x / qscale + 0.5)) > 127.0))"
+    r4 = lambda e: f"FLOOR(({e}) * 10000.0 + 0.5) / 10000.0"  # noqa: E731
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, GREATEST({amax} / 127.0, 1e-30) AS qscale
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id, s.qscale,
+    {maxerr} AS max_abs_err,
+    sqrt({fold.format(arr=sq_err)}) AS l2_err,
+    sqrt({fold.format(arr=sq)}) AS l2_norm,
+    CAST({clipped} AS BIGINT) AS n_clipped
+  FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
+)
+SELECT vec_id,
+  {r4('qscale * 1000.0')} AS qscale_x1000,
+  {r4('max_abs_err * 1000.0')} AS max_abs_err_x1000,
+  {r4('l2_err / l2_norm * 1000.0')} AS rel_l2_err_x1000,
+  n_clipped
+FROM q
+"""
+
+
+register(
+    "embedding_quantize_int8",
+    "Per-vector int8 embedding quantization (symmetric, per-vector scale "
+    "= max|x|/127) with reconstruction metrics: max abs error, relative L2 "
+    "error, clip count. The storage-compression step of an embedding "
+    "pipeline (4x smaller vectors for ANN recall tiers); array-native "
+    "projection, zero shuffles.",
+    sql=_quant_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster assignment (connected components over the verified pairs)
 # ---------------------------------------------------------------------------

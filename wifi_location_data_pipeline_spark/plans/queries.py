@@ -1769,6 +1769,8 @@ _TAIL = (
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
+    "embedding_quantize_int8",  # storage-compression metrics; ANN family
+    # already in-window — tail parity test value-checks it
     "dedup_clusters",  # oracle-bearing; iterative driver loop — tail parity
     # test value-checks it (window stays the 50 single-statement queries)
     # no-oracle demos:
