@@ -155,7 +155,23 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, args.sf_dir).toPandas()
+            out = fn(spark, args.sf_dir)
+            # the driver's hash includes the rendered TYPE: a DecimalType
+            # column fails its compare even when every value matches the
+            # DOUBLE oracle (the round-2 hash-fail class). canon() below
+            # normalizes Decimals to float, so without this check the local
+            # gate would green-light what the driver rejects.
+            from pyspark.sql.types import DecimalType
+
+            dec = [
+                f.name for f in out.schema.fields
+                if isinstance(f.dataType, DecimalType)
+            ]
+            if dec and name in oracles:
+                print(f"FAIL  {name}: DecimalType output columns {dec}")
+                n_fail += 1
+                continue
+            sdf = out.toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:200]}")
             n_fail += 1

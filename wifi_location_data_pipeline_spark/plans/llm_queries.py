@@ -1649,7 +1649,9 @@ def _quant_sql(d: str) -> str:
         fold = "list_sum({arr})"
         maxerr = f"list_max({err})"
         clipped = f"len(list_filter({a}, x -> abs(floor(x / qscale + 0.5)) > 127.0))"
-    r4 = lambda e: f"FLOOR(({e}) * 10000.0 + 0.5) / 10000.0"  # noqa: E731
+    # divisor cast to DOUBLE: a bare 10000.0 literal is DECIMAL in Spark and
+    # the division would silently emit DecimalType (driver hash-fail class)
+    r4 = lambda e: f"FLOOR(({e}) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE)"  # noqa: E731
     return f"""
 WITH scaled AS (
   SELECT vec_id, GREATEST({amax} / 127.0, 1e-30) AS qscale

@@ -46,9 +46,13 @@ COLL_DEV = "0.0002"
 
 
 def _r(expr: str, digits: int) -> str:
-    """Half-up rounding via FLOOR — identical double arithmetic both dialects."""
+    """Half-up rounding via FLOOR — identical double arithmetic both
+    dialects. The divisor literal MUST be cast: Spark parses ``10000.0`` as
+    DECIMAL(6,1), so ``FLOOR(...)/10000.0`` silently emits DecimalType —
+    the round-2 hash-fail class (the local value gate normalizes Decimals;
+    the driver's hash compare does not)."""
     p = 10 ** digits
-    return f"(FLOOR(({expr}) * {p}.0 + 0.5) / {p}.0)"
+    return f"(FLOOR(({expr}) * {p}.0 + 0.5) / CAST({p}.0 AS DOUBLE))"
 
 
 def _pick(d: str, items: tuple[str, ...], idx1: str) -> str:
