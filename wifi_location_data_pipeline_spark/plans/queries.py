@@ -918,21 +918,30 @@ halves AS (
   FROM m
 ),
 est AS (
-  SELECT ap_id, half,
-    AVG(latitude) AS lat, AVG(longitude) AS lon,
-    (pow(COALESCE(STDDEV_SAMP(latitude), 0.0) * 111000.0, 2)
-     + pow(COALESCE(STDDEV_SAMP(longitude), 0.0) * 111000.0 * 0.766, 2))
-      / GREATEST(CAST(COUNT(*) AS DOUBLE), 1.0) AS var_m2
-  FROM halves GROUP BY ap_id, half
+  -- both halves in ONE conditional aggregation (same rewrite as
+  -- relocation_time_split): the per-(ap,half) groupBy + old/new self-join
+  -- cost a second shuffle to pair rows this single pass pairs for free
+  SELECT ap_id,
+    AVG(CASE WHEN half = 'old' THEN latitude END) AS prior_lat,
+    AVG(CASE WHEN half = 'old' THEN longitude END) AS prior_lon,
+    AVG(CASE WHEN half = 'new' THEN latitude END) AS z_lat,
+    AVG(CASE WHEN half = 'new' THEN longitude END) AS z_lon,
+    (pow(COALESCE(STDDEV_SAMP(CASE WHEN half = 'old' THEN latitude END), 0.0) * 111000.0, 2)
+     + pow(COALESCE(STDDEV_SAMP(CASE WHEN half = 'old' THEN longitude END), 0.0) * 111000.0 * 0.766, 2))
+      / GREATEST(CAST(COUNT(CASE WHEN half = 'old' THEN 1 END) AS DOUBLE), 1.0) AS p_var,
+    (pow(COALESCE(STDDEV_SAMP(CASE WHEN half = 'new' THEN latitude END), 0.0) * 111000.0, 2)
+     + pow(COALESCE(STDDEV_SAMP(CASE WHEN half = 'new' THEN longitude END), 0.0) * 111000.0 * 0.766, 2))
+      / GREATEST(CAST(COUNT(CASE WHEN half = 'new' THEN 1 END) AS DOUBLE), 1.0) AS r_var,
+    CAST(COUNT(CASE WHEN half = 'old' THEN 1 END) AS BIGINT) AS n_old,
+    CAST(COUNT(CASE WHEN half = 'new' THEN 1 END) AS BIGINT) AS n_new
+  FROM halves GROUP BY ap_id
 ),
 fused AS (
-  SELECT p.ap_id,
-    p.lat AS prior_lat, p.lon AS prior_lon, p.var_m2 AS p_var,
-    z.lat AS z_lat, z.lon AS z_lon, z.var_m2 AS r_var,
-    p.var_m2 / (p.var_m2 + z.var_m2) AS gain,
-    {haversine_sql('p.lat', 'p.lon', 'z.lat', 'z.lon')} AS innovation_m
-  FROM est p JOIN est z
-    ON p.ap_id = z.ap_id AND p.half = 'old' AND z.half = 'new'
+  SELECT ap_id,
+    prior_lat, prior_lon, p_var, z_lat, z_lon, r_var,
+    p_var / (p_var + r_var) AS gain,
+    {haversine_sql('prior_lat', 'prior_lon', 'z_lat', 'z_lon')} AS innovation_m
+  FROM est WHERE n_old >= 1 AND n_new >= 1
 )
 SELECT ap_id,
   ROUND(CASE WHEN innovation_m > 3.0 * sqrt(p_var + r_var) THEN z_lat
