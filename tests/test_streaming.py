@@ -156,3 +156,60 @@ def test_session_window_stream_twin(spark, tmpzone):
     got = canon(spark.sql("SELECT * FROM sess_twin"))
     want = canon(agg(batch_events))
     assert got == want and len(got) > 0
+
+
+def test_streaming_positioning_answers_requests(spark, tmpzone):
+    """§3.2 online positioning as a streaming job: requests land as JSON
+    files, each micro-batch answers them through the REAL one-pass ensemble
+    against a broadcast AP dimension, commits append-exactly-once, and a
+    re-run with the same checkpoint adds nothing."""
+    import json
+
+    from tests.wifi_fixtures import make_access_points
+    from wifi_location_data_pipeline_spark.schemas import WIFI_ACCESS_POINTS_SCHEMA
+    from wifi_location_data_pipeline_spark.streaming.positioning import (
+        start_positioning_stream,
+    )
+
+    zone = os.path.join(tmpzone, "reqs"); os.makedirs(zone)
+    out = os.path.join(tmpzone, "positions")
+    ckpt = os.path.join(tmpzone, "pos_ckpt")
+    aps = spark.createDataFrame(make_access_points(), WIFI_ACCESS_POINTS_SCHEMA)
+    macs = [
+        r["mac_addr"]
+        for r in aps.filter(F.col("status") == "active").limit(3).collect()
+    ]
+
+    def req(rid, n):
+        return {
+            "requestId": rid, "client": "stream", "application": "test",
+            "calculationDetail": True,
+            "wifiScanResults": [
+                {"macAddress": m, "signalStrength": -60.0 - 3 * i,
+                 "frequency": 2437, "ssid": "t", "linkSpeed": None,
+                 "channelWidth": None}
+                for i, m in enumerate(macs[:n])
+            ],
+        }
+
+    with open(os.path.join(zone, "batch1.json"), "w") as f:
+        f.write(json.dumps(req("s1", 1)) + "\n" + json.dumps(req("s2", 2)) + "\n")
+
+    q = start_positioning_stream(spark, zone, aps, out, ckpt, with_reasons=True)
+    q.awaitTermination(120)
+    first = {r["request_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(first) == {"s1", "s2"}
+    assert first["s1"]["selection_context"]["ap_count_class"] == "SINGLE_AP"
+    assert any(e["selected"] for e in first["s1"]["selection_info"])
+
+    # a new request file is answered incrementally, exactly once
+    with open(os.path.join(zone, "batch2.json"), "w") as f:
+        f.write(json.dumps(req("s3", 3)) + "\n")
+    q2 = start_positioning_stream(spark, zone, aps, out, ckpt, with_reasons=True)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["request_id"] for r in rows) == ["s1", "s2", "s3"]
+
+    q3 = start_positioning_stream(spark, zone, aps, out, ckpt, with_reasons=True)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3

@@ -1,0 +1,69 @@
+"""Streaming positioning: request JSON zone → positions, per micro-batch.
+
+The reference serves positioning as a long-lived HTTP API
+(`wifi-positioning-service`, PositioningController.java:30-49 →
+PositioningServiceImpl.calculatePosition:168-190; SURVEY §3.2). The
+Spark-first equivalent of "requests arrive continuously, answers leave
+continuously" is Structured Streaming over a request zone:
+
+    readStream.json(request_zone, POSITIONING_REQUEST_SCHEMA)
+      → foreachBatch: position_requests_onepass ⋈ broadcast(AP dimension)
+      → append sink (one parquet commit per micro-batch, exactly-once)
+
+foreachBatch rather than a stateless map: the ensemble is a multi-stage
+aggregation (pack → context/selection/algorithms → combine) with an
+optional Arrow tier, which the streaming planner cannot express as a
+continuous query — per-batch execution of the BATCH plan is the supported
+Spark shape for this (and mirrors the reference's request-batched executor,
+WifiPositioningCalculator.java:106-176).
+
+The AP dimension is loaded ONCE and broadcast per batch — the analog of the
+service's DynamoDB lookup path with its long-lived client. The per-request
+diagnostics (``with_reasons``) ride along identically to the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from wifi_location_data_pipeline_spark.positioning.onepass import (
+    position_requests_onepass,
+)
+from wifi_location_data_pipeline_spark.schemas import POSITIONING_REQUEST_SCHEMA
+
+
+def start_positioning_stream(
+    spark: SparkSession,
+    request_zone: str,
+    access_points: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    with_reasons: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Answer positioning requests from a streaming file zone.
+
+    ``available_now=True`` drains the zone and stops (backfill / test mode);
+    ``False`` runs continuously with the default trigger — new request files
+    are answered in the next micro-batch, the streaming analog of the
+    service's request loop.
+    """
+    requests = (
+        spark.readStream.schema(POSITIONING_REQUEST_SCHEMA)
+        .json(request_zone)
+    )
+
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = position_requests_onepass(batch_df, access_points, with_reasons=with_reasons)
+        out.write.mode("append").parquet(out_path)
+
+    writer = (
+        requests.writeStream.foreachBatch(_answer)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
