@@ -57,6 +57,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "the stated brute-force correctness baseline: 8 query vectors "
         "broadcast against the corpus — bounded by |queries|, never corpus²"
     ),
+    "spatial_blocked_pairs": (
+        "9-row literal offsets relation broadcast for the 3×3 cell "
+        "neighborhood fan-out — O(9n) probe rows, never n²; the candidate "
+        "join itself is the cell equi-join"
+    ),
 }
 
 

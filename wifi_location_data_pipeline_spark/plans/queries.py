@@ -955,6 +955,59 @@ FROM fused
 """,
 )
 
+def _spatial_blocked_sql(d: str) -> str:
+    """Spark side: grid-cell blocked spatial self-join — each point probes
+    its 3×3 cell neighborhood (cell 0.08° ≥ the 6.1 km radius in both axes
+    at this latitude, so no qualifying pair can escape the neighborhood),
+    candidates meet on a cell equi-join, haversine verifies. O(n·k) with k
+    = per-cell density — the plan that survives a 100 TB AP dimension,
+    replacing the reference's geohash-GSI proximity lookups
+    (WifiAccessPoint.java:73-101). The DuckDB oracle is the INDEPENDENT
+    naive O(n²) theta-join, so parity checks the blocking logic itself."""
+    if d == DUCK:
+        return f"""
+WITH aps AS ({aps_cte()})
+SELECT a.ap_id AS ap_a, b.ap_id AS ap_b,
+  ROUND({haversine_sql('a.true_lat', 'a.true_lon', 'b.true_lat', 'b.true_lon')}, 2) AS dist_m
+FROM aps a JOIN aps b ON a.ap_id < b.ap_id
+WHERE {haversine_sql('a.true_lat', 'a.true_lon', 'b.true_lat', 'b.true_lon')} <= 6100.0
+"""
+    return f"""
+WITH aps AS ({aps_cte()}),
+offsets AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+cells AS (
+  SELECT ap_id, true_lat, true_lon,
+    CAST(FLOOR(true_lat / 0.08) AS BIGINT) AS cx,
+    CAST(FLOOR(true_lon / 0.08) AS BIGINT) AS cy
+  FROM aps
+),
+probe AS (
+  -- 9-way neighborhood fan-out on the probe side only: each qualifying
+  -- pair meets in the build point's home cell exactly once (no DISTINCT)
+  SELECT c.ap_id, c.true_lat, c.true_lon, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+  FROM cells c CROSS JOIN offsets o
+),
+pairs AS (
+  SELECT a.ap_id AS ap_a, b.ap_id AS ap_b,
+    {haversine_sql('a.true_lat', 'a.true_lon', 'b.true_lat', 'b.true_lon')} AS dist_m
+  FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.ap_id < b.ap_id
+)
+SELECT ap_a, ap_b, ROUND(dist_m, 2) AS dist_m
+FROM pairs WHERE dist_m <= 6100.0
+"""
+
+
+register(
+    "spatial_blocked_pairs",
+    "Nearby-AP pairs (≤6.1 km) via grid-cell blocked spatial self-join: "
+    "3×3 neighborhood probe → cell equi-join → haversine verify, O(n·k) "
+    "instead of O(n²); the oracle is the independent naive theta-join, so "
+    "the value compare verifies the blocking never loses a pair "
+    "(geohash-GSI proximity semantics, WifiAccessPoint.java:73-101).",
+    sql=_spatial_blocked_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -1778,6 +1831,8 @@ _TAIL = (
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
+    "spatial_blocked_pairs",  # physical-strategy demo (spatial blocking);
+    # geohash_cells covers the encoder — tail parity test value-checks it
     "embedding_quantize_int8",  # storage-compression metrics; ANN family
     # already in-window — tail parity test value-checks it
     "dedup_clusters",  # oracle-bearing; iterative driver loop — tail parity
