@@ -1008,6 +1008,70 @@ register(
 )
 
 
+def _asof_sql(d: str) -> str:
+    """As-of join — an operator Spark lacks natively, built as the
+    scale-correct tagged-union + ordered-window pattern: tag state updates
+    side=0 and requests side=1, union, then
+    ``last_value(state) IGNORE NULLS OVER (PARTITION BY ap ORDER BY ts,
+    side, event_id)`` — ONE shuffle+sort for the whole join, no per-row
+    probing, no range explosion (the standard distributed as-of shape).
+    The DuckDB oracle is the engine's NATIVE ``ASOF LEFT JOIN`` — an
+    independent implementation, so the value compare verifies the window
+    formulation reproduces true as-of semantics (ties: states are unique
+    per (ap, ts) by construction; an equal-timestamp state is visible to
+    the request, matching ASOF's >= bound)."""
+    ts_s = epoch_s(d, "ts")
+    states = f"""
+  SELECT ap_id, ts_s, event_id, CAST(value AS DOUBLE) AS state_val FROM (
+    SELECT CAST(user_id % 50 AS BIGINT) AS ap_id, {ts_s} AS ts_s, event_id, value,
+      ROW_NUMBER() OVER (PARTITION BY CAST(user_id % 50 AS BIGINT), {ts_s}
+                         ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 17 = 0
+  ) s WHERE rn = 1"""
+    requests = f"""
+  SELECT CAST(user_id % 50 AS BIGINT) AS ap_id, {ts_s} AS ts_s, event_id
+  FROM events WHERE event_id % 17 <> 0"""
+    if d == DUCK:
+        return f"""
+WITH states AS ({states}),
+requests AS ({requests})
+SELECT r.event_id, r.ap_id, s.state_val
+FROM requests r ASOF LEFT JOIN states s
+  ON r.ap_id = s.ap_id AND r.ts_s >= s.ts_s
+"""
+    return f"""
+WITH states AS ({states}),
+requests AS ({requests}),
+tagged AS (
+  SELECT ap_id, ts_s, event_id, state_val, 0 AS side FROM states
+  UNION ALL
+  SELECT ap_id, ts_s, event_id, CAST(NULL AS DOUBLE) AS state_val, 1 AS side FROM requests
+),
+carried AS (
+  SELECT ap_id, ts_s, event_id, side,
+    last_value(state_val) IGNORE NULLS OVER (
+      PARTITION BY ap_id ORDER BY ts_s, side, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_val
+  FROM tagged
+)
+SELECT event_id, ap_id, state_val
+FROM carried WHERE side = 1
+"""
+
+
+register(
+    "asof_state_join",
+    "As-of join: each request row picks the latest AP state at-or-before "
+    "its timestamp. Spark side is the distributed tagged-union + ordered-"
+    "window pattern (one shuffle+sort, no per-row probing); the oracle is "
+    "DuckDB's NATIVE ASOF LEFT JOIN, independently verifying the as-of "
+    "semantics. The operator the online positioning path needs when AP "
+    "golden records are versioned (SURVEY §2.4 notes the reference has no "
+    "as-of join — this is the Spark-first primitive for it).",
+    sql=_asof_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -1831,6 +1895,8 @@ _TAIL = (
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
+    "asof_state_join",  # custom-operator demo (as-of via ordered window);
+    # native-ASOF oracle — tail parity test value-checks it
     "spatial_blocked_pairs",  # physical-strategy demo (spatial blocking);
     # geohash_cells covers the encoder — tail parity test value-checks it
     "embedding_quantize_int8",  # storage-compression metrics; ANN family
