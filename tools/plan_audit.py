@@ -62,6 +62,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "neighborhood fan-out — O(9n) probe rows, never n²; the candidate "
         "join itself is the cell equi-join"
     ),
+    "range_bucket_join": (
+        "2-row literal offsets relation broadcast fans each interval to its "
+        "≤2 hour buckets (plus the 1-row min-ts scalar) — O(2m) probe rows, "
+        "never n·m; the candidate join itself is the bucket equi-join"
+    ),
 }
 
 

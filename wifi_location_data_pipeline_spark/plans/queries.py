@@ -1072,6 +1072,121 @@ register(
 )
 
 
+def _range_join_sql(d: str) -> str:
+    """Range (interval) join — the 1-D analog of spatial_blocked_pairs:
+    20 deterministic one-hour maintenance windows, each event matched to
+    the windows containing its timestamp. Spark side blocks on hour
+    buckets (window length = bucket size, so every window covers ≤2
+    buckets — a 2-row offsets fan-out on the interval side), candidates
+    meet on a bucket equi-join, BETWEEN verifies: O(n + 2m) candidate
+    rows, never n·m. The DuckDB oracle is the naive range theta-join
+    (its IEJoin executes it), independently verifying the bucketing."""
+    ts_s = epoch_s(d, "ts")
+    # 20 hour-long windows stepped every 6 hours across the corpus span
+    windows = f"""
+  SELECT CAST(event_id AS BIGINT) AS window_id,
+    mn + event_id * 21600 AS w_start,
+    mn + event_id * 21600 + 3600 AS w_end
+  FROM events, (SELECT MIN({ts_s}) AS mn FROM events) b
+  WHERE event_id < 20"""
+    if d == DUCK:
+        return f"""
+WITH win AS ({windows})
+SELECT w.window_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+  CAST(COALESCE(SUM(CAST(FLOOR(e.value * 1000.0) AS BIGINT)), 0) AS BIGINT) AS sum_v_milli
+FROM win w LEFT JOIN events e
+  ON {epoch_s(d, 'e.ts')} >= w.w_start AND {epoch_s(d, 'e.ts')} < w.w_end
+GROUP BY w.window_id
+"""
+    return f"""
+WITH win AS ({windows}),
+wb AS (
+  -- ≤2 hour-buckets per window: fan out on the small side only
+  SELECT w.window_id, w.w_start, w.w_end,
+    CAST(FLOOR(w.w_start / 3600.0) AS BIGINT) + o.dx AS bucket
+  FROM win w CROSS JOIN (VALUES (0), (1)) AS o(dx)
+  WHERE CAST(FLOOR(w.w_start / 3600.0) AS BIGINT) + o.dx
+        <= CAST(FLOOR((w.w_end - 1) / 3600.0) AS BIGINT)
+),
+ev AS (
+  SELECT event_id, value, {ts_s} AS ts_s,
+    CAST(FLOOR({ts_s} / 3600.0) AS BIGINT) AS bucket
+  FROM events
+),
+matched AS (
+  SELECT wb.window_id, e.event_id, e.value
+  FROM wb JOIN ev e ON wb.bucket = e.bucket
+  WHERE e.ts_s >= wb.w_start AND e.ts_s < wb.w_end
+)
+SELECT w.window_id, CAST(COUNT(m.event_id) AS BIGINT) AS n_events,
+  CAST(COALESCE(SUM(CAST(FLOOR(m.value * 1000.0) AS BIGINT)), 0) AS BIGINT) AS sum_v_milli
+FROM win w LEFT JOIN matched m ON m.window_id = w.window_id
+GROUP BY w.window_id
+"""
+
+
+register(
+    "range_bucket_join",
+    "Range/interval join: events matched into 20 deterministic one-hour "
+    "windows via hour-bucket blocking (each window fans out to ≤2 bucket "
+    "keys, candidates meet on a bucket equi-join, BETWEEN verifies) — "
+    "O(n+2m) candidates instead of the n·m range theta-join, which is the "
+    "DuckDB oracle (IEJoin), independently verifying the bucketing. "
+    "Integer-milli sums keep the compare exact.",
+    sql=_range_join_sql,
+)
+
+
+def _rollup_sql(d: str) -> str:
+    """Hypertable-style continuous aggregate: the daily level re-aggregates
+    the HOURLY aggregate (the Spark side), never the raw rows — the
+    multi-resolution rollup a time-series store maintains incrementally.
+    The oracle computes the daily level DIRECTLY from raw rows, so the
+    value compare verifies the algebraic re-aggregation (counts/sums/
+    min/max compose; sums are integer-milli so associativity is exact)."""
+    ts_s = epoch_s(d, "ts")
+    if d == DUCK:
+        return f"""
+SELECT CAST(user_id % 50 AS BIGINT) AS ap_id,
+  CAST(FLOOR({ts_s} / 86400.0) AS BIGINT) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+  MIN(value) AS min_v, MAX(value) AS max_v
+FROM events
+GROUP BY 1, 2
+"""
+    return f"""
+WITH hourly AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS ap_id,
+    CAST(FLOOR({ts_s} / 3600.0) AS BIGINT) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+    MIN(value) AS min_v, MAX(value) AS max_v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT ap_id,
+  CAST(FLOOR(hour / 24.0) AS BIGINT) AS day,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  CAST(SUM(sum_v_milli) AS BIGINT) AS sum_v_milli,
+  MIN(min_v) AS min_v, MAX(max_v) AS max_v
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+register(
+    "hypertable_rollup",
+    "Hypertable-style multi-resolution rollup: the daily aggregate is "
+    "re-aggregated FROM the hourly aggregate (counts/sums/min/max compose "
+    "algebraically — the incremental continuous-aggregate shape), while "
+    "the oracle computes daily directly from raw rows, so the value "
+    "compare proves the two-level rollup is lossless. Integer-milli sums "
+    "keep associativity exact.",
+    sql=_rollup_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -1895,6 +2010,8 @@ _TAIL = (
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it;
     # window slot ceded to the never-checked selection_reasons
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
+    "range_bucket_join",  # custom-operator demo (interval join via buckets)
+    "hypertable_rollup",  # multi-resolution rollup; lossless-reagg oracle
     "asof_state_join",  # custom-operator demo (as-of via ordered window);
     # native-ASOF oracle — tail parity test value-checks it
     "spatial_blocked_pairs",  # physical-strategy demo (spatial blocking);
