@@ -26,6 +26,7 @@ from wifi_location_data_pipeline_spark.plans.dialect import (
     DUCK,
     SPARK,
     epoch_s,
+    hex_to_bigint,
     int_floor_div,
     median,
     percentile,
@@ -1187,6 +1188,51 @@ register(
 )
 
 
+def _kmv_sql(d: str) -> str:
+    """KMV (k-minimum-values) distinct sketch, k=16: hash every member to a
+    uniform 60-bit value (md5 prefix), keep each group's k smallest, and
+    estimate |distinct| = (k-1) / normalized k-th minimum — the classic
+    bottom-k sketch (Bar-Yossef et al.), mergeable by keeping the k
+    smallest of a union, which is what a 1000-executor rollup needs where
+    exact COUNT(DISTINCT) forces a full shuffle of every member. Unlike
+    approx_count_distinct (engine-specific HLL, not comparable across
+    engines), the md5-derived sketch is deterministic and BIT-IDENTICAL in
+    both dialects, so the oracle value-checks estimate AND error."""
+    h = hex_to_bigint(d, "substr(md5(concat('u', CAST(user_id AS STRING))), 1, 15)")
+    return f"""
+WITH members AS (
+  SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS ap_id, user_id FROM events
+),
+hashed AS (
+  SELECT ap_id, {h} AS hv FROM members
+),
+ranked AS (
+  SELECT ap_id, hv,
+    ROW_NUMBER() OVER (PARTITION BY ap_id ORDER BY hv) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY ap_id) AS BIGINT) AS true_distinct
+  FROM hashed
+)
+SELECT ap_id, true_distinct,
+  CAST(FLOOR(
+    CASE WHEN true_distinct < 16 THEN CAST(true_distinct AS DOUBLE)
+         ELSE 15.0 / (CAST(hv AS DOUBLE) / 1152921504606846976.0)
+    END * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS kmv_estimate
+FROM ranked
+WHERE rn = CASE WHEN true_distinct < 16 THEN 1 ELSE 16 END
+"""
+
+
+register(
+    "kmv_distinct_sketch",
+    "KMV bottom-k distinct sketch (k=16) per AP: md5-derived 60-bit member "
+    "hashes, estimate (k-1)/normalized-kth-minimum, exact below k — the "
+    "mergeable alternative to a full COUNT(DISTINCT) shuffle at 100 TB. "
+    "Deterministic hashing makes the sketch bit-identical across engines, "
+    "so the oracle value-checks the estimates themselves.",
+    sql=_kmv_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -2011,6 +2057,7 @@ _TAIL = (
     # window slot ceded to the never-checked selection_reasons
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
     "range_bucket_join",  # custom-operator demo (interval join via buckets)
+    "kmv_distinct_sketch",  # mergeable bottom-k distinct sketch demo
     "hypertable_rollup",  # multi-resolution rollup; lossless-reagg oracle
     "asof_state_join",  # custom-operator demo (as-of via ordered window);
     # native-ASOF oracle — tail parity test value-checks it
