@@ -255,3 +255,51 @@ def test_localize_with_history_routes_bayesian(measurements):
     for bssid, tier in routing.items():
         got = out[bssid]["algorithm"]
         assert got == tier, (bssid, tier, got)
+
+
+def test_lof_pandas_matches_sql_twin(spark):
+    """The applyInPandas LOF (production tier) and the pure-SQL LOF twin
+    (lof_closed_form, driver value-checked) must agree on the same capped
+    per-AP input — same k, same cap, same deterministic points. Tolerance
+    0.05 absorbs the projection-center difference (pandas centers on the
+    group mean, the SQL on the exact lattice anchor ~10 m away; LOF is
+    translation-invariant and the scale factor differs by <1e-5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.plans.queries import QUERIES, measurements_cte
+    from wifi_location_data_pipeline_spark.plans.dialect import SPARK as SPARK_D
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    m = spark.sql(f"SELECT * FROM ({measurements_cte(SPARK_D)})")
+    w = Window.partitionBy("ap_id").orderBy("event_id")
+    capped = (
+        m.withColumn("rn", F2.row_number().over(w))
+        .filter(F2.col("rn") <= 40)
+        .select(
+            F2.col("ap_id").cast("string").alias("bssid"),
+            F2.col("event_id").cast("string").alias("id"),
+            "latitude",
+            "longitude",
+        )
+    )
+    pd_lof = {
+        (r["bssid"], r["id"]): r["lof"]
+        for r in local_outlier_factor(capped, k=5).collect()
+    }
+    sql_lof = {
+        (str(r["ap_id"]), str(r["event_id"])): r["lof"]
+        for r in QUERIES["lof_closed_form"].spark(spark, sf).collect()
+    }
+    assert set(pd_lof) == set(sql_lof)
+    diffs = sorted(abs(pd_lof[key] - sql_lof[key]) for key in pd_lof)
+    # the lattice corpus has exact duplicate points, so kNN TIE choices
+    # differ between np.argsort (row order) and the SQL (dist, id) rule —
+    # tied picks perturb individual scores but not the population: the
+    # bulk must agree tightly, the worst tie-affected point loosely
+    assert diffs[int(len(diffs) * 0.95)] <= 0.02, diffs[int(len(diffs) * 0.95)]
+    assert diffs[-1] <= 0.25, diffs[-1]
+    # both find genuinely varying scores (not a degenerate all-1.0 pass)
+    assert max(sql_lof.values()) > 1.05

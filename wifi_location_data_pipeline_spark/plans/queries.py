@@ -1188,6 +1188,86 @@ register(
 )
 
 
+def _lof_sql(d: str) -> str:
+    """Local Outlier Factor in pure SQL (FRAMEWORK:113-115; the pandas
+    implementation in operators/relocation.py:139 is the production tier).
+    Per AP: cap to 40 points (the reference's LIMIT-per-query lookback
+    bound, so pair count is O(cap²)=1600/AP at ANY corpus size), project
+    to meters around the AP's exact lattice anchor (constants, not an
+    AVG — no cross-engine summation-order risk in the kNN ordering),
+    k=5 nearest by (distance, id) (deterministic ties), then the textbook
+    reach-dist/lrd/LOF chain. pytest cross-checks this SQL against the
+    applyInPandas implementation on the same capped input."""
+    k = 5
+    return f"""
+WITH m AS ({measurements_cte(d)}),
+capped AS (
+  SELECT * FROM (
+    SELECT ap_id, event_id, latitude, longitude,
+      ROW_NUMBER() OVER (PARTITION BY ap_id ORDER BY event_id) AS rn,
+      CAST(COUNT(*) OVER (PARTITION BY ap_id) AS BIGINT) AS n_ap
+    FROM m
+  ) t WHERE rn <= 40
+),
+pts AS (
+  SELECT ap_id, event_id, LEAST(n_ap, 40) AS n_ap,
+    (longitude - (-74.0 + ((ap_id * 7) % 50) * 0.01))
+      * 111320.0 * cos(radians(40.0 + ap_id * 0.01)) AS x,
+    (latitude - (40.0 + ap_id * 0.01)) * 111320.0 AS y
+  FROM capped
+),
+pairs AS (
+  SELECT p.ap_id, p.event_id AS p_id, o.event_id AS o_id, p.n_ap,
+    sqrt((p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y)) AS dist
+  FROM pts p JOIN pts o ON p.ap_id = o.ap_id AND p.event_id <> o.event_id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT ap_id, p_id, o_id, n_ap, dist,
+      ROW_NUMBER() OVER (PARTITION BY ap_id, p_id ORDER BY dist, o_id) AS nn
+    FROM pairs
+  ) t WHERE nn <= {k}
+),
+kdist AS (
+  SELECT ap_id, p_id, MAX(dist) AS kd FROM knn GROUP BY ap_id, p_id
+),
+reach AS (
+  SELECT n.ap_id, n.p_id, n.o_id, n.n_ap,
+    GREATEST(n.dist, ko.kd) AS rd
+  FROM knn n JOIN kdist ko ON ko.ap_id = n.ap_id AND ko.p_id = n.o_id
+),
+lrd AS (
+  SELECT ap_id, p_id, MAX(n_ap) AS n_ap,
+    1.0 / GREATEST(AVG(rd), 1e-9) AS lrd
+  FROM reach GROUP BY ap_id, p_id
+),
+lof AS (
+  SELECT n.ap_id, n.p_id, MAX(l.n_ap) AS n_ap,
+    AVG(lo.lrd) / MAX(l.lrd) AS lof
+  FROM knn n
+  JOIN lrd l  ON l.ap_id = n.ap_id AND l.p_id = n.p_id
+  JOIN lrd lo ON lo.ap_id = n.ap_id AND lo.p_id = n.o_id
+  GROUP BY n.ap_id, n.p_id
+)
+SELECT ap_id, p_id AS event_id,
+  CAST(FLOOR(CASE WHEN n_ap <= {k} + 1 THEN 1.0 ELSE lof END * 10000.0 + 0.5)
+    / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS lof
+FROM lof
+"""
+
+
+register(
+    "lof_closed_form",
+    "Local Outlier Factor as pure SQL over per-AP capped points (k=5, cap "
+    "40 — pair count bounded at 1600/AP at any corpus size): kNN by "
+    "(distance, id), reach-dist/lrd/LOF chain, deterministic projection "
+    "anchor. Gives the LOF operator a VALUE-checked row (the "
+    "applyInPandas tier stays the production path; pytest cross-checks "
+    "the two).",
+    sql=_lof_sql,
+)
+
+
 def _kmv_sql(d: str) -> str:
     """KMV (k-minimum-values) distinct sketch, k=16: hash every member to a
     uniform 60-bit value (md5 prefix), keep each group's k smallest, and
@@ -2058,6 +2138,7 @@ _TAIL = (
     "session_window_agg",  # streaming-analog; tumbling twin already in-window
     "range_bucket_join",  # custom-operator demo (interval join via buckets)
     "kmv_distinct_sketch",  # mergeable bottom-k distinct sketch demo
+    "lof_closed_form",  # SQL LOF twin; pandas tier is the production path
     "hypertable_rollup",  # multi-resolution rollup; lossless-reagg oracle
     "asof_state_join",  # custom-operator demo (as-of via ordered window);
     # native-ASOF oracle — tail parity test value-checks it
