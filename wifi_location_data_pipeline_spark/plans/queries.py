@@ -1268,6 +1268,167 @@ register(
 )
 
 
+def _capped_pts_sql(d: str) -> str:
+    """Shared fragment: per-AP capped points projected to meters around the
+    AP's exact lattice anchor (see _lof_sql for why the anchor, not an
+    AVG)."""
+    return f"""
+m AS ({measurements_cte(d)}),
+capped AS (
+  SELECT * FROM (
+    SELECT ap_id, event_id, latitude, longitude,
+      ROW_NUMBER() OVER (PARTITION BY ap_id ORDER BY event_id) AS rn
+    FROM m
+  ) t WHERE rn <= 40
+),
+pts AS (
+  SELECT ap_id, event_id,
+    (longitude - (-74.0 + ((ap_id * 7) % 50) * 0.01))
+      * 111320.0 * cos(radians(40.0 + ap_id * 0.01)) AS x,
+    (latitude - (40.0 + ap_id * 0.01)) * 111320.0 AS y
+  FROM capped
+)"""
+
+
+_DBSCAN_EPS = 12.0
+_DBSCAN_MIN_PTS = 4  # core iff |N_eps(p) ∪ {p}| >= min_pts
+
+
+def _dbscan_duck_sql(d: str) -> str | None:
+    """Oracle: deterministic DBSCAN* — core points are connected components
+    of the eps-graph restricted to cores (transitive closure by recursive
+    CTE), labeled by the component's MIN core id; border points take the
+    MIN label among their core neighbors (the deterministic variant of
+    classic DBSCAN's first-discoverer border assignment); everything else
+    is noise (-1)."""
+    if d == SPARK:
+        return None
+    return f"""
+WITH RECURSIVE {_capped_pts_sql(d)},
+pairs AS MATERIALIZED (
+  SELECT p.ap_id, p.event_id AS u, o.event_id AS v
+  FROM pts p JOIN pts o
+    ON p.ap_id = o.ap_id AND p.event_id <> o.event_id
+  WHERE sqrt((p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y)) <= {_DBSCAN_EPS}
+),
+deg AS (
+  SELECT ap_id, u AS event_id, COUNT(*) AS n_nbrs FROM pairs GROUP BY ap_id, u
+),
+core AS (
+  SELECT ap_id, event_id FROM deg WHERE n_nbrs + 1 >= {_DBSCAN_MIN_PTS}
+),
+core_edges AS MATERIALIZED (
+  SELECT pr.ap_id, pr.u, pr.v
+  FROM pairs pr
+  JOIN core cu ON cu.ap_id = pr.ap_id AND cu.event_id = pr.u
+  JOIN core cv ON cv.ap_id = pr.ap_id AND cv.event_id = pr.v
+),
+reach(ap_id, u, v) AS (
+  SELECT ap_id, event_id, event_id FROM core
+  UNION
+  SELECT r.ap_id, r.u, e.v FROM reach r
+  JOIN core_edges e ON e.ap_id = r.ap_id AND e.u = r.v
+),
+core_label AS (
+  SELECT ap_id, u AS event_id, MIN(v) AS cluster FROM reach GROUP BY ap_id, u
+),
+border_label AS (
+  SELECT pr.ap_id, pr.u AS event_id, MIN(cl.cluster) AS cluster
+  FROM pairs pr
+  JOIN core_label cl ON cl.ap_id = pr.ap_id AND cl.event_id = pr.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM core c WHERE c.ap_id = pr.ap_id AND c.event_id = pr.u)
+  GROUP BY pr.ap_id, pr.u
+)
+SELECT p.ap_id, p.event_id,
+  CAST(COALESCE(cl.cluster, bl.cluster, -1) AS BIGINT) AS cluster,
+  (cl.event_id IS NOT NULL) AS is_core
+FROM pts p
+LEFT JOIN core_label cl ON cl.ap_id = p.ap_id AND cl.event_id = p.event_id
+LEFT JOIN border_label bl ON bl.ap_id = p.ap_id AND bl.event_id = p.event_id
+"""
+
+
+def _dbscan_spark_fn(spark, sf_dir):
+    """Deterministic DBSCAN* per AP as applyInPandas over the capped points
+    — the production shape for FRAMEWORK:71-87's relocation clustering
+    (operators/relocation.py holds the relocation-specific variant): each
+    AP's ≤40 points solve independently in one bounded task, so the
+    operator scales with #APs, never points². Labels are canonical (min
+    core id per component; border = min core-neighbor label), matching the
+    recursive-CTE oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(f"WITH {_capped_pts_sql(SPARK)} SELECT * FROM pts")
+
+    eps, min_pts = _DBSCAN_EPS, _DBSCAN_MIN_PTS
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["event_id"].to_numpy()
+        xy = pdf[["x", "y"]].to_numpy(float)
+        n = len(pdf)
+        dmat = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(dmat, np.inf)
+        nbrs = dmat <= eps
+        core = nbrs.sum(1) + 1 >= min_pts
+        # union-find over core-core edges, root = min id in component
+        parent = {int(ids[i]): int(ids[i]) for i in range(n) if core[i]}
+
+        def find(a):
+            r = a
+            while parent[r] != r:
+                r = parent[r]
+            while parent[a] != r:
+                parent[a], a = r, parent[a]
+            return r
+
+        ci = np.where(core)[0]
+        for i in ci:
+            for j in ci:
+                if nbrs[i, j]:
+                    ra, rb = find(int(ids[i])), find(int(ids[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        cluster = np.full(n, -1, dtype=np.int64)
+        for i in ci:
+            cluster[i] = find(int(ids[i]))
+        for i in range(n):
+            if not core[i]:
+                labels = [cluster[j] for j in ci if nbrs[i, j]]
+                if labels:
+                    cluster[i] = min(labels)
+        return pd.DataFrame(
+            {
+                "ap_id": pdf["ap_id"],
+                "event_id": ids,
+                "cluster": cluster,
+                "is_core": core,
+            }
+        )
+
+    return pts.groupBy("ap_id").applyInPandas(
+        _one, "ap_id bigint, event_id bigint, cluster bigint, is_core boolean"
+    )
+
+
+register(
+    "dbscan_closed_form",
+    "Deterministic DBSCAN* over per-AP capped points (eps 12 m, minPts 4): "
+    "core = eps-degree threshold, clusters = components of the core "
+    "eps-graph labeled by min core id, borders take the min core-neighbor "
+    "label, noise -1. Spark side is applyInPandas per AP (bounded 40-point "
+    "tasks — scales with #APs, never points²); the oracle rebuilds the "
+    "same components via recursive-CTE transitive closure, giving the "
+    "DBSCAN operator a VALUE-checked row (FRAMEWORK:71-87).",
+    sql=_dbscan_duck_sql,
+    spark_fn=_dbscan_spark_fn,
+)
+
+
 def _kmv_sql(d: str) -> str:
     """KMV (k-minimum-values) distinct sketch, k=16: hash every member to a
     uniform 60-bit value (md5 prefix), keep each group's k smallest, and
@@ -2139,6 +2300,7 @@ _TAIL = (
     "range_bucket_join",  # custom-operator demo (interval join via buckets)
     "kmv_distinct_sketch",  # mergeable bottom-k distinct sketch demo
     "lof_closed_form",  # SQL LOF twin; pandas tier is the production path
+    "dbscan_closed_form",  # deterministic DBSCAN*; recursive-CTE oracle
     "hypertable_rollup",  # multi-resolution rollup; lossless-reagg oracle
     "asof_state_join",  # custom-operator demo (as-of via ordered window);
     # native-ASOF oracle — tail parity test value-checks it
