@@ -46,6 +46,13 @@ CLAIMS: dict[str, str] = {
     "ann_lsh_bucketed": "bucket equi-join replaces the all-pairs cross product",
     "multimodal_frame_sample": "payload column pruned before the frame explode",
     "positioning_ensemble": "ONE shuffle packs requests; Python only after split",
+    "spatial_blocked_pairs": "3×3 cell-neighborhood equi-join candidates; no n² theta join",
+    "range_bucket_join": "bucket equi-join candidates; BNLJ only the 2-row offsets fan-out",
+    "asof_state_join": "one shuffle+sort ordered window; no per-row probe join",
+    "hypertable_rollup": "daily re-aggregates FROM hourly — two shared-key aggregations",
+    "kmv_distinct_sketch": "bottom-k via ranking windows over the distinct-member shuffle",
+    "lof_closed_form": "pair relation pre-capped at 40/AP — every shuffle moves O(40·#APs) narrow rows",
+    "dbscan_closed_form": "per-AP bounded applyInPandas tasks; no global pair relation",
 }
 
 # query -> justification for a BroadcastNestedLoopJoin that is NOT a scale
