@@ -68,3 +68,42 @@ def test_loader_reads_events_on_foreign_session(spark, sf_dir):
     # Corpus timestamps must come back timezone-free so oracle comparisons
     # never depend on the caller session's timezone.
     assert isinstance(df.schema["ts"].dataType, TimestampNTZType)
+
+
+def test_service_plan_cache_reuse_is_value_stable(spark, sf_dir, monkeypatch):
+    """QueryDef.service plan reuse: a cache hit after clearCache() must
+    re-execute from the scans and produce identical values (the re-arm
+    hooks re-register interior persist points, see plan_cache.py), and
+    SPARK_GRAFT_PLAN_CACHE=0 must bypass the cache entirely."""
+    from wifi_location_data_pipeline_spark.plans import queries as Q
+
+    name = "ensemble_closed_form"
+    q = Q.QUERIES[name]
+    assert q.service
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    first = rows(q.spark(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    assert key in Q._PLAN_CACHE
+    cached_df, rearms = Q._PLAN_CACHE[key]
+
+    spark.catalog.clearCache()
+    again = q.spark(spark, sf_dir)
+    assert again is cached_df  # the analyzed plan was reused
+    assert rows(again) == first
+
+    # the full ensemble (Python numeric tier + interior staged.cache())
+    # must also survive reuse after clearCache via its re-arm hook
+    pname = "positioning_ensemble"
+    p = Q.QUERIES[pname]
+    pfirst = rows(p.spark(spark, sf_dir))
+    spark.catalog.clearCache()
+    assert rows(p.spark(spark, sf_dir)) == pfirst
+
+    # disable switch bypasses the cache
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    fresh = q.spark(spark, sf_dir)
+    assert fresh is not cached_df
+    assert rows(fresh) == first
