@@ -42,7 +42,8 @@ def main() -> None:
         # the largest single entry — measure it while the JVM is healthy.
         python_tier = [
             "positioning_ensemble", "batch_localization_tiered",
-            "relocation_dbscan", "lof_outliers", "codec_roundtrip",
+            "relocation_dbscan", "lof_outliers", "dbscan_closed_form",
+            "codec_roundtrip",
             "multimodal_decode", "multimodal_frame_sample", "dedup_embedding_cosine",
         ]
         names = [n for n in python_tier if n in qs] + [
