@@ -28,8 +28,16 @@ def main() -> None:
     # 16g, not bigger: with a 48g heap the accumulated garbage of a 50-query
     # session produces multi-second full-GC pauses that land on whichever
     # query is running (~25s total inflation, one random query spiking 5-8x);
-    # a right-sized heap collects incrementally and the suite is stable
-    spark = build_session(app_name="bench", extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")})
+    # a right-sized heap collects incrementally and the suite is stable.
+    # Console progress is OFF: its \r spam interleaved with stdout is what
+    # truncated the round-3 bench capture (BENCH_r03.json parsed: null).
+    spark = build_session(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
 
     qs = entry_mod.queries()
     only = os.environ.get("BENCH_QUERIES")
@@ -133,7 +141,21 @@ def main() -> None:
         "sf": sf_val,
     }
     spark.stop()
+    sys.stdout.flush()
+    # Two lines, long one FIRST: a capture window that keeps only the output
+    # tail (what clipped round 3's single huge line) still gets a complete,
+    # parseable summary from the short LAST line. Consumers that want the
+    # per-query dict parse the first JSON line; both are standalone JSON.
     print(json.dumps(result))
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(summary))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

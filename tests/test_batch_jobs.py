@@ -303,3 +303,34 @@ def test_lof_pandas_matches_sql_twin(spark):
     assert diffs[-1] <= 0.25, diffs[-1]
     # both find genuinely varying scores (not a degenerate all-1.0 pass)
     assert max(sql_lof.values()) > 1.05
+
+
+def test_skew_caps_bound_pandas_tier_input(spark):
+    """A hot BSSID (10k rows, one key — SURVEY's skew risk) must be capped
+    INSIDE the library operators before the O(n²) pandas tier: the default
+    max_rows_per_ap caps LOF at 400 and DBSCAN at 300 rows per AP, so a
+    direct caller cannot build a 10k×10k distance matrix on one executor."""
+    rows = [
+        (
+            "aa:bb:cc:dd:ee:ff", f"id-{i:05d}", 40.0 + (i % 7) * 1e-4,
+            -75.0 + (i % 11) * 1e-4, 1_700_000_000_000 + i * 1000,
+        )
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "bssid string, id string, latitude double, longitude double, "
+        "measurement_timestamp long",
+    )
+    # LOF scores exactly max_rows_per_ap rows — the rest never reach pandas
+    assert local_outlier_factor(df).count() == 400
+    assert local_outlier_factor(df, max_rows_per_ap=50).count() == 50
+    # DBSCAN emits one row per AP regardless; prove the cap via the plan:
+    # the pandas tier consumes a row_number-filtered relation
+    capped_plan = relocation_by_dbscan(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in capped_plan and "300" in capped_plan
+    uncapped_plan = (
+        relocation_by_dbscan(df, max_rows_per_ap=None)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "row_number" not in uncapped_plan

@@ -161,11 +161,30 @@ def main() -> int:
             # DOUBLE oracle (the round-2 hash-fail class). canon() below
             # normalizes Decimals to float, so without this check the local
             # gate would green-light what the driver rejects.
-            from pyspark.sql.types import DecimalType
+            from pyspark.sql.types import (
+                ArrayType,
+                DecimalType,
+                MapType,
+                StructType,
+            )
+
+            def _has_decimal(dt):
+                # recurse: a Decimal nested in array/map/struct (easy to
+                # produce from an un-cast literal inside transform or
+                # named_struct) fails the driver hash just the same
+                if isinstance(dt, DecimalType):
+                    return True
+                if isinstance(dt, ArrayType):
+                    return _has_decimal(dt.elementType)
+                if isinstance(dt, MapType):
+                    return _has_decimal(dt.keyType) or _has_decimal(dt.valueType)
+                if isinstance(dt, StructType):
+                    return any(_has_decimal(f.dataType) for f in dt.fields)
+                return False
 
             dec = [
                 f.name for f in out.schema.fields
-                if isinstance(f.dataType, DecimalType)
+                if _has_decimal(f.dataType)
             ]
             if dec and name in oracles:
                 print(f"FAIL  {name}: DecimalType output columns {dec}")

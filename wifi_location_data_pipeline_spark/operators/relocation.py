@@ -118,11 +118,24 @@ def _dbscan_group(pdf: pd.DataFrame, eps_m: float = 75.0, min_pts: int = 5) -> p
     return pd.DataFrame([[bssid, int(cluster), bool(relocated)]], columns=[f.name for f in _DBSCAN_SCHEMA.fields])
 
 
-def relocation_by_dbscan(measurements: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Precise relocation check; restrict to ``candidates`` (bssid col) first."""
+def relocation_by_dbscan(
+    measurements: DataFrame,
+    candidates: DataFrame | None = None,
+    max_rows_per_ap: int | None = 300,
+) -> DataFrame:
+    """Precise relocation check; restrict to ``candidates`` (bssid col) first.
+
+    ``max_rows_per_ap`` bounds the O(n²) per-AP distance matrix inside the
+    pandas tier: a hot BSSID with millions of rows (the SURVEY's skew risk)
+    would otherwise OOM the executor building an n×n float64 array. The cap
+    is a deterministic per-AP top-N by (timestamp, lat, lon) — 300 points is
+    ample to resolve a bimodal relocation structure. Pass ``None`` only for
+    inputs already bounded upstream.
+    """
     m = measurements.select("bssid", "latitude", "longitude", "measurement_timestamp")
     if candidates is not None:
         m = m.join(candidates.select("bssid"), "bssid", "left_semi")
+    m = _cap_per_ap(m, max_rows_per_ap, "measurement_timestamp", "latitude", "longitude")
     # applyInPandas requires a 1-/2-arg callable — wrap to hide the tuning kwargs
     return m.groupBy("bssid").applyInPandas(lambda pdf: _dbscan_group(pdf), _DBSCAN_SCHEMA)
 
@@ -157,10 +170,32 @@ def _lof_group(pdf: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame({"bssid": pdf["bssid"], "id": pdf["id"], "lof": lof})
 
 
-def local_outlier_factor(measurements: DataFrame, k: int = 10) -> DataFrame:
-    """Per-row LOF score (≈1 inlier, ≫1 local outlier) per AP."""
+def local_outlier_factor(
+    measurements: DataFrame, k: int = 10, max_rows_per_ap: int | None = 400
+) -> DataFrame:
+    """Per-row LOF score (≈1 inlier, ≫1 local outlier) per AP.
+
+    ``max_rows_per_ap`` (deterministic top-N by ``id``) bounds the per-AP
+    n×n distance matrix against skewed BSSIDs — same rationale and default
+    as the registry harness; rows beyond the cap are simply not scored.
+    """
+    m = measurements.select("bssid", "id", "latitude", "longitude")
+    m = _cap_per_ap(m, max_rows_per_ap, "id")
     return (
-        measurements.select("bssid", "id", "latitude", "longitude")
-        .groupBy("bssid")
+        m.groupBy("bssid")
         .applyInPandas(lambda pdf: _lof_group(pdf, k=k), _LOF_SCHEMA)
+    )
+
+
+def _cap_per_ap(df: DataFrame, cap: int | None, *order_cols: str) -> DataFrame:
+    """Deterministic per-BSSID row cap (row_number over ``order_cols``)."""
+    if cap is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bssid").orderBy(*order_cols)
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= cap)
+        .drop("_cap_rn")
     )

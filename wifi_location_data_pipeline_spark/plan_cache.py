@@ -14,15 +14,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 _SINK: list[Callable[[], object]] = []
+_COLLECTING: bool = False
+
+
+def begin() -> None:
+    """Open a collection window (QueryDef service-plan build in progress)."""
+    global _COLLECTING
+    _SINK.clear()
+    _COLLECTING = True
 
 
 def emit(rearm: Callable[[], object]) -> None:
-    """Record a callable that re-registers an interior persist point."""
-    _SINK.append(rearm)
+    """Record a callable that re-registers an interior persist point.
+
+    No-op outside a collection window: long-running callers that invoke the
+    builders directly (e.g. the streaming positioning loop, one call per
+    micro-batch) must not grow a global list that nothing drains.
+    """
+    if _COLLECTING:
+        _SINK.append(rearm)
 
 
 def drain() -> list[Callable[[], object]]:
-    """Return and clear the callables emitted since the last drain."""
+    """Return and clear the callables emitted since ``begin()``; close the window."""
+    global _COLLECTING
     out = list(_SINK)
     _SINK.clear()
+    _COLLECTING = False
     return out

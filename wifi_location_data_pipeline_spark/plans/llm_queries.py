@@ -1668,7 +1668,7 @@ q AS (
 SELECT vec_id,
   {r4('qscale * 1000.0')} AS qscale_x1000,
   {r4('max_abs_err * 1000.0')} AS max_abs_err_x1000,
-  {r4('l2_err / l2_norm * 1000.0')} AS rel_l2_err_x1000,
+  {r4('l2_err / GREATEST(l2_norm, 1e-30) * 1000.0')} AS rel_l2_err_x1000,
   n_clipped
 FROM q
 """
@@ -1690,7 +1690,15 @@ register(
 # ---------------------------------------------------------------------------
 
 
-CLUSTERS_UNION_FIND_MAX_PAIRS = 2_000_000  # single-task path cutoff
+# Single-task union-find cutoff. Memory bound at the cutoff (measured,
+# CPython 3.11, 12-char string doc_ids): a 4M-key str→str dict costs
+# ~363 MiB RSS (117 MiB dict table + key objects), so the worst case of
+# 2M pairs ⇒ ≤4M distinct ids is ~0.4 GiB of union-find state plus the
+# ~100 MB pandas concat of the pair batch on ONE task — fine inside a
+# multi-GiB executor but not free; raise only with executor memory to
+# match. Above the cutoff the diameter-bounded min-label join loop takes
+# over (distributed, no single-task state).
+CLUSTERS_UNION_FIND_MAX_PAIRS = 2_000_000
 
 
 def _dedup_clusters_spark_fn(spark, sf_dir):

@@ -131,14 +131,21 @@ class QueryDef:
             "SPARK_GRAFT_PLAN_CACHE", "1"
         ) != "0"
         if use_cache:
-            key = (spark.sparkContext.applicationId, self.name, sf_dir)
+            # the fingerprint keys the cache on the corpus CONTENT, not just
+            # its path: a cached analyzed plan pins the parquet file listing
+            # captured at first build, so a corpus regenerated in-place at
+            # the same sf_dir must miss (and rebuild from a fresh listing)
+            key = (
+                spark.sparkContext.applicationId, self.name, sf_dir,
+                _corpus_fingerprint(sf_dir),
+            )
             hit = _PLAN_CACHE.get(key)
             if hit is not None:
                 df, rearms = hit
                 for r in rearms:
                     r()  # re-register interior persist points (see plan_cache)
                 return df
-            plan_cache.drain()  # discard hooks from unrelated builds
+            plan_cache.begin()  # open the re-arm collection window
         register_views(spark, sf_dir)
         if self.spark_fn is not None:
             df = self.spark_fn(spark, sf_dir)
@@ -153,8 +160,21 @@ class QueryDef:
 
 
 QUERIES: dict[str, QueryDef] = {}
-# (applicationId, query, sf_dir) → (analyzed DataFrame, re-arm hooks)
+# (applicationId, query, sf_dir, corpus_fp) → (analyzed DataFrame, re-arm hooks)
 _PLAN_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(name, mtime_ns, size) of each parquet entry — cheap (~10 stats) and
+    changes whenever the corpus at sf_dir is regenerated."""
+    try:
+        return tuple(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in sorted(os.scandir(sf_dir), key=lambda e: e.name)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        return ()
 
 
 def register(name: str, description: str, sql=None, spark_fn=None, service=False) -> None:
@@ -2156,7 +2176,9 @@ def _relocation_dbscan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("bssid").orderBy("event_id")
     capped = planted.withColumn("_rn", F2.row_number().over(w)).filter(F2.col("_rn") <= 300)
     candidates = relocation_by_time_split(capped).filter("relocated").select("bssid")
-    out = relocation_by_dbscan(capped, candidates=candidates)
+    # already capped (deterministically, by event_id) above — skip the
+    # operator's own defensive cap so the plan keeps a single window pass
+    out = relocation_by_dbscan(capped, candidates=candidates, max_rows_per_ap=None)
     return out.select("bssid", "n_clusters", "relocated")
 
 
@@ -2181,7 +2203,8 @@ def _lof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _derived_measurements_df(spark, sf_dir)
     w = Window.partitionBy("bssid").orderBy("event_id")
     capped = m.withColumn("_rn", F2.row_number().over(w)).filter(F2.col("_rn") <= 400)
-    scores = local_outlier_factor(capped, k=10)
+    # pre-capped by event_id above; None skips the operator's defensive cap
+    scores = local_outlier_factor(capped, k=10, max_rows_per_ap=None)
     return scores.groupBy("bssid").agg(
         F2.count("*").alias("n_scored"),
         F2.sum((F2.col("lof") > 1.5).cast("long")).alias("n_local_outliers"),

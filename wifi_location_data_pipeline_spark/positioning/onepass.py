@@ -282,7 +282,10 @@ def _attach_selection_info(out: DataFrame) -> DataFrame:
 
 
 def position_requests_onepass(
-    requests: DataFrame, access_points: DataFrame, with_reasons: bool = False
+    requests: DataFrame,
+    access_points: DataFrame,
+    with_reasons: bool = False,
+    staged_sink: list | None = None,
 ) -> DataFrame:
     """Nested requests + AP dimension → combined positions, one shuffle.
 
@@ -377,5 +380,12 @@ def position_requests_onepass(
     # re-register the interior cache point, or the optimizer re-collapses
     # the staged expression tree per downstream reader (the combinatorial
     # re-inlining documented above). cache() re-registration is lazy/cheap.
+    # emit() is a no-op unless a QueryDef service build is collecting, so
+    # repeated direct calls (streaming micro-batches) don't grow the sink.
     plan_cache.emit(staged.cache)
+    # long-running callers (the streaming loop: one call PER MICRO-BATCH)
+    # must unpersist ``staged`` once the batch output is written, or the
+    # CacheManager accumulates one pinned plan + storage blocks per batch
+    if staged_sink is not None:
+        staged_sink.append(staged)
     return out

@@ -8,7 +8,8 @@ continuously" is Structured Streaming over a request zone:
 
     readStream.json(request_zone, POSITIONING_REQUEST_SCHEMA)
       → foreachBatch: position_requests_onepass ⋈ broadcast(AP dimension)
-      → append sink (one parquet commit per micro-batch, exactly-once)
+      → per-batch_id overwrite sink (idempotent under foreachBatch's
+        at-least-once replay ⇒ effectively exactly-once results)
 
 foreachBatch rather than a stateless map: the ensemble is a multi-stage
 aggregation (pack → context/selection/algorithms → combine) with an
@@ -57,8 +58,24 @@ def start_positioning_stream(
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = position_requests_onepass(batch_df, access_points, with_reasons=with_reasons)
-        out.write.mode("append").parquet(out_path)
+        staged: list = []
+        try:
+            out = position_requests_onepass(
+                batch_df, access_points,
+                with_reasons=with_reasons, staged_sink=staged,
+            )
+            # foreachBatch is AT-LEAST-once: a batch that fails after the
+            # write but before the checkpoint commit REPLAYS. Writing each
+            # batch to its own batch_id=N partition directory with overwrite
+            # makes the replay idempotent — the second attempt replaces the
+            # first attempt's files instead of appending duplicates, so the
+            # sink as a whole is effectively exactly-once.
+            out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        finally:
+            # one interior cache point is registered per call; unpersist it
+            # or a continuous stream pins one plan + blocks per micro-batch
+            for df in staged:
+                df.unpersist()
 
     writer = (
         requests.writeStream.foreachBatch(_answer)
