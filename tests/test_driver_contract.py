@@ -85,7 +85,10 @@ def test_service_plan_cache_reuse_is_value_stable(spark, sf_dir, monkeypatch):
         return sorted(tuple(r) for r in df.collect())
 
     first = rows(q.spark(spark, sf_dir))
-    key = (spark.sparkContext.applicationId, name, sf_dir)
+    key = (
+        spark.sparkContext.applicationId, name, sf_dir,
+        Q._corpus_fingerprint(sf_dir),
+    )
     assert key in Q._PLAN_CACHE
     cached_df, rearms = Q._PLAN_CACHE[key]
 

@@ -119,3 +119,78 @@ def test_dedup_job(spark, tmp_path):
     assert clusters.count() > 0 and set(clusters.columns) == {
         "doc_id", "canonical_doc_id", "cluster_size",
     }
+
+
+def test_comparison_scenario_decision_tree(spark):
+    """ComparisonScenario.determineScenario (ComparisonScenario.java:99-133)
+    + agreement analysis (ComparisonService.java:250-349): hand-planted rows,
+    expectations hand-derived from the Java decision tree."""
+    from wifi_location_data_pipeline_spark.operators.comparison import (
+        classify_comparison,
+    )
+
+    cols = (
+        "request_id string, vlss_success boolean, frisco_success boolean, "
+        "frisco_error_message string, vlss_accuracy double, vlss_lat double, "
+        "vlss_lon double, frisco_lat double, frisco_lon double, "
+        "frisco_accuracy double"
+    )
+    rows = [
+        # no VLSS response at all → FRISCO_ONLY regardless of anything else
+        ("r1", None, True, None, None, None, None, 40.0, -75.0, 20.0),
+        # both succeed, identical positions → PERFECT AGREEMENT, ratio 0.0
+        ("r2", True, True, None, 50.0, 40.0, -75.0, 40.0, -75.0, 20.0),
+        # both succeed, ~111 m apart, acc 30/20 → expected 36.06 < 111 →
+        # ratio 111/20 = 5.55 > 2.5 → EXTREMELY OVERCONFIDENT
+        ("r3", True, True, None, 30.0, 40.0, -75.0, 40.001, -75.0, 20.0),
+        # both succeed but VLSS acc >= 250 → WIFI VS CELL, ratio unset
+        ("r4", True, True, None, 300.0, 40.0, -75.0, 40.001, -75.0, 20.0),
+        # VLSS ok + insufficient-AP error + acc >= 250 → CELL FALLBACK
+        ("r5", True, False, "No known access points found in database",
+         250.0, 40.0, -75.0, None, None, None),
+        # same error but acc < 250 → FRISCO_ERROR_WIFI → "FRISCO FAILURE"
+        ("r6", True, False, "No known access points found in database",
+         100.0, 40.0, -75.0, None, None, None),
+        # non-AP error + acc >= 250 → FRISCO_ERROR_CELL → "NO WIFI COVERAGE"
+        ("r7", True, False, "backend timeout", 400.0, 40.0, -75.0, None, None, None),
+        # insufficient-AP phrasing via the two-keyword branch, NULL accuracy
+        # → NOT cell fallback (accuracy requirement) → ERROR_WIFI
+        ("r8", True, False, "Insufficient access point data", None,
+         40.0, -75.0, None, None, None),
+        # VLSS failed, Frisco ok → VLSS_ERROR_FRISCO_SUCCESS (WIFI)
+        ("r9", False, True, None, None, None, None, 40.0, -75.0, 15.0),
+        # both failed → BOTH_INSUFFICIENT_DATA (NONE)
+        ("r10", False, False, "whatever", None, None, None, None, None, None),
+        # null frisco_success behaves as failure (Boolean.TRUE.equals)
+        ("r11", False, None, None, None, None, None, None, None, None),
+        # both succeed, 111 m apart, acc 100/80 → expected 128 > 111 → GOOD
+        ("r12", True, True, None, 100.0, 40.0, -75.0, 40.001, -75.0, 80.0),
+    ]
+    out = {
+        r["request_id"]: r
+        for r in classify_comparison(spark.createDataFrame(rows, cols)).collect()
+    }
+    expect = {
+        "r1": ("FRISCO_ONLY_ANALYSIS", "WIFI", None),
+        "r2": ("BOTH_WIFI_SUCCESS", "WIFI", "PERFECT AGREEMENT"),
+        "r3": ("BOTH_WIFI_SUCCESS", "WIFI", "FRISCO EXTREMELY OVERCONFIDENT"),
+        "r4": ("BOTH_WIFI_SUCCESS", "WIFI", "WIFI VS CELL DISAGREEMENT"),
+        "r5": ("VLSS_CELL_FALLBACK_DETECTED", "CELL", "NO WIFI COVERAGE"),
+        "r6": ("VLSS_SUCCESS_FRISCO_ERROR_WIFI", "WIFI", "FRISCO FAILURE"),
+        "r7": ("VLSS_SUCCESS_FRISCO_ERROR_CELL", "CELL", "NO WIFI COVERAGE"),
+        "r8": ("VLSS_SUCCESS_FRISCO_ERROR_WIFI", "WIFI", "FRISCO FAILURE"),
+        "r9": ("VLSS_ERROR_FRISCO_SUCCESS", "WIFI", None),
+        "r10": ("BOTH_INSUFFICIENT_DATA", "NONE", None),
+        "r11": ("BOTH_INSUFFICIENT_DATA", "NONE", None),
+        "r12": ("BOTH_WIFI_SUCCESS", "WIFI", "GOOD AGREEMENT"),
+    }
+    got = {
+        k: (v["scenario"], v["location_type"], v["agreement_analysis"])
+        for k, v in out.items()
+    }
+    assert got == expect
+    assert out["r2"]["confidence_ratio"] == 0.0
+    assert out["r4"]["confidence_ratio"] is None  # early return before ratio
+    assert abs(out["r3"]["confidence_ratio"] - out["r3"]["haversine_distance_m"] / 20.0) < 1e-9
+    # special scenarios never report a distance (Java early-returns)
+    assert out["r5"]["haversine_distance_m"] is None
