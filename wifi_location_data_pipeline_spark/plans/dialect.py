@@ -70,8 +70,13 @@ def bigint_div(d: str, a: str, b: int) -> str:
 
 
 def int_floor_div(d: str, a: str, b: int) -> str:
-    """Integer floor-division for non-negative operands, portable."""
-    return f"CAST(FLOOR({a} / {b}.0) AS BIGINT)"
+    """Integer floor-division for non-negative operands, portable.
+
+    The divisor is CAST to DOUBLE: a bare ``21.0`` parses as DECIMAL in
+    both engines and Spark then runs BigDecimal division per row; double
+    division is exact here for the magnitudes involved (|a| < 2^52) and
+    identical cross-engine."""
+    return f"CAST(FLOOR({a} / CAST({b}.0 AS DOUBLE)) AS BIGINT)"
 
 
 def regexp_count(d: str, col: str, pattern: str) -> str:

@@ -64,6 +64,11 @@ def build_session(
         # plan issues ~25k ops, where this wrapper alone cost ~40% of the
         # driver-side plan build
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # single-node: every task is process-local, so the delay-scheduling
+        # wait is pure added latency per scheduling round. Cluster
+        # deployments reading off HDFS-style locality should override via
+        # extra_conf.
+        .config("spark.locality.wait", "0s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
