@@ -20,6 +20,8 @@ Scale notes (the 100 TB design intent, validated at sf0.1 by bench.py):
 
 from __future__ import annotations
 
+import os
+
 from wifi_location_data_pipeline_spark.plans.dialect import (
     SPARK,
     array_double,
@@ -39,7 +41,52 @@ from wifi_location_data_pipeline_spark.plans.queries import register
 # ---------------------------------------------------------------------------
 
 
-def shingles_cte(d: str, n: int = 3) -> str:
+def spread_documents_src(spark, sf_dir) -> str:
+    """View name for the documents relation with scan parallelism restored.
+
+    The test corpus ships single-row-group parquet, so every documents scan
+    is ONE task — and the shingle builders stack CPU-heavy work (split +
+    n-gram HOF lambdas + an md5 per shingle) directly on that task. When
+    the scan has fewer partitions than the data's CPU work deserves
+    (~64 KB of text per task), register a repartitioned view so the
+    projection parallelizes; when the scan is already parallel (any real
+    lakehouse layout — 128 MB row groups), return the plain table and add
+    no shuffle. The shuffle moves only the raw text once and is reused by
+    every stage built on top.
+    """
+    from wifi_location_data_pipeline_spark.sources.tables import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SPREAD_SRC.get(key)
+    if hit is not None:
+        return hit
+    try:
+        # single FILE (the test corpus): size known, scan is 1 task/row-group.
+        # A directory layout (any real lakehouse) raises -> plain table, no
+        # shuffle: its scan is already as parallel as the storage allows.
+        sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+        target = min(spark.sparkContext.defaultParallelism, sz // (64 << 10) + 1)
+    except OSError:
+        target = 1
+    if target <= 1:
+        src = "documents"
+    else:
+        load_table(spark, sf_dir, "documents").repartition(target).createOrReplaceTempView(
+            "_documents_spread"
+        )
+        src = "_documents_spread"
+    _SPREAD_SRC[key] = src
+    return src
+
+
+_SPREAD_SRC: dict = {}
+
+
+def shingles_cte(d: str, n: int = 3, src: str = "documents") -> str:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
     Array-native: tokenize once, slide an n-window over the token array,
@@ -59,14 +106,14 @@ shingles AS (
     sequence(1, size(w) - {n - 1}),
     i -> concat({gram})
   ))) AS shingle
-  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM {src}) t
   WHERE size(w) >= {n}
 )"""
     gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     return f"""
 shingles AS (
   SELECT doc_id, unnest(list_distinct([{gram} FOR i IN generate_series(1, len(w) - {n - 1})])) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src}) t
   WHERE len(w) >= {n}
 )"""
 
@@ -331,16 +378,20 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir)
     gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
     docarr = spark.sql(
         f"""
 SELECT doc_id,
   transform(array_distinct(transform(sequence(1, size(w) - 2), i -> concat({gram}))),
             s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)) AS bases
-FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+FROM (SELECT doc_id, split(text, ' ') AS w FROM {src}) t
 WHERE size(w) >= 3"""
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    docarr.count()  # materialize before fan-out
+    # no eager count: within the single final action Spark's per-partition
+    # cache locks ensure one computation even when AQE runs the two
+    # consumer stages concurrently; an extra materialization job costs a
+    # full scheduling round
 
     sizes = docarr.select("doc_id", F2.size("bases").alias("n_sh"))
     blists = (
@@ -350,7 +401,6 @@ WHERE size(w) >= 3"""
         .filter(F2.size("ds") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    blists.count()
     rare_pairs = (
         blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
         .select(
@@ -373,7 +423,6 @@ WHERE size(w) >= 3"""
         .agg(F2.count("*").alias("n_rare"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nr.count()  # materialize: nh and the final assembly both read it
     # add back shared HOT shingles so n_common spans the full shingle sets
     nh = (
         nr.alias("p")
@@ -429,11 +478,13 @@ def persisted_shingle_bases(spark, sf_dir, n: int = 3):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir)
     df = spark.sql(
-        f"WITH {shingles_cte('spark', n)} SELECT doc_id, "
+        f"WITH {shingles_cte('spark', n, src=src)} SELECT doc_id, "
         "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    # lazily materialized: per-partition cache locks serialize concurrent
+    # consumer stages; an eager count costs one extra scheduling round
     return df
 
 
@@ -717,13 +768,17 @@ def _simhash_spark_fn(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    # spread BEFORE the projection: repartitioning the result would leave
+    # the HOF shingle build on the single scan task and only spread the
+    # pandas pass
+    src = spread_documents_src(spark, sf_dir)
     gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
     docarr = spark.sql(
         f"""
 SELECT doc_id, array_distinct(transform(sequence(1, size(w) - 2), i -> concat({gram}))) AS sh
-FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+FROM (SELECT doc_id, split(text, ' ') AS w FROM {src}) t
 WHERE size(w) >= 3"""
-    ).repartition(max(2, spark.sparkContext.defaultParallelism // 4))
+    )
 
     nb, w = SIMHASH_BITS, SIMHASH_BITS // 4
     shifts = np.array([31 - (b % 32) for b in range(nb)], dtype=np.uint32)
@@ -762,9 +817,9 @@ WHERE size(w) >= 3"""
     blocked = docarr.mapInPandas(
         to_sigs, "doc_id long, blk0 long, blk1 long, blk2 long, blk3 long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # Materialize eagerly: the downstream join reads `blocked` from three
-    # stages that would otherwise race to compute it before the cache fills.
-    blocked.count()
+    # lazily materialized (see persisted_shingle_bases): per-partition cache
+    # locks serialize the three consumer stages; an eager count costs one
+    # extra scheduling round
     blocks = blocked.select(
         "doc_id",
         F2.explode(
@@ -1762,17 +1817,24 @@ def _dedup_clusters_spark_fn(spark, sf_dir):
                         parent[rb] = ra
                     else:
                         parent[ra] = rb
+            # the kernel already holds every component — emit sizes here
+            # too, saving the downstream groupBy shuffle + join
+            from collections import Counter
+
+            roots = {x: find(x) for x in parent}
+            sizes = Counter(roots.values())
             out = pd.DataFrame(
-                {"doc_id": list(parent), "label": [find(x) for x in parent]}
+                {
+                    "doc_id": list(roots),
+                    "canonical_doc_id": list(roots.values()),
+                    "cluster_size": [sizes[r] for r in roots.values()],
+                }
             )
             yield out
 
-        labels = pairs.coalesce(1).mapInPandas(_union_find, "doc_id long, label long")
-        sizes = labels.groupBy("label").agg(F2.count("*").alias("cluster_size"))
-        return labels.join(sizes, "label").select(
-            "doc_id",
-            F2.col("label").alias("canonical_doc_id"),
-            F2.col("cluster_size").cast("long").alias("cluster_size"),
+        return pairs.coalesce(1).mapInPandas(
+            _union_find,
+            "doc_id long, canonical_doc_id long, cluster_size long",
         )
 
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, 2 * n_pairs // 500_000 + 1))
