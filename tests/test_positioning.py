@@ -396,3 +396,154 @@ def test_with_reasons_matches_standalone_selector(spark, ap_df):
         info_sel = {e["algorithm"] for e in r["selection_info"] if e["selected"]}
         calc = {e["algorithm"] for e in r["calculation_info"]}
         assert calc & (info_sel or calc), rid
+
+
+# ---------------------------------------------------------------------------
+# Round-4 scenario port: the acceptance-corpus classes that were still
+# missing (run-comprehensive-tests.sh:834-1078): log-distance path-loss
+# pairs, stable-signal pairs, very-weak single AP, mixed-status multi-AP
+# filtering, 2D (null-altitude) positioning, invalid-status error shapes.
+# ---------------------------------------------------------------------------
+
+PATHLOSS_APS = [
+    # path-loss pair (cases 26-30): strong, same 2.4 GHz channel, active
+    ("00:dd:00:00:00:26", 40.7591, -73.9860, 20.0, "cisco", "active", 2462),
+    ("00:dd:00:00:00:27", 40.7592, -73.9860, 20.0, "cisco", "active", 2462),
+    # stable-signal pair (cases 31-35): same freq + ssid, equal strengths
+    ("00:dd:00:00:00:31", 40.7593, -73.9861, 25.0, "aruba", "active", 5500),
+    ("00:dd:00:00:00:32", 40.7594, -73.9861, 25.0, "aruba", "active", 5500),
+    # very-weak single AP (case 38)
+    ("00:dd:00:00:00:55", 40.7595, -73.9862, 15.0, "generic", "active", 2412),
+    # mixed-status cluster (case 40): same spot, one per status
+    ("00:ee:00:00:00:41", 40.7596, -73.9863, 15.0, "generic", "active", 2437),
+    ("00:ee:00:00:00:42", 40.7596, -73.9863, 15.0, "generic", "warning", 2437),
+    ("00:ee:00:00:00:43", 40.7596, -73.9863, 15.0, "generic", "error", 2437),
+    ("00:ee:00:00:00:44", 40.7596, -73.9863, 15.0, "generic", "expired", 2437),
+    ("00:ee:00:00:00:45", 40.7596, -73.9863, 15.0, "generic", "wifi-hotspot", 2437),
+    # 2D pair (cases 50-55): null altitude
+    ("00:ff:00:00:00:50", 40.7597, -73.9864, None, "generic", "active", 2437),
+    ("00:ff:00:00:00:51", 40.7598, -73.9864, None, "generic", "active", 2437),
+]
+
+
+@pytest.fixture(scope="module")
+def scenario4_results(spark):
+    rows = [
+        {"mac_addr": m, "version": "1", "latitude": la, "longitude": lo,
+         "altitude": al, "horizontal_accuracy": 10.0,
+         "vertical_accuracy": None if al is None else 4.0, "confidence": 0.8,
+         "ssid": "t", "frequency": fq, "vendor": v, "status": st,
+         "geohash": "dr5ru7"}
+        for m, la, lo, al, v, st, fq in PATHLOSS_APS
+    ]
+    aps = spark.createDataFrame(rows, WIFI_ACCESS_POINTS_SCHEMA)
+    requests = [
+        # cases 26-30: two strong same-channel APs -> WCL + RSSI-ratio family
+        req("pathloss", [scan("00:dd:00:00:00:26", -50.0, 2462),
+                         scan("00:dd:00:00:00:27", -53.0, 2462)]),
+        # cases 31-35: stable equal signals -> tight position between the APs
+        req("stable", [scan("00:dd:00:00:00:31", -68.0, 5500),
+                       scan("00:dd:00:00:00:32", -68.0, 5500)]),
+        # case 38: very weak single AP -> proximity only, low confidence
+        req("very_weak", [scan("00:dd:00:00:00:55", -99.9, 2412)]),
+        # case 40: five same-spot APs, only active/warning statuses usable
+        req("mixed_status", [scan(f"00:ee:00:00:00:4{i}", -70.0) for i in range(1, 6)]),
+        # cases 50-55: null-altitude APs must still position in 2D
+        req("two_d", [scan("00:ff:00:00:00:50", -60.0),
+                      scan("00:ff:00:00:00:51", -64.0)]),
+        # all-invalid-status request -> error shape (request dropped)
+        req("all_invalid_status", [scan("00:ee:00:00:00:43", -70.0),
+                                   scan("00:ee:00:00:00:44", -70.0)]),
+    ]
+    return run(spark, aps, requests)
+
+
+def test_pathloss_pair_uses_centroid_ratio_family(scenario4_results):
+    """Cases 26-30: strong 2-AP request -> weighted_centroid + rssi_ratio
+    selected (trilat/MLE hard-excluded at 2 APs), position within the pair's
+    ~11 m neighborhood, confidence in the reference's 0.40-0.60 band."""
+    r = scenario4_results["pathloss"]
+    used = set(r["methods_used"])
+    assert "weighted_centroid" in used and "rssi_ratio" in used
+    assert not {"trilateration", "maximum_likelihood"} & used
+    assert dist_m(r, (40.75915, -73.9860)) < 30
+    assert 0.30 <= r["confidence"] <= 0.80
+
+
+def test_stable_equal_signals_land_between_aps(scenario4_results):
+    """Cases 31-35: equal RSSI on both APs -> the weighted centroid sits at
+    the midpoint; accuracy in a tight band (reference asserts 5-15 m)."""
+    r = scenario4_results["stable"]
+    assert dist_m(r, (40.75935, -73.9861)) < 10
+    assert 0 < r["accuracy"] <= 25
+    assert "weighted_centroid" in r["methods_used"]
+
+
+def test_very_weak_single_ap_proximity_fallback(scenario4_results):
+    """Case 38: -99.9 dBm single AP -> proximity ONLY (selection framework's
+    very-weak hard constraint), position = the AP, confidence near floor."""
+    r = scenario4_results["very_weak"]
+    assert r["methods_used"] == ["proximity"]
+    assert dist_m(r, (40.7595, -73.9862)) < 1
+    assert r["confidence"] <= 0.15
+
+
+def test_mixed_status_uses_only_valid_aps(scenario4_results):
+    """Case 40: of five same-spot APs only active + warning are usable
+    (VALID_AP_STATUSES, WifiAccessPoint.java:37-38); the answer is the
+    cluster location and the diagnostics report exactly 2 APs used."""
+    r = scenario4_results["mixed_status"]
+    assert dist_m(r, (40.7596, -73.9863)) < 1
+    assert r["calculation_info"] is not None
+    # only 2 of the 5 APs survive the status filter -> the 2-AP hard
+    # constraint must hold (trilateration/MLE need >= 3 / >= 4 USED APs)
+    assert not {"trilateration", "maximum_likelihood"} & set(r["methods_used"])
+
+
+def test_two_d_null_altitude_positions(scenario4_results):
+    """Cases 50-55: APs without altitude must still position (2D path);
+    altitude of the answer may be NULL but lat/lon are real."""
+    r = scenario4_results["two_d"]
+    assert r["latitude"] is not None and r["longitude"] is not None
+    assert dist_m(r, (40.75975, -73.9864)) < 30
+
+
+def test_all_invalid_status_request_errors(scenario4_results):
+    """Error shape: a request whose every AP has an invalid status gets no
+    position row — the DataFrame analog of the reference's ERROR response
+    (case 36/39 family)."""
+    assert "all_invalid_status" not in scenario4_results
+
+
+def test_log_distance_vendor_exponent_pulls_toward_lower_n(spark):
+    """Vendor path-loss table (LogDistancePathLossAlgorithm.java:160-181):
+    at equal RSSI, a cisco AP (n=3.0) gets a SMALLER estimated distance
+    than a ubiquiti AP (n=2.7) — d = 10^((ref-s)/(10n)) shrinks as n grows
+    — so the inverse-distance-weighted position must land closer to the
+    cisco AP. A generic/unknown vendor uses the ITU-R default n=3.0."""
+    from wifi_location_data_pipeline_spark.positioning.algorithms import log_distance
+
+    obs_schema = (
+        "request_id string, mac_addr string, signal_strength double, "
+        "frequency int, ap_lat double, ap_lon double, ap_alt double, "
+        "ap_haccuracy double, ap_confidence double, ap_vendor string, "
+        "n_scanned int"
+    )
+    lat_cisco, lat_ubi = 40.7500, 40.7600
+    rows = [
+        ("r1", "aa", -65.0, 2437, lat_cisco, -74.0, 10.0, 8.0, 0.8, "cisco", 2),
+        ("r1", "bb", -65.0, 2437, lat_ubi, -74.0, 10.0, 8.0, 0.8, "ubiquiti", 2),
+        # default-vendor twin: generic == cisco exponent (both n=3.0), so
+        # equal pull -> midpoint
+        ("r2", "aa", -65.0, 2437, lat_cisco, -74.0, 10.0, 8.0, 0.8, "cisco", 2),
+        ("r2", "bb", -65.0, 2437, lat_ubi, -74.0, 10.0, 8.0, 0.8, "somethingelse", 2),
+    ]
+    out = {
+        r["request_id"]: r
+        for r in log_distance(spark.createDataFrame(rows, obs_schema)).collect()
+    }
+    mid = (lat_cisco + lat_ubi) / 2
+    # r1: ubiquiti n=2.7 -> larger d -> smaller weight -> pulled toward cisco
+    assert out["r1"]["latitude"] < mid
+    # r2: both n=3.0 -> exactly the midpoint
+    assert abs(out["r2"]["latitude"] - mid) < 1e-9
