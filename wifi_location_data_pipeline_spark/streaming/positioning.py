@@ -42,6 +42,7 @@ def start_positioning_stream(
     checkpoint: str,
     with_reasons: bool = False,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Answer positioning requests from a streaming file zone.
 
@@ -50,10 +51,13 @@ def start_positioning_stream(
     are answered in the next micro-batch, the streaming analog of the
     service's request loop.
     """
-    requests = (
-        spark.readStream.schema(POSITIONING_REQUEST_SCHEMA)
-        .json(request_zone)
-    )
+    reader = spark.readStream.schema(POSITIONING_REQUEST_SCHEMA)
+    if max_files_per_trigger is not None:
+        # bound the arrival batch (the analog of the reference's Kafka
+        # max-poll / SQS batch limits); also gives the latency bench one
+        # micro-batch per request file
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    requests = reader.json(request_zone)
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
