@@ -547,3 +547,38 @@ def test_log_distance_vendor_exponent_pulls_toward_lower_n(spark):
     assert out["r1"]["latitude"] < mid
     # r2: both n=3.0 -> exactly the midpoint
     assert abs(out["r2"]["latitude"] - mid) < 1e-9
+
+
+def test_onepass_numeric_tier_off_matches_auto_and_enforces(spark, ap_df):
+    """numeric_tier='off' (the serving-slice fast path): identical results
+    to the auto path on a ≤2-AP request set, and a hard EXECUTION error —
+    not a silent drop — if selection routes any request to the numeric
+    tier."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_requests_onepass,
+    )
+
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    small = [
+        req("o1", [scan(macs[0], -55.0, freqs[0])]),
+        req("o2", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -66.0, freqs[1])]),
+    ]
+    rdf = spark.createDataFrame(small, POSITIONING_REQUEST_SCHEMA)
+    auto = {r["request_id"]: r for r in
+            position_requests_onepass(rdf, ap_df).collect()}
+    off = {r["request_id"]: r for r in
+           position_requests_onepass(rdf, ap_df, numeric_tier="off").collect()}
+    assert set(auto) == set(off) == {"o1", "o2"}
+    for k in auto:
+        for f in ("latitude", "longitude", "accuracy", "confidence"):
+            assert auto[k][f] == pytest.approx(off[k][f], abs=1e-12)
+        assert auto[k]["methods_used"] == off[k]["methods_used"]
+
+    big = [req("o3", [scan(m, -60.0 - i, f) for i, (m, f) in
+                      enumerate(zip(macs, freqs))])]
+    bdf = spark.createDataFrame(big, POSITIONING_REQUEST_SCHEMA)
+    with pytest.raises(Exception, match="numeric_tier='off'"):
+        position_requests_onepass(bdf, ap_df, numeric_tier="off").collect()

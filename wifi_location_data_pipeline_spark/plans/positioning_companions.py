@@ -387,7 +387,11 @@ def ensemble_closed_fn(spark, sf_dir):
         F.lit("active").alias("status"),
         F.lit(None).cast("string").alias("geohash"),
     )
-    out = position_requests_onepass(scans, aps)
+    # the ≤2-AP slice can never select trilateration/MLE (base weight 0 at
+    # ONE_AP/TWO_APS — SELECTION.md hard constraint), so the numeric tier's
+    # branch machinery (interior cache + materialization + count job) is
+    # skipped; the 'off' contract is assert-enforced per row in onepass
+    out = position_requests_onepass(scans, aps, numeric_tier="off")
     return out.select(
         "request_id",
         F.expr(_r("latitude", 6)).alias("latitude"),

@@ -286,6 +286,7 @@ def position_requests_onepass(
     access_points: DataFrame,
     with_reasons: bool = False,
     staged_sink: list | None = None,
+    numeric_tier: str = "auto",
 ) -> DataFrame:
     """Nested requests + AP dimension → combined positions, one shuffle.
 
@@ -320,6 +321,44 @@ def position_requests_onepass(
     _STAGED_VIEW_SEQ[0] += 1
     view = f"_onepass_packed_{_STAGED_VIEW_SEQ[0]}"
     packed.createOrReplaceTempView(view)
+
+    if numeric_tier == "off":
+        # Serving-slice fast path: the caller guarantees selection cannot
+        # route any request to trilateration/MLE (e.g. every request has
+        # ≤2 matched APs, where both carry base weight 0 — SELECTION.md's
+        # hard constraint). The numeric branch, its eager materialization
+        # job, and the numeric-count job all drop — the whole ensemble is
+        # ONE job. The cache() itself stays (even though staged has one
+        # DataFrame consumer): the combiner's generated SQL references the
+        # packed columns many times, and without cache substitution the
+        # optimizer re-inlines the staged expression tree combinatorially
+        # (observed: optimizer OOM) — it is populated lazily during the
+        # single job, not by a separate count. The guarantee is ENFORCED,
+        # not trusted: assert_true raises at execution on any
+        # numeric-selected row instead of silently dropping it.
+        staged_off = requests.sparkSession.sql(staged_sql(view)).cache()
+        requests.sparkSession.catalog.dropTempView(view)
+        plan_cache.emit(staged_off.cache)
+        if staged_sink is not None:
+            staged_sink.append(staged_off)
+        guarded_positions = F.when(
+            F.assert_true(
+                ~F.col("_has_numeric"),
+                F.lit(
+                    "position_requests_onepass(numeric_tier='off'): selection"
+                    " routed a request to trilateration/MLE"
+                ),
+            ).isNull(),
+            F.col("positions"),
+        )
+        ctx_off = ["_ctx"] if with_reasons else []
+        combined_off = staged_off.select(
+            "request_id", "selection", guarded_positions.alias("positions"), *ctx_off
+        )
+        out_off = combine_weighted_packed(combined_off, passthrough=tuple(ctx_off))
+        if with_reasons:
+            out_off = _attach_selection_info(out_off)
+        return out_off
     # cache() is a hard requirement here, not an optimization: the split
     # below references staged twice, and without cache substitution the
     # consumer's optimizer re-collapses this expression tree combinatorially
