@@ -1931,3 +1931,162 @@ register(
     sql=_dedup_clusters_duck_sql,
     spark_fn=_dedup_clusters_spark_fn,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 training-mix extensions: RAG chunking, PII scrubbing, mixture
+# sampling. Tail-registered (the 50-entry gate window is full); value-
+# checked by tests/test_oracle_parity.py like the rest of the tail.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # chunk width in whitespace tokens
+CHUNK_STRIDE = 48  # start-to-start distance => 16-token overlap
+
+
+def _rag_chunk_sql(d: str) -> str:
+    """Fixed-width overlapping chunk plan (the retrieval/packing prep step
+    of a RAG or pretraining pipeline): chunk i of a doc covers tokens
+    [1+stride*i, width+stride*i]; the last chunk is short rather than
+    dropped. Array-native: tokenize once, slice per chunk — no token
+    explode, no shuffle; at 100 TB this is a pure projection followed by
+    explode of ~n_tokens/stride rows per doc."""
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    if d == "spark":
+        return f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id,
+    explode(transform(
+      sequence(0, CAST(FLOOR((size(w) - 1) / CAST({s}.0 AS DOUBLE)) AS BIGINT)),
+      i -> struct(i AS chunk_id, slice(w, CAST(1 + {s} * i AS INT), {c}) AS cw)
+    )) AS e
+  FROM t WHERE size(w) >= 1
+)
+SELECT doc_id, CAST(e.chunk_id AS BIGINT) AS chunk_id,
+  CAST(size(e.cw) AS BIGINT) AS n_tokens,
+  md5(array_join(e.cw, ' ')) AS chunk_md5
+FROM ch
+"""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id,
+    unnest(generate_series(0, CAST(FLOOR((len(w) - 1) / {s}.0) AS BIGINT))) AS chunk_id,
+    w
+  FROM t WHERE len(w) >= 1
+)
+SELECT doc_id, chunk_id,
+  CAST(len(list_slice(w, 1 + {s} * chunk_id, {s} * chunk_id + {c})) AS BIGINT) AS n_tokens,
+  md5(array_to_string(list_slice(w, 1 + {s} * chunk_id, {s} * chunk_id + {c}), ' ')) AS chunk_md5
+FROM ch
+"""
+
+
+register(
+    "rag_chunk_plan",
+    f"RAG/pretraining chunk plan: {CHUNK_TOKENS}-token chunks at stride "
+    f"{CHUNK_STRIDE} (16-token overlap) per document, identified by chunk "
+    "md5 — array-native slicing, no token explode, no shuffle.",
+    sql=_rag_chunk_sql,
+)
+
+
+# conservative patterns that behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def _pat(d: str, raw: str) -> str:
+    """Regex for embedding in a single-quoted SQL literal: Spark's parser
+    processes backslash escapes inside string literals (so the regex
+    backslashes must double); DuckDB's standard-SQL literals do not."""
+    return raw.replace("\\", "\\\\") if d == "spark" else raw
+
+
+def _pii_scrub_sql(d: str) -> str:
+    """PII scrub pass: plant deterministic emails/phones/IPs into the
+    corpus (the synthetic docs carry none), then redact with typed tokens
+    and count hits per class. regexp_replace is a zero-shuffle projection;
+    the counts + scrubbed-text hash are cross-engine value-checked. The
+    patterns are the dual-engine-safe subset (no lookaround) — the
+    published scrubbing practice for pretraining corpora."""
+    rc = lambda col, pat: regexp_count(d, col, pat)  # noqa: E731
+    planted = (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', substr(CAST(1000 + doc_id % 900 AS VARCHAR), 1, 3), '-0199') ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1') ELSE '' END)"
+    ) if d != "spark" else (
+        "concat(text,"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', substr(CAST(1000 + doc_id % 900 AS STRING), 1, 3), '-0199') ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.1') ELSE '' END)"
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, {planted} AS text FROM documents),
+scrubbed AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_pat(d, _PII_EMAIL)}', '<EMAIL>'),
+        '{_pat(d, _PII_PHONE)}', '<PHONE>'),
+      '{_pat(d, _PII_IPV4)}', '<IP>') AS clean
+  FROM planted
+)
+SELECT doc_id,
+  CAST({rc('text', _pat(d, _PII_EMAIL))} AS BIGINT) AS n_emails,
+  CAST({rc('text', _pat(d, _PII_PHONE))} AS BIGINT) AS n_phones,
+  CAST({rc('text', _pat(d, _PII_IPV4))} AS BIGINT) AS n_ips,
+  md5(clean) AS scrubbed_md5
+FROM scrubbed
+"""
+
+
+register(
+    "pii_scrub_stats",
+    "PII scrubbing: email/phone/IPv4 redaction with per-class hit counts "
+    "and a scrubbed-text hash, over deterministically planted PII — "
+    "zero-shuffle regexp projection, dual-engine-safe patterns.",
+    sql=_pii_scrub_sql,
+)
+
+
+MIX_ALPHA = 0.7  # temperature for source re-weighting (multilingual-LM practice)
+
+
+def _mixture_sql(d: str) -> str:
+    """Temperature-based source mixture plan: w_s = n_s^alpha / sum_t n_t^alpha
+    (alpha < 1 upweights small sources — the standard multilingual/domain
+    re-balancing rule), plus the per-document epoch count a sampler needs
+    (epochs_per_doc = w_s * N_total / n_s). One aggregation + one window
+    over |sources| rows — negligible at any corpus size."""
+    return f"""
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs, n_chars,
+    pow(CAST(n_docs AS DOUBLE), CAST({MIX_ALPHA} AS DOUBLE)) AS na,
+    SUM(pow(CAST(n_docs AS DOUBLE), CAST({MIX_ALPHA} AS DOUBLE))) OVER () AS za,
+    SUM(n_docs) OVER () AS n_total
+  FROM per_source
+)
+SELECT source, n_docs, n_chars,
+  FLOOR(na / za * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS mix_weight,
+  FLOOR((na / za) * n_total / n_docs * 1e6 + 0.5) / CAST(1e6 AS DOUBLE)
+    AS epochs_per_doc
+FROM tot
+"""
+
+
+register(
+    "mixture_sampling_plan",
+    "Training-mix temperature sampling (alpha=0.7): per-source mixture "
+    "weight n_s^a / sum(n^a) and epochs-per-doc oversampling factor — the "
+    "domain re-balancing step of a pretraining data pipeline.",
+    sql=_mixture_sql,
+)

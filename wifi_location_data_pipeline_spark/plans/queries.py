@@ -2590,6 +2590,10 @@ _TAIL = (
     "event_dedup",
     "derived_quality_columns",
     "per_group_topn",
+    # round-4 training-mix extensions (window full; parity-net covered):
+    "rag_chunk_plan",
+    "pii_scrub_stats",
+    "mixture_sampling_plan",
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
