@@ -885,6 +885,23 @@ EMB_DIM = 64  # the corpus embedding length (all SFs; checked at generation)
 EMB_LSH_L = 8
 
 
+def _embeddings_rows(spark, sf_dir) -> int:
+    """Vector count for LSH k-sizing — from parquet FOOTER metadata when the
+    corpus is a single file (no Spark job, ~1 ms), falling back to a count
+    job for directory layouts. Sizing a hash family does not need a
+    cluster pass."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:  # noqa: BLE001 — directory layout / remote store
+        from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+        return load_table(spark, sf_dir, "embeddings").count()
+
+
 def emb_lsh_k(n_vectors: int) -> int:
     import math
 
@@ -975,7 +992,7 @@ def _embedding_lsh_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     L = EMB_LSH_L
-    k = emb_lsh_k(load_table(spark, sf_dir, "embeddings").count())
+    k = emb_lsh_k(_embeddings_rows(spark, sf_dir))
     W = np.array([_plane_weights(j) for j in range(1, k * L + 1)])  # (k*L planes, 64 dims)
     powers = 2 ** np.arange(k)
 
