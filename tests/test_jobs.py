@@ -165,6 +165,10 @@ def test_comparison_scenario_decision_tree(spark):
         ("r11", False, None, None, None, None, None, None, None, None),
         # both succeed, 111 m apart, acc 100/80 → expected 128 > 111 → GOOD
         ("r12", True, True, None, 100.0, 40.0, -75.0, 40.001, -75.0, 80.0),
+        # VLSS FAILED but its response still carries locationInfo coords:
+        # performComparisonAnalysis is gated on vlssSuccess TRUE
+        # (ComparisonService.java:246) → metrics must stay NULL
+        ("r13", False, True, None, 50.0, 40.0, -75.0, 40.001, -75.0, 20.0),
     ]
     out = {
         r["request_id"]: r
@@ -183,6 +187,7 @@ def test_comparison_scenario_decision_tree(spark):
         "r10": ("BOTH_INSUFFICIENT_DATA", "NONE", None),
         "r11": ("BOTH_INSUFFICIENT_DATA", "NONE", None),
         "r12": ("BOTH_WIFI_SUCCESS", "WIFI", "GOOD AGREEMENT"),
+        "r13": ("VLSS_ERROR_FRISCO_SUCCESS", "WIFI", None),
     }
     got = {
         k: (v["scenario"], v["location_type"], v["agreement_analysis"])
@@ -194,3 +199,7 @@ def test_comparison_scenario_decision_tree(spark):
     assert abs(out["r3"]["confidence_ratio"] - out["r3"]["haversine_distance_m"] / 20.0) < 1e-9
     # special scenarios never report a distance (Java early-returns)
     assert out["r5"]["haversine_distance_m"] is None
+    # failed-VLSS row with coordinates present: no analysis columns at all
+    assert out["r13"]["haversine_distance_m"] is None
+    assert out["r13"]["expected_uncertainty_m"] is None
+    assert out["r13"]["confidence_ratio"] is None

@@ -10,7 +10,7 @@ any oracle position source (e.g. planted truth or a second algorithm tier).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from wifi_location_data_pipeline_spark.functions.geo import haversine_m
@@ -136,7 +136,10 @@ def classify_comparison(report: DataFrame) -> DataFrame:
 
     - scenario, location_type — the 9-way decision tree
     - haversine_distance_m / expected_uncertainty_m — only where the
-      reference computes them (both positions present, non-special scenario)
+      reference computes them: performComparisonAnalysis is gated on
+      vlssSuccess being TRUE (ComparisonService.java:246), which for the
+      non-special scenarios means exactly BOTH_WIFI_SUCCESS; a failed VLSS
+      response that still carries locationInfo coordinates gets NULL metrics
     - agreement_analysis — the verbatim analysis strings ("NO WIFI
       COVERAGE", "FRISCO FAILURE", "PERFECT AGREEMENT", "WIFI VS CELL
       DISAGREEMENT", "GOOD AGREEMENT", "FRISCO WITHIN BOUNDS" /
@@ -157,11 +160,10 @@ def classify_comparison(report: DataFrame) -> DataFrame:
     df = report.withColumn("scenario", scenario).withColumn(
         "location_type", scenario_location_type(F.col("scenario"))
     )
-    special = F.col("scenario").isin(
-        "VLSS_CELL_FALLBACK_DETECTED",
-        "VLSS_SUCCESS_FRISCO_ERROR_WIFI",
-        "VLSS_SUCCESS_FRISCO_ERROR_CELL",
-    )
+    # performComparisonAnalysis runs only when vlssSuccess is TRUE
+    # (ComparisonService.java:246); the special scenarios short-circuit to
+    # verbatim strings, so the numeric path is exactly BOTH_WIFI_SUCCESS.
+    analyzed = F.col("scenario") == "BOTH_WIFI_SUCCESS"
     have_pos = (
         F.col("vlss_lat").isNotNull()
         & F.col("vlss_lon").isNotNull()
@@ -193,20 +195,20 @@ def classify_comparison(report: DataFrame) -> DataFrame:
         F.when(F.col("scenario") == "VLSS_CELL_FALLBACK_DETECTED", "NO WIFI COVERAGE")
         .when(F.col("scenario") == "VLSS_SUCCESS_FRISCO_ERROR_WIFI", "FRISCO FAILURE")
         .when(F.col("scenario") == "VLSS_SUCCESS_FRISCO_ERROR_CELL", "NO WIFI COVERAGE")
-        .when(have_pos & have_acc, confidence)
+        .when(analyzed & have_pos & have_acc, confidence)
     )
     conf_ratio = F.when(
-        ~special & have_pos & have_acc,
+        analyzed & have_pos & have_acc,
         F.when(dist == 0.0, F.when(fa_pos, F.lit(0.0)))
         .when(F.col("vlss_accuracy") >= 250.0, F.lit(None).cast("double"))
         .when(fa_pos, ratio),
     )
     return (
         df.withColumn(
-            "haversine_distance_m", F.when(~special & have_pos, dist)
+            "haversine_distance_m", F.when(analyzed & have_pos, dist)
         )
         .withColumn(
-            "expected_uncertainty_m", F.when(~special & have_pos & have_acc, expected)
+            "expected_uncertainty_m", F.when(analyzed & have_pos & have_acc, expected)
         )
         .withColumn("agreement_analysis", analysis)
         .withColumn("confidence_ratio", conf_ratio)

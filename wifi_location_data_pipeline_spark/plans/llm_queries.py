@@ -60,10 +60,22 @@ def spread_documents_src(spark, sf_dir) -> str:
     )
 
     register_views(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # key on the corpus CONTENT too: the _documents_spread view pins the
+    # parquet file listing captured at first build, so a corpus regenerated
+    # in-place at the same sf_dir must rebuild the view (else the shingle /
+    # simhash / ngram queries silently read stale data or fail on deleted
+    # files). Mirrors queries._corpus_fingerprint for the same reason.
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = ()
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
     hit = _SPREAD_SRC.get(key)
     if hit is not None:
         return hit
+    for k in [k for k in _SPREAD_SRC if k[:2] == key[:2]]:
+        del _SPREAD_SRC[k]  # evict superseded corpus generations
     try:
         # single FILE (the test corpus): size known, scan is 1 task/row-group.
         # A directory layout (any real lakehouse) raises -> plain table, no
@@ -84,6 +96,21 @@ def spread_documents_src(spark, sf_dir) -> str:
 
 
 _SPREAD_SRC: dict = {}
+
+
+def _maybe_eager(df):
+    """Optionally force a persisted relation to materialize NOW.
+
+    Local mode relies on lazy persist + per-partition cache locks (one
+    compute even under AQE-concurrent consumers, and one fewer job). Those
+    locks are per-executor, so multi-executor clusters can recompute an
+    uncached partition on two executors before the cache fills; deployments
+    there set SPARK_GRAFT_EAGER_PERSIST=1 to pay one scheduling round for a
+    guaranteed single computation of the expensive shingle/md5 projections.
+    """
+    if os.environ.get("SPARK_GRAFT_EAGER_PERSIST", "0") == "1":
+        df.count()
+    return df
 
 
 def shingles_cte(d: str, n: int = 3, src: str = "documents") -> str:
@@ -388,10 +415,15 @@ SELECT doc_id,
 FROM (SELECT doc_id, split(text, ' ') AS w FROM {src}) t
 WHERE size(w) >= 3"""
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _maybe_eager(docarr)
     # no eager count: within the single final action Spark's per-partition
     # cache locks ensure one computation even when AQE runs the two
     # consumer stages concurrently; an extra materialization job costs a
-    # full scheduling round
+    # full scheduling round. Cluster caveat: BlockManager cache locks are
+    # per-EXECUTOR, so on a multi-executor cluster concurrent stages may
+    # schedule the same uncached partition on different executors and
+    # recompute it (correct, just redundant work); set
+    # SPARK_GRAFT_EAGER_PERSIST=1 there to restore eager materialization.
 
     sizes = docarr.select("doc_id", F2.size("bases").alias("n_sh"))
     blists = (
@@ -485,7 +517,8 @@ def persisted_shingle_bases(spark, sf_dir, n: int = 3):
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # lazily materialized: per-partition cache locks serialize concurrent
     # consumer stages; an eager count costs one extra scheduling round
-    return df
+    # (per-executor locks — cluster caveat + opt-out in _maybe_eager)
+    return _maybe_eager(df)
 
 
 def _minhash_based_sql(d: str) -> str:
@@ -817,9 +850,10 @@ WHERE size(w) >= 3"""
     blocked = docarr.mapInPandas(
         to_sigs, "doc_id long, blk0 long, blk1 long, blk2 long, blk3 long"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _maybe_eager(blocked)
     # lazily materialized (see persisted_shingle_bases): per-partition cache
     # locks serialize the three consumer stages; an eager count costs one
-    # extra scheduling round
+    # extra scheduling round (per-executor locks — caveat in _maybe_eager)
     blocks = blocked.select(
         "doc_id",
         F2.explode(

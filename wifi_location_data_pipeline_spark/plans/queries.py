@@ -160,6 +160,13 @@ class QueryDef:
         else:
             df = spark.sql(self.sql(SPARK))
         if use_cache:
+            # evict superseded entries for the same (app, query, sf_dir):
+            # each in-place corpus regen changes the fingerprint, and without
+            # eviction a long-lived session leaks one analyzed plan (plus
+            # re-arm closures holding superseded plans) per regeneration
+            stale = [k for k in _PLAN_CACHE if k[:3] == key[:3] and k != key]
+            for k in stale:
+                del _PLAN_CACHE[k]
             _PLAN_CACHE[key] = (df, plan_cache.drain())
         return df
 
@@ -658,6 +665,9 @@ FROM a JOIN b ON a.user_id = b.user_id
 # keys — coprime modulus cycles cover every branch of the tree, including
 # each insufficient-AP phrase, the non-AP error, NULL message, NULL/</>= 250 m
 # accuracy, perfect agreement (zero offset), and every overconfidence bucket.
+# Failed-VLSS rows (o%3==2) deliberately carry coordinates — a failed VLSS
+# response can still include locationInfo — so the vlssSuccess gate on
+# performComparisonAnalysis (ComparisonService.java:246) is exercised.
 # Shared verbatim by both engines so the decision logic is the only thing
 # under test.
 _SCENARIO_PLANT = """
@@ -680,9 +690,9 @@ _SCENARIO_PLANT = """
       WHEN 3 THEN CAST(249.7 AS DOUBLE) WHEN 4 THEN CAST(250.0 AS DOUBLE)
       WHEN 5 THEN CAST(400.2 AS DOUBLE) WHEN 6 THEN CAST(997.1 AS DOUBLE)
       ELSE CAST(NULL AS DOUBLE) END AS vlss_accuracy,
-    CASE WHEN o_orderkey % 3 = 1 THEN CAST(40.0 AS DOUBLE)
+    CASE WHEN o_orderkey % 3 IN (1, 2) THEN CAST(40.0 AS DOUBLE)
       ELSE CAST(NULL AS DOUBLE) END AS vlss_lat,
-    CASE WHEN o_orderkey % 3 = 1 THEN CAST(-75.0 AS DOUBLE)
+    CASE WHEN o_orderkey % 3 IN (1, 2) THEN CAST(-75.0 AS DOUBLE)
       ELSE CAST(NULL AS DOUBLE) END AS vlss_lon,
     CASE WHEN o_orderkey % 4 IN (0, 2)
       THEN CAST(40.0 AS DOUBLE) + (o_orderkey % 11) * CAST(1.0e-4 AS DOUBLE)
@@ -779,7 +789,7 @@ SELECT s.request_id,
     WHEN s.scenario = 'VLSS_CELL_FALLBACK_DETECTED' THEN 'NO WIFI COVERAGE'
     WHEN s.scenario = 'VLSS_SUCCESS_FRISCO_ERROR_WIFI' THEN 'FRISCO FAILURE'
     WHEN s.scenario = 'VLSS_SUCCESS_FRISCO_ERROR_CELL' THEN 'NO WIFI COVERAGE'
-    WHEN s.have_pos AND s.have_acc THEN
+    WHEN s.scenario = 'BOTH_WIFI_SUCCESS' AND s.have_pos AND s.have_acc THEN
       CASE
         WHEN s.hav = 0.0 THEN 'PERFECT AGREEMENT'
         WHEN s.vlss_accuracy >= 250.0 THEN 'WIFI VS CELL DISAGREEMENT'
@@ -795,17 +805,11 @@ SELECT s.request_id,
       END
     ELSE CAST(NULL AS VARCHAR)
   END AS agreement_analysis,
-  CASE WHEN s.scenario NOT IN ('VLSS_CELL_FALLBACK_DETECTED',
-        'VLSS_SUCCESS_FRISCO_ERROR_WIFI', 'VLSS_SUCCESS_FRISCO_ERROR_CELL')
-       AND s.have_pos
+  CASE WHEN s.scenario = 'BOTH_WIFI_SUCCESS' AND s.have_pos
     THEN ROUND(s.hav, 2) ELSE CAST(NULL AS DOUBLE) END AS hav_dist_m,
-  CASE WHEN s.scenario NOT IN ('VLSS_CELL_FALLBACK_DETECTED',
-        'VLSS_SUCCESS_FRISCO_ERROR_WIFI', 'VLSS_SUCCESS_FRISCO_ERROR_CELL')
-       AND s.have_pos AND s.have_acc
+  CASE WHEN s.scenario = 'BOTH_WIFI_SUCCESS' AND s.have_pos AND s.have_acc
     THEN ROUND(s.exp_u, 4) ELSE CAST(NULL AS DOUBLE) END AS expected_unc_m,
-  CASE WHEN s.scenario NOT IN ('VLSS_CELL_FALLBACK_DETECTED',
-        'VLSS_SUCCESS_FRISCO_ERROR_WIFI', 'VLSS_SUCCESS_FRISCO_ERROR_CELL')
-       AND s.have_pos AND s.have_acc
+  CASE WHEN s.scenario = 'BOTH_WIFI_SUCCESS' AND s.have_pos AND s.have_acc
     THEN CASE
       WHEN s.hav = 0.0 THEN
         CASE WHEN s.frisco_accuracy > 0.0 THEN CAST(0.0 AS DOUBLE)
