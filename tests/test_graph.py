@@ -1,0 +1,70 @@
+"""connected_components (alternating large-star/small-star) unit tests.
+
+The long-chain case is the one the retired min-label loop could never
+finish: a 10k-node path has diameter 10k, so diameter-bounded propagation
+needed 10k rounds (it raised at 20). The star algorithm is O(log n).
+"""
+
+from __future__ import annotations
+
+import random
+
+from wifi_location_data_pipeline_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _py_components(edges):
+    """Plain-python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_long_path_graph(spark):
+    """Path of 10_001 nodes (diameter 10k): every node labels to 0."""
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "u long, v long"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == n + 1
+    assert {r["doc_id"] for r in out} == set(range(n + 1))
+    assert all(r["canonical_doc_id"] == 0 for r in out)
+
+
+def test_random_graph_matches_union_find(spark):
+    """Random sparse graph with several components, dupes, self-loops and
+    both orientations — labels must equal the union-find reference."""
+    rng = random.Random(7)
+    edges = []
+    for comp in range(12):
+        nodes = [comp * 1000 + k for k in range(rng.randint(2, 60))]
+        for _ in range(len(nodes) * 2):
+            a, b = rng.choice(nodes), rng.choice(nodes)
+            edges.append((a, b))  # self-loops and dupes included
+    expect = _py_components([(a, b) for a, b in edges if a != b])
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_empty_and_self_loop_only(spark):
+    edges = spark.createDataFrame([(5, 5), (9, 9)], "u long, v long")
+    assert connected_components(edges).count() == 0

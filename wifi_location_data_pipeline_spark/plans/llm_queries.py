@@ -1802,8 +1802,9 @@ register(
 # 2M pairs ⇒ ≤4M distinct ids is ~0.4 GiB of union-find state plus the
 # ~100 MB pandas concat of the pair batch on ONE task — fine inside a
 # multi-GiB executor but not free; raise only with executor memory to
-# match. Above the cutoff the diameter-bounded min-label join loop takes
-# over (distributed, no single-task state).
+# match. Above the cutoff the distributed alternating-star algorithm
+# (operators/graph.connected_components) takes over — O(log n) rounds,
+# no single-task state, diameter-independent.
 CLUSTERS_UNION_FIND_MAX_PAIRS = 2_000_000
 
 
@@ -1813,20 +1814,20 @@ def _dedup_clusters_spark_fn(spark, sf_dir):
     (the canonical survivor a training pipeline keeps) plus the cluster
     size. Singleton documents (no near-dup pair) are not emitted.
 
-    Spark-first shape: iterative min-label propagation — each round every
-    vertex takes the min of its own label and its neighbors' labels (one
-    equi-join + one groupBy per round), converging in graph-diameter
-    rounds. Near-dup clusters are band-collision cliques-with-chords, so
-    the diameter is tiny (2 rounds + 1 no-change confirmation here). The
-    driver loop is O(diameter) Spark jobs, NOT per-row driver work; at
-    100 TB the same loop runs with the labels relation persisted per round
-    (a pathological million-doc chain would instead want the
-    large-star/small-star variant — documented, not needed for near-dup
-    graphs). Capped at 20 rounds with a hard error rather than silent
-    truncation.
+    Two tiers by pair count: below CLUSTERS_UNION_FIND_MAX_PAIRS a
+    single-task union-find (the pair graph is O(true near-dups) — a sliver
+    of the corpus — and one task beats the join loop's per-round job floor
+    by ~10×); above it the distributed alternating large-star/small-star
+    algorithm (operators/graph.connected_components, Kiveris et al. SoCC
+    2014): O(log n) rounds regardless of graph diameter, so even a
+    pathological million-doc chain converges — no round-cap RuntimeError.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
 
     pairs = (
         _minhash_spark_fn(spark, sf_dir)
@@ -1888,57 +1889,14 @@ def _dedup_clusters_spark_fn(spark, sf_dir):
             "doc_id long, canonical_doc_id long, cluster_size long",
         )
 
-    n_parts = max(1, min(spark.sparkContext.defaultParallelism, 2 * n_pairs // 500_000 + 1))
-    edges = (
-        pairs.union(pairs.select(F2.col("doc_b"), F2.col("doc_a")))
-        .toDF("u", "v")
-        .repartition(n_parts, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("canonical_doc_id").agg(
+        F2.count("*").alias("cluster_size")
     )
-    edges.count()
-    labels = (
-        edges.select(F2.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F2.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels.count()
-
-    for _ in range(20):
-        nbr_min = (
-            edges.join(labels, edges["u"] == labels["doc_id"])
-            .groupBy("v")
-            .agg(F2.min("label").alias("nbr_label"))
-        )
-        # carry the previous label in-row so convergence is read off the
-        # same materialization that builds the new labels — no second join
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["v"], "left")
-            .select(
-                "doc_id",
-                F2.least(
-                    F2.col("label"), F2.coalesce("nbr_label", "label")
-                ).alias("label"),
-                F2.col("label").alias("_old"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = new_labels.filter(F2.col("label") != F2.col("_old")).count()
-        labels.unpersist()
-        labels = new_labels.drop("_old")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("dedup_clusters: no fixpoint within 20 rounds")
-
-    sizes = labels.groupBy("label").agg(F2.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            "doc_id",
-            F2.col("label").alias("canonical_doc_id"),
-            F2.col("cluster_size").cast("long").alias("cluster_size"),
-        )
+    return labels.join(sizes, "canonical_doc_id").select(
+        "doc_id",
+        "canonical_doc_id",
+        F2.col("cluster_size").cast("long").alias("cluster_size"),
     )
 
 
@@ -1975,10 +1933,11 @@ FROM canon c
 register(
     "dedup_clusters",
     "Near-dup cluster assignment: connected components over the verified "
-    "MinHash pair graph by iterative min-label propagation (one join + one "
-    "groupBy per round, diameter-bounded); canonical doc = component min, "
-    "the survivor a dedup pass keeps. Oracle computes the same components "
-    "via recursive-CTE transitive closure.",
+    "MinHash pair graph — single-task union-find below 2M pairs, "
+    "alternating large-star/small-star (O(log n) rounds, diameter-"
+    "independent) above; canonical doc = component min, the survivor a "
+    "dedup pass keeps. Oracle computes the same components via "
+    "recursive-CTE transitive closure.",
     sql=_dedup_clusters_duck_sql,
     spark_fn=_dedup_clusters_spark_fn,
 )
