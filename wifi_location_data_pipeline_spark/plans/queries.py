@@ -2559,11 +2559,17 @@ GROUP BY user_id, session_no
 # queries — those stay value-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation (VERDICT r03 #6): the custom-operator family
-# (lof/dbscan closed forms, session windows, KMV sketch, as-of join,
-# spatial blocking) moved INTO the window so the external gate certifies
-# the hard operators; seven single-expression head entries whose semantics
-# are redundantly covered by in-window queries and unit tests moved out.
+# Round-5 rotation (VERDICT r04 #3): the round-4 training-mix trio
+# (rag/pii/mixture), dedup_clusters (now on the alternating-star fallback),
+# and hypertable_rollup moved INTO the window so the external gate
+# certifies them; five single-expression entries that have been
+# driver-green four consecutive rounds moved to the parity net —
+# ap_quality_metrics is the same groupBy-agg class as the in-window
+# per_ap_stats, bssid_format_filter is one regex predicate (unit-tested,
+# and stage1_validation's format branch stays in-window), comparison
+# metrics/haversine stay certified via comparison_enriched +
+# comparison_scenarios, and strongest_signal_pick / weighted_centroid run
+# for real inside the in-window ensemble_closed_form end-to-end check.
 # Everything here stays value-checked by tests/test_oracle_parity.py.
 _TAIL = (
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
@@ -2574,12 +2580,9 @@ _TAIL = (
     "geohash_cells",  # physical-strategy demo (spatial index build)
     "multimodal_frame_sample",  # multimodal_decode covers the mapInPandas plumbing
     "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it
-    "hypertable_rollup",  # multi-resolution rollup; lossless-reagg oracle
     "range_bucket_join",  # interval-join sibling of the in-window asof_state_join
     "embedding_quantize_int8",  # storage-compression metrics; ANN family
     # already in-window — tail parity test value-checks it
-    "dedup_clusters",  # oracle-bearing; iterative driver loop — tail parity
-    # test value-checks it (window stays the 50 single-statement queries)
     # rotated out round 4 (trivial single-expression queries; unit/parity
     # coverage): ssid/oui cleanup is exercised by the transform e2e tests,
     # the semi-join and status filter run inside every in-window ensemble
@@ -2594,10 +2597,12 @@ _TAIL = (
     "event_dedup",
     "derived_quality_columns",
     "per_group_topn",
-    # round-4 training-mix extensions (window full; parity-net covered):
-    "rag_chunk_plan",
-    "pii_scrub_stats",
-    "mixture_sampling_plan",
+    # rotated out round 5 (driver-green rounds 1-4; see block comment):
+    "bssid_format_filter",
+    "ap_quality_metrics",
+    "comparison_metrics",
+    "strongest_signal_pick",
+    "weighted_centroid",
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
