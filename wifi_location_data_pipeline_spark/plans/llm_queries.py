@@ -2100,3 +2100,201 @@ register(
     "domain re-balancing step of a pretraining data pipeline.",
     sql=_mixture_sql,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-mix extensions: Gopher/C4 rule filters, URL/domain
+# extraction + per-domain mixture weights. Tail-registered (the 50-entry
+# gate window is full); value-checked by tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(d: str, col: str) -> str:
+    """Whitespace-run tokenization (the planted structure adds newlines,
+    so a plain split-on-space would keep newline-glued tokens)."""
+    if d == "spark":
+        return f"split({col}, '\\\\s+')"
+    return f"string_split_regex({col}, '\\s+')"
+
+
+_GOPHER_STOPS = "('the', 'and', 'of', 'to', 'a', 'in', 'with', 'that')"
+
+
+def _gopher_sql(d: str) -> str:
+    """Gopher-style quality rule filters (Rae et al. 2021, appendix A
+    heuristics; C4 line rules, Raffel et al. 2020) with per-rule hit
+    counts.
+
+    The synthetic corpus is single-line symbol-free text, so deterministic
+    structure is planted first (bullet lines, ellipsis line-ends, symbol
+    runs keyed on doc_id residues — shared verbatim by both engines) so
+    every rule fires on a nontrivial, varying subset. All per-doc stats
+    are array-native HOF projections over the tokenized text (no token
+    explode, zero shuffles); the final per-rule rollup aggregates once and
+    stacks nine one-row selects over that single-row CTE. Repetition is
+    measured as the duplicate-bigram fraction (1 - distinct/total), the
+    distinct-ratio form of Gopher's duplicate n-gram family.
+    """
+    nl = "chr(10)"
+    plant = (
+        "concat(text,"
+        f" CASE WHEN doc_id % 4 = 0 THEN concat({nl}, '- first point', {nl}, '- second point') ELSE '' END,"
+        " CASE WHEN doc_id % 6 = 0 THEN ' ## ## ##' ELSE '' END,"
+        f" CASE WHEN doc_id % 9 = 0 THEN concat({nl}, 'a trailing thought...') ELSE '' END)"
+    )
+    if d == "spark":
+        stats = f"""
+  SELECT doc_id,
+    CAST(size(w) AS BIGINT) AS n_tok,
+    CAST(aggregate(w, 0L, (acc, x) -> acc + length(x)) AS DOUBLE) / size(w) AS mean_wl,
+    CAST(size(filter(w, x -> x IN {_GOPHER_STOPS})) AS BIGINT) AS n_stop,
+    CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+    CAST(regexp_count(text, '#') AS BIGINT) AS n_sym,
+    CAST(regexp_count(text, '\\\\.\\\\.\\\\.') AS BIGINT) AS n_ell,
+    CAST(size(lines) AS BIGINT) AS n_lines,
+    CAST(size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+    CAST(size(filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+    CAST(GREATEST(size(w) - 1, 0) AS BIGINT) AS n_bi,
+    CAST(CASE WHEN size(w) >= 2 THEN size(array_distinct(transform(
+      sequence(1, size(w) - 1),
+      i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))) ELSE 0 END AS BIGINT) AS n_bi_distinct
+  FROM (SELECT doc_id, text, {_ws_tokens(d, 'text')} AS w,
+               split(text, {nl}) AS lines FROM planted) t"""
+    else:
+        stats = f"""
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_tok,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_wl,
+    CAST(len(list_filter(w, x -> x IN {_GOPHER_STOPS})) AS BIGINT) AS n_stop,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_sym,
+    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+    CAST(GREATEST(len(w) - 1, 0) AS BIGINT) AS n_bi,
+    CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
+      [w[i] || ' ' || w[i + 1] FOR i IN generate_series(1, len(w) - 1)])) ELSE 0 END AS BIGINT) AS n_bi_distinct
+  FROM (SELECT doc_id, text, {_ws_tokens(d, 'text')} AS w,
+               string_split(text, {nl}) AS lines FROM planted) t"""
+    rules = [
+        ("word_count_low", "s.n_tok < 50"),
+        ("word_count_high", "s.n_tok > 100000"),
+        ("mean_word_len_oob", "s.mean_wl < 3.0 OR s.mean_wl > 10.0"),
+        ("symbol_word_ratio", "CAST(s.n_sym + s.n_ell AS DOUBLE) / s.n_tok > 0.1"),
+        ("bullet_lines_high", "CAST(s.n_bullet AS DOUBLE) / s.n_lines > 0.9"),
+        ("ellipsis_lines_high", "CAST(s.n_ell_lines AS DOUBLE) / s.n_lines > 0.3"),
+        ("alpha_word_low", "CAST(s.n_alpha AS DOUBLE) / s.n_tok < 0.8"),
+        ("stopword_low", "s.n_stop < 2"),
+        ("dup_bigram_high",
+         "s.n_bi > 0 AND 1.0 - CAST(s.n_bi_distinct AS DOUBLE) / s.n_bi > 0.2"),
+    ]
+    fails = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS f_{name}"
+        for name, cond in rules
+    )
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, f_{name} AS n_fail,"
+        f" FLOOR(CAST(f_{name} AS DOUBLE) / n_docs * 1e6 + 0.5)"
+        f" / CAST(1e6 AS DOUBLE) AS frac_fail FROM f"
+        for name, _ in rules
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, {plant} AS text FROM documents),
+s AS ({stats}),
+f AS (
+  SELECT
+    {fails},
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s
+)
+{stacked}
+"""
+
+
+register(
+    "gopher_rule_filters",
+    "Gopher/C4-style quality rule filters with per-rule hit counts: word-"
+    "count bounds, mean word length, symbol-to-word ratio, bullet/ellipsis "
+    "line fractions, alphabetic-word fraction, stop-word minimum, duplicate-"
+    "bigram fraction — array-native HOF projections, no token explode, one "
+    "final single-row rollup (pretraining-data pipeline extension).",
+    sql=_gopher_sql,
+)
+
+
+def _url_mixture_sql(d: str) -> str:
+    """URL/domain extraction + per-domain temperature mixture weights.
+
+    Plants deterministic URLs into the corpus (residue-keyed hosts over
+    coprime moduli → ~185 registrable domains; some docs carry two URLs,
+    some none — shared verbatim by both engines), extracts them back with
+    a group-free regex, parses host and registrable domain, then applies
+    the same alpha-temperature re-weighting as mixture_sampling_plan per
+    domain. Shape: one zero-shuffle regexp projection + explode, one
+    groupBy over ~|domains| keys, one window over |domains| rows — the
+    per-domain mixture step of a pretraining pipeline (composes with
+    mixture_sampling_plan's per-source weights).
+    """
+    s = "STRING" if d == "spark" else "VARCHAR"
+    plant = (
+        "concat(text,"
+        f" CASE WHEN doc_id % 13 <> 0 THEN concat(' see https://sub', CAST(doc_id % 7 AS {s}),"
+        f" '.site', CAST(doc_id % 37 AS {s}), '.',"
+        " CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
+        " WHEN 2 THEN 'net' WHEN 3 THEN 'io' ELSE 'edu' END,"
+        f" '/p/', CAST(doc_id AS {s}), ' here') ELSE '' END,"
+        f" CASE WHEN doc_id % 11 = 0 THEN concat(' and https://cdn.example', CAST(doc_id % 3 AS {s}), '.net/x') ELSE '' END)"
+    )
+    url_pat = "https?://[a-z0-9.-]+(?:/[a-z0-9._/-]*)*"
+    if d == "spark":
+        urls = (
+            f"SELECT doc_id, explode(regexp_extract_all(text, '{url_pat}', 0)) AS url"
+            " FROM planted"
+        )
+        dom = (
+            "concat(element_at(split(host, '\\\\.'), -2), '.',"
+            " element_at(split(host, '\\\\.'), -1))"
+        )
+    else:
+        urls = (
+            f"SELECT doc_id, unnest(regexp_extract_all(text, '{url_pat}')) AS url"
+            " FROM planted"
+        )
+        dom = (
+            "string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]"
+        )
+    return f"""
+WITH planted AS (SELECT doc_id, {plant} AS text FROM documents),
+urls AS ({urls}),
+hosts AS (
+  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM urls
+),
+doms AS (SELECT doc_id, host, {dom} AS domain FROM hosts),
+per_dom AS (
+  SELECT domain,
+    CAST(COUNT(*) AS BIGINT) AS n_urls,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM doms GROUP BY domain
+),
+tot AS (
+  SELECT domain, n_urls, n_docs,
+    pow(CAST(n_docs AS DOUBLE), CAST({MIX_ALPHA} AS DOUBLE)) AS na,
+    SUM(pow(CAST(n_docs AS DOUBLE), CAST({MIX_ALPHA} AS DOUBLE))) OVER () AS za
+  FROM per_dom
+)
+SELECT domain, n_urls, n_docs,
+  FLOOR(na / za * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS mix_weight
+FROM tot
+"""
+
+
+register(
+    "url_domain_mixture",
+    "URL/domain extraction + per-domain temperature mixture weights "
+    "(alpha=0.7): regex URL extraction over deterministically planted "
+    "links, host/registrable-domain parsing, per-domain doc counts and "
+    "mixture weights — the domain-level re-balancing step of a "
+    "pretraining pipeline, composing with mixture_sampling_plan.",
+    sql=_url_mixture_sql,
+)

@@ -2597,6 +2597,9 @@ _TAIL = (
     "event_dedup",
     "derived_quality_columns",
     "per_group_topn",
+    # round-5 training-mix extensions (window full; parity-net covered):
+    "gopher_rule_filters",
+    "url_domain_mixture",
     # rotated out round 5 (driver-green rounds 1-4; see block comment):
     "bssid_format_filter",
     "ap_quality_metrics",
