@@ -582,3 +582,35 @@ def test_onepass_numeric_tier_off_matches_auto_and_enforces(spark, ap_df):
     bdf = spark.createDataFrame(big, POSITIONING_REQUEST_SCHEMA)
     with pytest.raises(Exception, match="numeric_tier='off'"):
         position_requests_onepass(bdf, ap_df, numeric_tier="off").collect()
+
+
+def test_onepass_staged_cache_is_load_bearing(spark, ap_df):
+    """The interior .cache() on the staged relation (onepass.py) is a hard
+    requirement, not an optimization: the auto path reads ``staged`` twice
+    (plain + numeric split) and without cache substitution the consumer's
+    optimizer re-collapses the generated nested-subquery tree
+    combinatorially (observed: analysis/optimization OOM at depth). A
+    future cleanup that drops the cache would only blow up at scale — so
+    pin it here: the returned plan must read the staged split through
+    InMemoryRelation (cache substitution visible in the optimized plan).
+    """
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_requests_onepass,
+    )
+
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        req("c1", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -66.0, freqs[1])]),
+        req("c2", [scan(m, -60.0 - i, f) for i, (m, f) in
+                   enumerate(zip(macs, freqs))]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    out = position_requests_onepass(rdf, ap_df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, (
+        "staged relation no longer cached — the onepass split would "
+        "re-collapse the plan tree (optimizer OOM) without it"
+    )
+    # and the cached plan still executes correctly
+    assert {r["request_id"] for r in out.collect()} == {"c1", "c2"}
