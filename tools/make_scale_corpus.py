@@ -19,7 +19,8 @@ degenerating:
   dup rate.
 - embeddings: vec_id offset + np.roll by the replica index (norms
   preserved, cross-replica cosine decorrelated).
-- TPC-H side tables: copied unchanged (no registry query scales on them).
+- TPC-H side tables: rows unchanged (no registry query scales on them),
+  rewritten with split row groups like every other table.
 
 Usage: python tools/make_scale_corpus.py [--base /root/testdata/sf0.1]
        [--out /tmp/sf1] [--k 10]
@@ -29,7 +30,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -44,8 +44,21 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    def write_split(table, path, groups=32):
+        """Write with ~`groups` row groups, like a real lakehouse layout.
+
+        The driver's base corpus is one row group per file, which is
+        UNSPLITTABLE: Spark (and DuckDB) parallelize parquet scans at
+        row-group granularity, so a single-group file pins the whole
+        decode + partial-aggregate on one core no matter how many split
+        offsets the scheduler computes. A 100 TB table is thousands of
+        128 MB row groups; a scale corpus that can't be scanned in
+        parallel benchmarks the wrong property.
+        """
+        pq.write_table(table, path, row_group_size=max(4096, len(table) // groups))
+
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
-        shutil.copyfile(f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet")
+        write_split(pq.read_table(f"{args.base}/{t}.parquet"), f"{args.out}/{t}.parquet")
 
     # events: key offsets
     ev = pq.read_table(f"{args.base}/events.parquet")
@@ -65,7 +78,7 @@ def main() -> None:
                 pa.compute.add(tb["user_id"], k * n_users),
             )
         parts.append(tb)
-    pq.write_table(pa.concat_tables(parts), f"{args.out}/events.parquet")
+    write_split(pa.concat_tables(parts), f"{args.out}/events.parquet")
 
     # documents: offset + per-replica word permutation
     dc = pq.read_table(f"{args.base}/documents.parquet")
@@ -91,7 +104,7 @@ def main() -> None:
             tb.schema.get_field_index("text"), "text", pa.array(new_texts)
         )
         parts.append(tb)
-    pq.write_table(pa.concat_tables(parts), f"{args.out}/documents.parquet")
+    write_split(pa.concat_tables(parts), f"{args.out}/documents.parquet")
 
     # embeddings: offset + roll
     em = pq.read_table(f"{args.base}/embeddings.parquet")
@@ -114,7 +127,7 @@ def main() -> None:
             pa.array(list(rolled), type=em.schema.field("embedding").type),
         )
         parts.append(tb)
-    pq.write_table(pa.concat_tables(parts), f"{args.out}/embeddings.parquet")
+    write_split(pa.concat_tables(parts), f"{args.out}/embeddings.parquet")
     print(f"wrote {args.out}: events x{args.k}, documents x{args.k}, embeddings x{args.k}")
 
 

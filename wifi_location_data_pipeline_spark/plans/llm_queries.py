@@ -1694,12 +1694,20 @@ FROM ranked WHERE rank <= 3
 """,
 )
 
-register(
-    "embedding_label_centroids",
-    "IVF-style coarse structure: per-label centroid vectors + intra-cluster "
-    "cohesion (mean member->centroid cosine), the partition-assignment half "
-    "of an IVF index.",
-    sql=lambda d: f"""
+def _label_centroids_sql(d: str) -> str:
+    """Spark plan (r5 restructure): the round-4 shape exploded the member
+    vectors TWICE and re-joined them against the per-(label,dim) centroid
+    relation — PLANS.md counted 6 shuffles + 2 sort-merge joins, ~1.2 s of
+    unexplained cost at sf1. Members now stay ARRAYS end-to-end: one
+    explode-aggregate builds the |labels|x|dims| centroid grid (tiny), the
+    grid folds back into per-label centroid VECTORS via sorted
+    collect_list, and the 10-row centroid table broadcast-joins the
+    embeddings scan where zip_with computes dot/cosine inside codegen.
+    2 shuffles (640-row centroid agg, 10-row final agg) + 1 broadcast
+    join, no big-side explode. The DuckDB oracle keeps the independent
+    exploded two-join formulation."""
+    if d != SPARK:
+        return f"""
 WITH elems AS ({_vec_elems(d)}),
 labeled AS (
   SELECT e.vec_id, em.label, e.dim, e.x
@@ -1723,7 +1731,44 @@ SELECT m.label,
   ROUND(MIN(cn.norm_c), 4) AS centroid_norm
 FROM member_dot m JOIN cent_norm cn ON cn.label = m.label
 GROUP BY m.label
-""",
+"""
+    return """
+WITH cent AS (
+  SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+  FROM (SELECT label, posexplode(embedding) AS (dim, x) FROM embeddings)
+  GROUP BY label, dim
+),
+centv AS (
+  SELECT label,
+    transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx) AS cvec
+  FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.label,
+    aggregate(zip_with(e.embedding, c.cvec, (a, b) -> CAST(a AS DOUBLE) * b),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot_c,
+    sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                   (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm_v,
+    sqrt(aggregate(c.cvec, CAST(0.0 AS DOUBLE),
+                   (acc, v) -> acc + v * v)) AS norm_c
+  FROM embeddings e JOIN centv c ON e.label = c.label
+)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(AVG(dot_c / (norm_v * norm_c)), 4) AS mean_cohesion,
+  ROUND(MIN(norm_c), 4) AS centroid_norm
+FROM scored
+GROUP BY label
+"""
+
+
+register(
+    "embedding_label_centroids",
+    "IVF-style coarse structure: per-label centroid vectors + intra-cluster "
+    "cohesion (mean member->centroid cosine), the partition-assignment half "
+    "of an IVF index; members stay arrays (zip_with dot vs broadcast "
+    "centroid vectors), the oracle re-derives via exploded joins.",
+    sql=_label_centroids_sql,
 )
 
 

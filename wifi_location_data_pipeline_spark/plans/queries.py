@@ -84,8 +84,13 @@ def request_obs_cte(d: str) -> str:
       event_id,
       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
     FROM events
-  ) t WHERE rn <= 1 + (user_id % 12)
+  ) t WHERE rn <= 12 AND rn <= 1 + (user_id % 12)
 """
+# ^ the redundant literal bound (1 + user_id%12 <= 12 always) turns on
+# Spark's WindowGroupLimit pushdown: each map task keeps only the top-12
+# rows per user BEFORE the window shuffle, so the exchange carries
+# O(12 x users) rows instead of every event. Data-dependent bounds alone
+# (rn <= expr) don't qualify for the rewrite.
 
 
 def aps_cte() -> str:
@@ -1316,14 +1321,14 @@ WITH win AS ({windows}),
 wb AS (
   -- ≤2 hour-buckets per window: fan out on the small side only
   SELECT w.window_id, w.w_start, w.w_end,
-    CAST(FLOOR(w.w_start / 3600.0) AS BIGINT) + o.dx AS bucket
+    {int_floor_div(d, 'w.w_start', 3600)} + o.dx AS bucket
   FROM win w CROSS JOIN (VALUES (0), (1)) AS o(dx)
-  WHERE CAST(FLOOR(w.w_start / 3600.0) AS BIGINT) + o.dx
-        <= CAST(FLOOR((w.w_end - 1) / 3600.0) AS BIGINT)
+  WHERE {int_floor_div(d, 'w.w_start', 3600)} + o.dx
+        <= {int_floor_div(d, '(w.w_end - 1)', 3600)}
 ),
 ev AS (
   SELECT event_id, value, {ts_s} AS ts_s,
-    CAST(FLOOR({ts_s} / 3600.0) AS BIGINT) AS bucket
+    {int_floor_div(d, ts_s, 3600)} AS bucket
   FROM events
 ),
 matched AS (
@@ -1361,7 +1366,7 @@ def _rollup_sql(d: str) -> str:
     if d == DUCK:
         return f"""
 SELECT CAST(user_id % 50 AS BIGINT) AS ap_id,
-  CAST(FLOOR({ts_s} / 86400.0) AS BIGINT) AS day,
+  {int_floor_div(d, ts_s, 86400)} AS day,
   CAST(COUNT(*) AS BIGINT) AS n_events,
   CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_v_milli,
   MIN(value) AS min_v, MAX(value) AS max_v
@@ -1371,7 +1376,7 @@ GROUP BY 1, 2
     return f"""
 WITH hourly AS (
   SELECT CAST(user_id % 50 AS BIGINT) AS ap_id,
-    CAST(FLOOR({ts_s} / 3600.0) AS BIGINT) AS hour,
+    {int_floor_div(d, ts_s, 3600)} AS hour,
     CAST(COUNT(*) AS BIGINT) AS n_events,
     CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_v_milli,
     MIN(value) AS min_v, MAX(value) AS max_v
@@ -1379,7 +1384,7 @@ WITH hourly AS (
   GROUP BY 1, 2
 )
 SELECT ap_id,
-  CAST(FLOOR(hour / 24.0) AS BIGINT) AS day,
+  {int_floor_div(d, 'hour', 24)} AS day,
   CAST(SUM(n_events) AS BIGINT) AS n_events,
   CAST(SUM(sum_v_milli) AS BIGINT) AS sum_v_milli,
   MIN(min_v) AS min_v, MAX(max_v) AS max_v
@@ -2325,16 +2330,28 @@ def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below one task's worth of bytes the repartition shuffle costs more
         # than the single-core gzip it would spread
         docs = docs.repartition(n_parts)
-    encoded = docs.select("doc_id", encode_scan_line(F2.col("text")).alias("line"))
-    garbage = spark.createDataFrame(
-        [(-1, "!!!not-base64"), (-2, ""), (-3, "aGVsbG8=")],  # bad b64 / empty / not gzip
-        "doc_id long, line string",
+    # VALUES literal instead of createDataFrame: no py4j data upload or
+    # schema reconciliation during plan build (this query deliberately has
+    # no service plan cache — it mirrors a per-job ingest submission — so
+    # plan-build cost recurs per run and is worth keeping lean)
+    garbage = spark.sql(
+        "SELECT doc_id, line FROM VALUES "
+        "(CAST(-1 AS BIGINT), '!!!not-base64'), (-2, ''), (-3, 'aGVsbG8=') "
+        "AS t(doc_id, line)"  # bad b64 / empty / not gzip
     )
-    decoded = (
-        encoded.unionByName(garbage)
-        .withColumn("_text", decode_line_text(F2.col("line")))
-        .filter(F2.col("_text").isNotNull())
+    # decode(encode(text)) CHAINED in one projection: Spark evaluates
+    # consecutive pandas UDFs in a single ArrowEvalPython node, so the
+    # encoded lines never round-trip JVM<->Python between the two passes —
+    # one Arrow hop instead of two full-corpus transfers. The garbage rows
+    # take the decode UDF on their own 3-row frame; the union happens
+    # after, on the decoded column.
+    enc_dec = docs.select(
+        "doc_id", decode_line_text(encode_scan_line(F2.col("text"))).alias("_text")
     )
+    garbage_dec = garbage.select(
+        "doc_id", decode_line_text(F2.col("line")).alias("_text")
+    )
+    decoded = enc_dec.unionByName(garbage_dec).filter(F2.col("_text").isNotNull())
     return decoded.select("doc_id", F2.sha2(F2.col("_text"), 256).alias("roundtrip_sha"))
 
 
