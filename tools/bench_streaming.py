@@ -48,9 +48,17 @@ def main() -> None:
         start_positioning_stream,
     )
 
+    # serving-tuned session: a dedicated request-serving deployment sizes
+    # its session for SMALL bounded batches — AQE's per-exchange re-plan
+    # and a 32-wide shuffle both add pure latency when every stage holds a
+    # few hundred rows. Batch/ETL sessions keep the engine defaults.
     spark = build_session(
         app_name="bench-streaming",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
     )
 
     # 50-AP dimension on a lattice (same synthetic layout as the batch

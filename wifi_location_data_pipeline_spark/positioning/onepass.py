@@ -211,6 +211,16 @@ _CTX_CLASSES = {
 }
 
 
+# applicationId → analyzed+cached 480-row selection-info dimension. The dim
+# is STATIC (pure product of the context enums — no data dependency), yet
+# rebuilding its createDataFrame + reasons transformation chain cost ~1 s of
+# driver-side plan work per call — per MICRO-BATCH on the streaming serving
+# path. Build once per session, .cache() the 480 rows, reuse the analyzed
+# plan; clearCache() only drops the data (recomputed in one tiny job), the
+# plan reuse survives.
+_SEL_DIM_CACHE: dict[str, DataFrame] = {}
+
+
 def _selection_info_dim(spark) -> DataFrame:
     """480-row broadcast dimension: every possible SelectionContext →
     packed per-algorithm (selected, weight, reasons[]) array, computed ONCE
@@ -223,6 +233,11 @@ def _selection_info_dim(spark) -> DataFrame:
     from wifi_location_data_pipeline_spark.positioning.selection import (
         select_algorithms_with_reasons,
     )
+
+    key = spark.sparkContext.applicationId
+    hit = _SEL_DIM_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     combos = list(
         itertools.product(
@@ -239,7 +254,7 @@ def _selection_info_dim(spark) -> DataFrame:
         "geometric_quality string, signal_distribution string, all_very_weak boolean",
     )
     reasons = select_algorithms_with_reasons(grid)
-    return (
+    dim = (
         reasons.join(grid, "request_id")
         .groupBy(
             "ap_count_class",
@@ -255,7 +270,10 @@ def _selection_info_dim(spark) -> DataFrame:
                 )
             ).alias("selection_info")
         )
+        .cache()
     )
+    _SEL_DIM_CACHE[key] = dim
+    return dim
 
 
 def _attach_selection_info(out: DataFrame) -> DataFrame:
@@ -303,6 +321,14 @@ def position_requests_onepass(
     SelectionContext — joined on the request's packed context classes, so
     the reason bookkeeping costs one broadcast join at ANY scale instead of
     per-request string assembly.
+
+    ``numeric_tier``: "auto" (default) counts numeric-routed requests in a
+    materialization job and sizes/skips the Python tier accordingly — the
+    right trade for large batch jobs; "eager" skips that job and keeps a
+    fixed 2-task numeric branch in the single output job — the right trade
+    for bounded serving micro-batches where a whole extra job costs more
+    than an occasionally-empty Python stage; "off" asserts no request
+    routes numeric and collapses to one job with no Python at all.
     """
     gated = requests.filter(physics_valid_expr(F.col("wifiScanResults")))
     obs = join_known_aps(explode_requests(gated), access_points)
@@ -367,11 +393,21 @@ def position_requests_onepass(
     # WithCTE node misses substitution on Spark 4.1 (CTE inlining runs after
     # the substitution pass; same gotcha as the MinHash pipeline).
     staged = requests.sparkSession.sql(staged_sql(view)).cache()
-    # materialize before the two downstream readers race, and count the
-    # numeric tier in the SAME pass (one job instead of count + filter-count)
-    mat = staged.agg(
-        F.sum(F.col("_has_numeric").cast("int")).alias("nn")
-    ).first()
+    if numeric_tier == "eager":
+        # Serving mode: skip the numeric-count materialization JOB and keep
+        # the numeric branch unconditionally in the plan — for a bounded
+        # micro-batch (the streaming loop caps arrivals per trigger) the
+        # extra always-on 2-task Python stage costs far less than a whole
+        # additional Spark job per batch. The staged cache fills lazily
+        # during the single output job (per-partition cache locks, local
+        # mode — see plans.llm_queries._maybe_eager for the cluster caveat).
+        mat = {"nn": -1}
+    else:
+        # materialize before the two downstream readers race, and count the
+        # numeric tier in the SAME pass (one job instead of count + filter-count)
+        mat = staged.agg(
+            F.sum(F.col("_has_numeric").cast("int")).alias("nn")
+        ).first()
     # the analyzed plan holds its own reference; don't leak the view
     requests.sparkSession.catalog.dropTempView(view)
 
@@ -397,7 +433,9 @@ def position_requests_onepass(
         # schedules tasks and spins Arrow workers
         combined = plain
     else:
-        n_parts = max(
+        # eager mode has no count: clamp to the serving batch shape (2
+        # tasks; a micro-batch is bounded by maxFilesPerTrigger)
+        n_parts = 2 if n_numeric < 0 else max(
             2, min(spark.sparkContext.defaultParallelism, (n_numeric + 383) // 384)
         )
         kernel = _run_numeric_onepass_ctx if with_reasons else _run_numeric_onepass

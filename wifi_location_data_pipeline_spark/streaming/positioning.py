@@ -43,6 +43,7 @@ def start_positioning_stream(
     with_reasons: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    numeric_tier: str = "eager",
 ) -> StreamingQuery:
     """Answer positioning requests from a streaming file zone.
 
@@ -50,6 +51,12 @@ def start_positioning_stream(
     ``False`` runs continuously with the default trigger — new request files
     are answered in the next micro-batch, the streaming analog of the
     service's request loop.
+
+    ``numeric_tier`` defaults to "eager": a serving micro-batch is bounded
+    (maxFilesPerTrigger), so skipping the per-batch numeric-count job in
+    favor of an always-on 2-task Python branch cuts one whole Spark job of
+    latency per batch (see position_requests_onepass). Pass "auto" for
+    large backfill drains where tier sizing matters.
     """
     reader = spark.readStream.schema(POSITIONING_REQUEST_SCHEMA)
     if max_files_per_trigger is not None:
@@ -67,6 +74,7 @@ def start_positioning_stream(
             out = position_requests_onepass(
                 batch_df, access_points,
                 with_reasons=with_reasons, staged_sink=staged,
+                numeric_tier=numeric_tier,
             )
             # foreachBatch is AT-LEAST-once: a batch that fails after the
             # write but before the checkpoint commit REPLAYS. Writing each
