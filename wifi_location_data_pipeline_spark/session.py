@@ -46,13 +46,11 @@ def build_session(
         # narrow stages that need fan-out (the pandas numeric tier) ask for it
         # explicitly with repartition().
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        # the 64 MB advisory is sized for IO-bound shuffles on clusters; on
-        # a CPU-heavy single node it coalesces a ~25 MB pre-window shuffle
-        # to ONE partition and serializes the sort on one core (measured
-        # 3x on the sf1 selection/kalman/session window family). 2 MB keeps
-        # coalescing for genuinely tiny shuffles while letting mid-size
-        # stages use the cores; cluster deployments override via extra_conf.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+        # shuffle-partition sizing (advisoryPartitionSizeInBytes) and scan
+        # split sizing (files.openCostInBytes) are corpus-dependent: what a
+        # tiny test corpus wants (coarse — fixed cost dominates) serializes
+        # CPU-heavy stages at scale. sources.tables.configure_for_corpus
+        # sets both per corpus; the session keeps Spark's defaults.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -76,16 +74,6 @@ def build_session(
         # deployments reading off HDFS-style locality should override via
         # extra_conf.
         .config("spark.locality.wait", "0s")
-        # split-size planning: maxSplitBytes = min(maxPartitionBytes,
-        # max(openCostInBytes, totalBytes/minPartitionNum)). The default
-        # 4 MB open cost floors the test corpora (single-digit-MB files)
-        # at 1-3 splits, serializing CPU-heavy scans on a 32-core box. A
-        # small open cost lets splits track row groups instead. Cluster
-        # deployments with thousands of 128 MB-row-group files are
-        # governed by maxPartitionBytes (untouched, 128 MB) — for them
-        # this knob only affects the many-tiny-files edge, where a real
-        # deployment would also lower it (or compact).
-        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

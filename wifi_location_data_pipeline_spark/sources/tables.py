@@ -40,6 +40,48 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+# largest fact-table parquet size above which the corpus is "at scale":
+# per-stage CPU then outweighs per-task scheduling and shuffles/scans
+# should fan across the cores. Below it (the sf<=0.1 test corpora, ~1 MB
+# of events) the same fan-out is pure overhead — a 100k-row sort is ~80 ms
+# single-core while each extra task costs ~30-60 ms of scheduling.
+_SCALE_MODE_MIN_BYTES = 4 << 20
+
+
+def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
+    """Size shuffle coalescing and scan splits to the corpus, once per
+    (session, corpus).
+
+    At-scale corpora get 2 MB advisory post-shuffle partitions (the 64 MB
+    default coalesces a ~25 MB CPU-heavy pre-window shuffle to ONE
+    partition, serializing the sort on one core of 32 — measured 3x on the
+    sf1 window/selection family) and a 256 KB file-open cost so splits
+    track row groups instead of flooring single-digit-MB files at 1-3
+    splits. Small corpora keep Spark's defaults: fixed cost dominates and
+    coarse stages win there. An IO-bound multi-executor cluster should
+    override both after its session is built — this helper tunes the
+    single-node CPU-heavy profile the engine is benched on.
+    """
+    # judge scale by the FACT tables the workload actually scales on
+    # (events/documents/embeddings — the replicated axes of
+    # make_scale_corpus); the static TPC-H side tables are the same size
+    # at every scale factor and would misclassify sf0.1 as at-scale
+    try:
+        largest = max(
+            os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in ("events", "documents", "embeddings")
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        )
+    except ValueError:
+        return
+    if largest >= _SCALE_MODE_MIN_BYTES:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+        spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
+    else:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql queries.
 
@@ -49,6 +91,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     registered = getattr(spark, "_graft_views_sf_dir", None)
     if registered == sf_dir:
         return
+    configure_for_corpus(spark, sf_dir)
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     spark._graft_views_sf_dir = sf_dir
