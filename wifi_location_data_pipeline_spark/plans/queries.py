@@ -603,36 +603,47 @@ FROM per_req
 register(
     "mad_outlier_flags",
     "Global spatial outliers: per-AP centroid, per-row haversine distance, "
-    "flag dist > 3×MAD via exact medians (FRAMEWORK:111; SCHEMA.md:55-61,111-125; "
+    "flag dist > 3×MAD via exact windowed medians — one partition exchange, "
+    "no re-scan per median (FRAMEWORK:111; SCHEMA.md:55-61,111-125; "
     "SURVEY §2.5/§2.9).",
+    # Single-pass windowed formulation, shared verbatim by both engines:
+    # the centroid AVG and both exact medians run as window aggregates over
+    # the same PARTITION BY ap_id, so Spark plans ONE exchange + one sort
+    # with three window operators pipelined on top (the aggregate-CTE
+    # formulation re-executes the scan+join subtree once per median under
+    # CTE inlining). The final GROUP BY reuses the window partitioning.
+    # Exact-median-over-full-partition is the reference semantics
+    # (FRAMEWORK:111); the documented 100 TB relaxation is
+    # percentile_approx — see operators/outliers.py.
     sql=lambda d: f"""
 WITH m AS ({measurements_cte(d)}),
-cent AS (
-  SELECT ap_id, AVG(latitude) AS clat, AVG(longitude) AS clon
-  FROM m GROUP BY ap_id
-),
 dists AS (
-  SELECT m.ap_id, m.event_id,
-    {haversine_sql('m.latitude', 'm.longitude', 'cent.clat', 'cent.clon')} AS dist_m
-  FROM m JOIN cent ON m.ap_id = cent.ap_id
+  SELECT ap_id,
+    {haversine_sql('latitude', 'longitude',
+                   'AVG(latitude) OVER (PARTITION BY ap_id)',
+                   'AVG(longitude) OVER (PARTITION BY ap_id)')} AS dist_m
+  FROM m
 ),
-med AS (SELECT ap_id, {median(d, 'dist_m')} AS med_dist FROM dists GROUP BY ap_id),
+med AS (
+  SELECT ap_id, dist_m,
+    {median(d, 'dist_m')} OVER (PARTITION BY ap_id) AS med_dist
+  FROM dists
+),
 mad AS (
-  SELECT dists.ap_id, {median(d, 'abs(dists.dist_m - med.med_dist)')} AS mad_dist
-  FROM dists JOIN med ON dists.ap_id = med.ap_id
-  GROUP BY dists.ap_id
+  SELECT ap_id, dist_m, med_dist,
+    {median(d, 'abs(dist_m - med_dist)')} OVER (PARTITION BY ap_id) AS mad_dist
+  FROM med
 )
-SELECT dists.ap_id,
-  CAST(SUM(CASE WHEN dists.dist_m > 3.0 * mad.mad_dist + med.med_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+SELECT ap_id,
+  CAST(SUM(CASE WHEN dist_m > 3.0 * mad_dist + med_dist THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
   CAST(COUNT(*) AS BIGINT) AS n_total,
-  ROUND(MIN(mad.mad_dist), 4) AS mad_m,
-  ROUND(MIN(med.med_dist), 4) AS median_dist_m
-FROM dists
-  JOIN mad ON dists.ap_id = mad.ap_id
-  JOIN med ON dists.ap_id = med.ap_id
-GROUP BY dists.ap_id
+  ROUND(MIN(mad_dist), 4) AS mad_m,
+  ROUND(MIN(med_dist), 4) AS median_dist_m
+FROM mad
+GROUP BY ap_id
 """,
 )
+
 
 register(
     "comparison_metrics",
