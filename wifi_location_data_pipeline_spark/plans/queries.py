@@ -1034,20 +1034,30 @@ register(
     "(operators/relocation.py relocation_by_time_split).",
     sql=lambda d: f"""
 WITH m AS ({measurements_cte(d)}),
-split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
+split AS (
+  -- observation-window midpoint, not the exact median: MIN/MAX partial-
+  -- aggregate map-side (a global exact median shuffles every timestamp
+  -- into one reducer; the plant scaffolding must not cost more than the
+  -- operator under test — production splits per-BSSID with
+  -- percentile_approx, operators/relocation.py:33)
+  SELECT (MIN({epoch_s(d, 'ts')}) + MAX({epoch_s(d, 'ts')}))
+         / CAST(2.0 AS DOUBLE) AS mid_s FROM m
+),
 planted AS (
-  -- scalar subquery, not a CROSS JOIN: Spark plans the one-row aggregate as
-  -- a reused ScalarSubquery instead of a nested-loop join
-  SELECT m.ap_id,
-    m.latitude + CASE WHEN m.ap_id % 10 = 0
-                       AND {epoch_s(d, 'ts')} > (SELECT mid_s FROM split)
-                      THEN 0.01 ELSE 0.0 END AS latitude,
-    m.longitude, {epoch_s(d, 'ts')} AS ts_s, (SELECT mid_s FROM split) AS mid_s
+  -- scalar subquery, not a CROSS JOIN (no nested-loop join in the plan) —
+  -- and referenced exactly ONCE: each textual `(SELECT ...)` occurrence
+  -- becomes its own subquery job after CTE inlining (Spark's ReuseSubquery
+  -- does not collapse them here), so the one-row aggregate would execute
+  -- per reference
+  SELECT m.ap_id, m.latitude AS lat0, m.longitude,
+    {epoch_s(d, 'ts')} AS ts_s, (SELECT mid_s FROM split) AS mid_s
   FROM m
 ),
 halves AS (
   SELECT ap_id, CASE WHEN ts_s <= mid_s THEN 'old' ELSE 'new' END AS half,
-    latitude, longitude
+    lat0 + CASE WHEN ap_id % 10 = 0 AND ts_s > mid_s
+                THEN 0.01 ELSE 0.0 END AS latitude,
+    longitude
   FROM planted
 ),
 per_ap AS (
@@ -1132,19 +1142,33 @@ register(
     "(operators/localization.py kalman_update).",
     sql=lambda d: f"""
 WITH m AS ({measurements_cte(d)}),
-split AS (SELECT {median(d, epoch_s(d, 'ts'))} AS mid_s FROM m),
+split AS (
+  -- observation-window midpoint, not the exact median: MIN/MAX partial-
+  -- aggregate map-side (a global exact median shuffles every timestamp
+  -- into one reducer; the plant scaffolding must not cost more than the
+  -- operator under test — production splits per-BSSID with
+  -- percentile_approx, operators/relocation.py:33)
+  SELECT (MIN({epoch_s(d, 'ts')}) + MAX({epoch_s(d, 'ts')}))
+         / CAST(2.0 AS DOUBLE) AS mid_s FROM m
+),
+stamped AS (
+  -- single textual reference to the scalar subquery: each occurrence
+  -- becomes its own subquery job after CTE inlining (ReuseSubquery does
+  -- not collapse them here), so referencing it twice would execute the
+  -- one-row aggregate twice
+  SELECT ap_id, latitude AS lat0, longitude,
+    {epoch_s(d, 'ts')} AS ts_s, (SELECT mid_s FROM split) AS mid_s
+  FROM m
+),
 halves AS (
   -- every 10th AP gets a planted 0.01-degree move in the new half so the
-  -- innovation-triggered relocation reset branch is exercised; the one-row
-  -- median is a reused ScalarSubquery, not a nested-loop join
-  SELECT m.ap_id,
-    CASE WHEN {epoch_s(d, 'ts')} <= (SELECT mid_s FROM split)
-         THEN 'old' ELSE 'new' END AS half,
-    m.latitude + CASE WHEN m.ap_id % 10 = 0
-                       AND {epoch_s(d, 'ts')} > (SELECT mid_s FROM split)
-                      THEN 0.01 ELSE 0.0 END AS latitude,
-    m.longitude
-  FROM m
+  -- innovation-triggered relocation reset branch is exercised
+  SELECT ap_id,
+    CASE WHEN ts_s <= mid_s THEN 'old' ELSE 'new' END AS half,
+    lat0 + CASE WHEN ap_id % 10 = 0 AND ts_s > mid_s
+                THEN 0.01 ELSE 0.0 END AS latitude,
+    longitude
+  FROM stamped
 ),
 est AS (
   -- both halves in ONE conditional aggregation (same rewrite as
