@@ -1471,60 +1471,60 @@ FROM ranked WHERE rank <= 5
 
 
 def _ann_lsh_spark_fn(spark, sf_dir):
-    """LSH-bucketed ANN with GEMM bucket assignment: the 8-bit sign bucket
-    per vector comes from one matrix multiply per Arrow batch (the SQL
-    form's interpreted higher-order dot products cost 2.7 s at sf1 for
-    what is ~0.1 s of BLAS); the bucket equi-join and the vectorized
-    pandas-UDF cosine re-rank then touch only same-bucket candidates."""
+    """LSH-bucketed ANN as one fused GEMM scan: the 8 query vectors (a
+    bounded, contract-fixed set — a dimension lookup, not a driver loop)
+    and their sign buckets broadcast into a mapInPandas sweep; each Arrow
+    batch computes candidate buckets AND query cosines with two matrix
+    multiplies, masks non-matching buckets, and emits only its local top-8
+    per query. No bucket self-join, no embedding shuffle — the exchange
+    carries O(batches x 64) rows into the global top-5 window (the earlier
+    bucket equi-join shape re-shuffled the full embedding table twice and
+    cost ~1.1 s at sf1 for ~0.1 s of BLAS)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F2
-    from pyspark.sql import types as T2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     W = np.array([_plane_weights(j) for j in range(1, 9)])  # (8 planes, 64 dims)
     powers = 2 ** np.arange(8)
 
-    def to_bucket(batches):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(emb.filter(F2.col("vec_id") < 8).collect(), key=lambda r: r.vec_id)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qbuckets = ((Q @ W.T >= 0).astype(np.int64) @ powers)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(np.int64)
             if len(ids) == 0:
                 continue
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (M @ W.T >= 0).astype(np.int64)
-            yield pd.DataFrame({"vec_id": ids, "bucket": bits @ powers})
+            bks = (M @ W.T >= 0).astype(np.int64) @ powers
+            cs = (M @ Q.T) / (np.sqrt((M * M).sum(axis=1))[:, None] * qnorm[None, :])
+            out = []
+            for j, (qid, qb) in enumerate(zip(qids, qbuckets)):
+                col = cs[:, j].copy()
+                col[(bks != qb) | (ids == qid)] = -np.inf
+                top = np.argsort(-col)[:8]
+                top = top[np.isfinite(col[top])]
+                if len(top):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(top), qid, dtype=np.int64),
+                                "neighbor_id": ids[top],
+                                "cos_sim": col[top],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out)
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = emb.mapInPandas(to_bucket, "vec_id long, bucket long")
-    c = buckets.join(emb, "vec_id")
-    q = c.filter(F2.col("vec_id") < 8)
-
-    def _pair_cos(a, b):
-        A = np.array(list(a), dtype=np.float64)
-        B = np.array(list(b), dtype=np.float64)
-        return pd.Series(
-            (A * B).sum(axis=1)
-            / (np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
-        )
-
-    _pair_cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    pair_cos = F2.pandas_udf(_pair_cos, T2.DoubleType())
-
-    scored = (
-        q.alias("q")
-        .join(
-            c.alias("c"),
-            (F2.col("q.bucket") == F2.col("c.bucket"))
-            & (F2.col("q.vec_id") != F2.col("c.vec_id")),
-        )
-        .select(
-            F2.col("q.vec_id").alias("query_id"),
-            F2.col("c.vec_id").alias("neighbor_id"),
-            pair_cos(F2.col("q.embedding"), F2.col("c.embedding")).alias("cos_sim"),
-        )
-    )
+    scored = emb.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F2.col("cos_sim").desc(), F2.col("neighbor_id")
     )
@@ -1643,13 +1643,10 @@ FROM idx
 )
 
 
-register(
-    "ann_ivf_probe",
-    "IVF-style ANN probe: coarse centroids per label partition, each query "
-    "routed to its nearest centroid (cosine argmax), exact top-3 re-rank "
-    "ONLY within that inverted list — the candidate set shrinks by the "
-    "partition fan-out instead of scanning the corpus.",
-    sql=lambda d: f"""
+def _ann_ivf_duck_sql(d: str) -> str | None:
+    if d == "spark":
+        return None
+    return f"""
 WITH elems AS ({_vec_elems(d)}),
 labeled AS (
   SELECT e.vec_id, em.label, e.dim, e.x
@@ -1691,7 +1688,109 @@ ranked AS (
 SELECT query_id, neighbor_id, label AS probed_list,
   ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
-""",
+"""
+
+
+def _ann_ivf_spark_fn(spark, sf_dir):
+    """IVF probe as bounded lookups + one fused GEMM scan: the per-label
+    centroid grid partial-aggregates map-side under posexplode (shuffle =
+    |labels| x |dims| rows), the 10-row centroid table and the 8 query
+    vectors are bounded collects (dimension lookups, not driver loops),
+    query->list assignment is a 8x10 argmax on the driver, and the probe
+    itself is one mapInPandas GEMM sweep that masks rows outside the
+    assigned list. The round-4 shared-SQL form exploded 1.3 M element rows
+    through three joins on Spark (~1.5 s at sf1 for ~0.1 s of BLAS); the
+    DuckDB oracle keeps that independent formulation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    cent_rows = (
+        emb.select("label", F2.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F2.avg(F2.col("x").cast("double")).alias("cx"))
+        .collect()
+    )
+    labels = sorted({r.label for r in cent_rows})
+    dims = 1 + max(r.dim for r in cent_rows)
+    C = np.zeros((len(labels), dims), dtype=np.float64)
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    for r in cent_rows:
+        C[lab_idx[r.label], r.dim] = r.cx
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    qrows = sorted(
+        emb.filter(F2.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    # nearest coarse centroid by dot/|c|; ties -> smallest label (labels
+    # ascending + argmax-first matches the oracle's ORDER BY ... DESC, label)
+    sims = (Q @ C.T) / cnorm[None, :]
+    q_lab = np.array([labels[int(np.argmax(sims[i]))] for i in range(len(qids))])
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            labs = pdf["label"].to_numpy()
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cs = (M @ Q.T) / (np.sqrt((M * M).sum(axis=1))[:, None] * qnorm[None, :])
+            out = []
+            for j, qid in enumerate(qids):
+                col = cs[:, j].copy()
+                col[(labs != q_lab[j]) | (ids == qid)] = -np.inf
+                top = np.argsort(-col)[:8]
+                top = top[np.isfinite(col[top])]
+                if len(top):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(top), qid, dtype=np.int64),
+                                "neighbor_id": ids[top],
+                                "probed_list": np.full(len(top), q_lab[j], dtype=np.int32),
+                                "cos_sim": col[top],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out)
+
+    scored = emb.mapInPandas(
+        score, "query_id long, neighbor_id long, probed_list int, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F2.col("cos_sim").desc(), F2.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F2.row_number().over(w))
+        .filter(F2.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probed_list",
+            F2.round("cos_sim", 4).alias("cos_sim"),
+            F2.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+register(
+    "ann_ivf_probe",
+    "IVF-style ANN probe: coarse centroids per label partition, each query "
+    "routed to its nearest centroid (cosine argmax), exact top-3 re-rank "
+    "ONLY within that inverted list — the candidate set shrinks by the "
+    "partition fan-out instead of scanning the corpus.",
+    sql=_ann_ivf_duck_sql,
+    spark_fn=_ann_ivf_spark_fn,
 )
 
 def _label_centroids_sql(d: str) -> str:
