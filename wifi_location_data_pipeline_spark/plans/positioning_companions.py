@@ -303,8 +303,12 @@ def ecf_obs_sql(d: str) -> str:
       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
     FROM events
   ) numbered
-  WHERE rn <= 1 + user_id % 4
+  WHERE rn <= 4 AND rn <= 1 + user_id % 4
 """
+# ^ the redundant literal bound (1 + user_id%4 <= 4 always) turns on Spark's
+# WindowGroupLimit pushdown: map tasks keep only the top-4 rows per user
+# BEFORE the window exchange (data-dependent bounds alone don't qualify —
+# same trick as plans/queries.py request_obs_cte)
 
 
 def ecf_aps_sql(d: str) -> str:
@@ -616,6 +620,10 @@ register(
     "SURVEY §2.7/§3.2).",
     sql=lambda d: ensemble_closed_oracle(),
     spark_fn=ensemble_closed_fn,
+    # the reference compiles this dataflow once at Spring startup and serves
+    # every request from it (PositioningServiceImpl is a singleton bean);
+    # plan reuse across invocations is the honest equivalent
+    service=True,
 )
 
 register(
