@@ -44,6 +44,7 @@ def start_positioning_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     numeric_tier: str = "eager",
+    sink_coalesce: int | None = None,
 ) -> StreamingQuery:
     """Answer positioning requests from a streaming file zone.
 
@@ -82,6 +83,11 @@ def start_positioning_stream(
             # makes the replay idempotent — the second attempt replaces the
             # first attempt's files instead of appending duplicates, so the
             # sink as a whole is effectively exactly-once.
+            if sink_coalesce is not None:
+                # bounded serving micro-batches produce a few hundred rows;
+                # writing them as shuffle-partition-many files bills one
+                # task + one file-commit each for near-empty outputs
+                out = out.coalesce(sink_coalesce)
             out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         finally:
             # one interior cache point is registered per call; unpersist it
