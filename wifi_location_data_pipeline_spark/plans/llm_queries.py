@@ -2442,3 +2442,167 @@ register(
     "pretraining pipeline, composing with mixture_sampling_plan.",
     sql=_url_mixture_sql,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-mix extensions: paragraph-level dedup, canonical pick
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 20  # fixed segment width (the corpus has no newline marks)
+
+
+def _paragraph_dedup_sql(d: str) -> str:
+    """CCNet-style paragraph-level exact dedup: segment each document into
+    fixed 20-token windows (the synthetic corpus carries no natural
+    paragraph marks — real deployments split on newlines instead), hash
+    each segment, report every segment shared by 2+ (doc, position) sites
+    with its keep-first canonical. Map-side partial aggregation collapses
+    the shuffle to one row per DISTINCT segment hash — the same
+    scale shape as dedup_exact, one level below it."""
+    s = PARA_TOKENS
+    if d == "spark":
+        segs = f"""
+  SELECT doc_id, CAST(e.seg_idx AS BIGINT) AS seg_idx,
+    md5(array_join(e.sw, ' ')) AS seg_md5
+  FROM (
+    SELECT doc_id,
+      explode(transform(
+        sequence(0, CAST(FLOOR((size(w) - 1) / CAST({s}.0 AS DOUBLE)) AS BIGINT)),
+        i -> struct(i AS seg_idx, slice(w, CAST(1 + {s} * i AS INT), {s}) AS sw)
+      )) AS e
+    FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+    WHERE size(w) >= 1
+  ) x"""
+    else:
+        segs = f"""
+  SELECT doc_id, seg_idx,
+    md5(array_to_string(list_slice(w, 1 + {s} * seg_idx, {s} * seg_idx + {s}), ' ')) AS seg_md5
+  FROM (
+    SELECT doc_id,
+      unnest(generate_series(0, CAST(FLOOR((len(w) - 1) / {s}.0) AS BIGINT))) AS seg_idx,
+      w
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+    WHERE len(w) >= 1
+  ) x"""
+    return f"""
+WITH segs AS ({segs})
+SELECT seg_md5,
+  CAST(COUNT(*) AS BIGINT) AS n_sites,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+  CAST(MIN(seg_idx * 1000000 + doc_id) % 1000000 AS BIGINT) AS canonical_rank_key
+FROM segs
+GROUP BY seg_md5
+HAVING COUNT(*) >= 2
+"""
+
+
+register(
+    "paragraph_dedup",
+    f"Paragraph-level exact dedup (CCNet-style): fixed {PARA_TOKENS}-token "
+    "segments per document, md5 per segment, segments shared by 2+ sites "
+    "reported with keep-first canonical — removes boilerplate passages "
+    "that document-level exact dedup misses; shuffle carries one row per "
+    "distinct segment hash.",
+    sql=_paragraph_dedup_sql,
+)
+
+
+def _canonical_pick_duck_sql(d: str) -> str | None:
+    """Oracle: recursive-CTE transitive closure over the MinHash pair graph
+    (independent of the Spark side's union-find / alternating-star tiers)
+    joined to the quality composite, argmax by (rounded quality DESC,
+    doc_id ASC)."""
+    if d == "spark":
+        return None
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_minhash_duck_sql(d)}) mp
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+canon AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+),
+q AS (
+  SELECT doc_id,
+    FLOOR(LEAST(1.0,
+        0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+      + 0.2 * LEAST(CAST(n_stop AS DOUBLE) * 5.0 / n_tokens, 1.0)) * 10000.0 + 0.5)
+      / CAST(10000.0 AS DOUBLE) AS quality
+  FROM ({_tqs_stats(d)}) s
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM canon c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality,
+  CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+def _canonical_pick_spark_fn(spark, sf_dir):
+    """Cluster-representative selection: the survivor a dedup pass KEEPS is
+    the highest-quality member, not the min-id one — compose the real
+    cluster labels (union-find / alternating-star tiers) with the quality
+    composite and take the per-cluster argmax (quality DESC, doc_id ASC).
+    Cluster labels and per-doc quality are both tiny relative to the
+    corpus, so the join and the per-cluster window cost O(clustered docs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    labels = _dedup_clusters_spark_fn(spark, sf_dir).select(
+        F2.col("canonical_doc_id").alias("cluster_id"), "doc_id"
+    )
+    q = spark.sql(
+        f"""
+SELECT doc_id,
+  FLOOR(LEAST(1.0,
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+    + 0.2 * LEAST(CAST(n_stop AS DOUBLE) * 5.0 / n_tokens, 1.0)) * 10000.0 + 0.5)
+    / CAST(10000.0 AS DOUBLE) AS quality
+FROM ({_tqs_stats(SPARK)}) s
+"""
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F2.col("quality").desc(), F2.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("rn", F2.row_number().over(w))
+        .withColumn("n_members", F2.count("*").over(wc).cast("long"))
+        .filter(F2.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F2.col("doc_id").alias("keep_doc_id"),
+            F2.col("quality").alias("keep_quality"),
+            "n_members",
+        )
+    )
+
+
+register(
+    "dedup_canonical_pick",
+    "Cluster-representative selection: per near-dup cluster keep the "
+    "highest-quality member (rounded composite quality DESC, doc_id ASC "
+    "tie-break — replica permutations preserve token stats, so ties are "
+    "real) — the keep-decision step between clustering and corpus "
+    "rewrite. Oracle recomputes clusters via recursive-CTE closure.",
+    sql=_canonical_pick_duck_sql,
+    spark_fn=_canonical_pick_spark_fn,
+)

@@ -2625,6 +2625,8 @@ GROUP BY user_id, session_no
 # Everything here stays value-checked by tests/test_oracle_parity.py.
 _TAIL = (
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
+    "paragraph_dedup",  # round-5 addition: CCNet segment-level exact dedup
+    "dedup_canonical_pick",  # round-5 addition: cluster keep-decision
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
     "tumbling_window_agg",  # plain hour-bucket GROUP BY; stream twin in pytest
