@@ -589,32 +589,97 @@ def _minhash_duck_sql(d: str) -> str:
     return f"WITH minhash_based AS ({_minhash_based_sql(d)}),\n{_minhash_rest_sql()}"
 
 
-def _minhash_spark_fn(spark, sf_dir):
-    """MinHash+LSH with the shingle-hash table materialized exactly once.
+def minhash_signature_table(spark, sf_dir):
+    """Per-document MinHash state — (doc_id, n_sh, m0..m11, bases array) — as
+    ONE Arrow-batched pass over the documents, persisted for the band and
+    verify consumers.
 
-    Round-1 shape re-expanded the shingle CTE per reference (signatures,
-    sizes, and TWO verify joins) — a 23-shuffle / 5-sort-merge-join plan,
-    16× slower than the oracle at sf0.1. Persisting (doc_id, base) — 16
-    bytes/row, the natural checkpoint at 100 TB too — means every downstream
-    stage reads the cache. The downstream is DataFrame ops rather than SQL:
-    a cached DataFrame-backed temp view referenced from inside a WITH clause
-    misses the cache on Spark 4.1 (CTE inlining runs after cache
-    substitution — verified empirically), while direct DataFrame references
-    substitute fine.
+    Same pattern as the SimHash signature kernel: the SQL formulation
+    (``_minhash_based_sql`` + ``_minhash_rest_sql``, still the executable
+    spec via the DuckDB oracle) explodes ~52 shingles/doc into a 2.6M-row
+    relation, md5s each via interpreted HOFs, shuffles it back into a
+    12-MIN GROUP BY, and later re-joins it TWICE for verification. Here
+    each Arrow batch shingles its documents in Python (dict.fromkeys ==
+    array_distinct first-seen order), md5s at hashlib C speed, and
+    segment-mins the 12 universal hashes with one numpy reduceat per hash —
+    no explode, no shuffle, signatures AND the per-doc base set come out of
+    a single projection. base = first 15 md5 hex chars as a 60-bit int,
+    computed as (big-endian u64 of digest[:8]) >> 4 — bit-identical to the
+    SQL spec's conv(substr(md5(s),1,15),16,10), so oracle hashes match.
+
+    Scale: per-task memory is one Arrow batch of documents; the signature
+    build never shuffles, and downstream verification joins candidates
+    (O(true near-dups)) against this 50k-row/sf table instead of the 2.6M-row
+    exploded relation — the verify shuffle disappears entirely.
     """
-    from pyspark.sql import functions as F2
+    from pyspark import StorageLevel
 
-    based = persisted_shingle_bases(spark, sf_dir)
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir)
+    docs = spark.sql(f"SELECT doc_id, text FROM {src}")
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
 
     P = 1_000_000_007
     coeffs = [(7 + 10 * j, 13 + 997 * j) for j in range(12)]
-    mh = based.groupBy("doc_id").agg(
-        *[
-            F2.min(((F2.col("base") % P) * a + b) % P).alias(f"m{j}")
-            for j, (a, b) in enumerate(coeffs)
-        ]
+
+    def to_sigs(batches):
+        for pdf in batches:
+            ids_all = pdf["doc_id"].to_numpy(np.int64)
+            if len(ids_all) == 0:
+                continue
+            keep, counts, digests = [], [], []
+            for i, txt in enumerate(pdf["text"]):
+                w = txt.split(" ")
+                if len(w) < 3:
+                    continue  # the SQL spec's WHERE size(w) >= 3
+                sh = dict.fromkeys(
+                    " ".join(w[i0 : i0 + 3]) for i0 in range(len(w) - 2)
+                )
+                digests.append(
+                    b"".join(hashlib.md5(s.encode()).digest()[:8] for s in sh)
+                )
+                keep.append(i)
+                counts.append(len(sh))
+            if not keep:
+                continue
+            ids = ids_all[keep]
+            counts = np.array(counts, dtype=np.int64)
+            u64 = np.frombuffer(b"".join(digests), dtype=">u8")
+            bases = (u64 >> np.uint64(4)).astype(np.int64)
+            offsets = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            bmod = bases % P
+            cols = {"doc_id": ids, "n_sh": counts}
+            for j, (a, b) in enumerate(coeffs):
+                cols[f"m{j}"] = np.minimum.reduceat((bmod * a + b) % P, offsets)
+            cols["bases"] = np.split(bases, offsets[1:])
+            yield pd.DataFrame(cols)
+
+    schema = (
+        "doc_id long, n_sh long, "
+        + ", ".join(f"m{j} long" for j in range(12))
+        + ", bases array<long>"
     )
-    bands = mh.select(
+    arrs = docs.mapInPandas(to_sigs, schema).persist(StorageLevel.MEMORY_AND_DISK)
+    return _maybe_eager(arrs)
+
+
+def _minhash_spark_fn(spark, sf_dir):
+    """MinHash+LSH from the per-doc signature table (one Arrow pass, zero
+    signature shuffles); banding + candidate equi-join stay JVM-side and
+    verification is size(array_intersect) over the two docs' base arrays —
+    candidate pairs broadcast, the signature table never shuffles. The SQL
+    spec lives on as the DuckDB oracle (``_minhash_duck_sql``)."""
+    from pyspark.sql import functions as F2
+
+    arrs = minhash_signature_table(spark, sf_dir)
+    bands = arrs.select(
         "doc_id",
         F2.explode(
             F2.array(
@@ -644,28 +709,26 @@ def _minhash_spark_fn(spark, sf_dir):
         .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = based.groupBy("doc_id").agg(F2.count("*").alias("n_sh"))
     # broadcast the SMALL side (candidate pairs ~ O(true near-dups)), never
-    # the shingle-hash table: broadcasting `based` costs a driver collect +
-    # hashmap build per join, which dominated the warm runtime
-    verified = (
-        based.alias("sa")
-        .join(F2.broadcast(cand), F2.col("doc_a") == F2.col("sa.doc_id"))
-        .join(
-            based.alias("sb"),
-            (F2.col("doc_b") == F2.col("sb.doc_id")) & (F2.col("sb.base") == F2.col("sa.base")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F2.count("*").alias("n_common"))
+    # the signature table; exact-Jaccard verification is a per-pair
+    # array_intersect over the two docs' (distinct) base arrays — identical
+    # to the SQL spec's common-base join-count, without re-shuffling the
+    # exploded base relation twice
+    a = arrs.select(
+        F2.col("doc_id").alias("doc_a"),
+        F2.col("bases").alias("ba"),
+        F2.col("n_sh").alias("na"),
     )
-    jac = F2.col("n_common").cast("double") / (
-        F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
+    b = arrs.select(
+        F2.col("doc_id").alias("doc_b"),
+        F2.col("bases").alias("bb"),
+        F2.col("n_sh").alias("nb"),
     )
+    j = a.join(F2.broadcast(cand), "doc_a").join(b, "doc_b")
+    n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
+    jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
     return (
-        sizes.alias("za")
-        .join(F2.broadcast(verified), F2.col("doc_a") == F2.col("za.doc_id"))
-        .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
-        .filter(jac >= 0.8)
+        j.filter(jac >= 0.8)
         .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
     )
 
@@ -675,8 +738,10 @@ register(
     "MinHash+LSH near-dup: 12 universal-hash minhashes from one md5 base, "
     "4 bands x 3 rows, candidates join on band signature, exact-Jaccard "
     "verification >= 0.8. The scale path: candidate count is O(true "
-    "near-dups), not O(n^2); signatures come from ONE aggregation pass over "
-    "a persisted shingle-hash table read by every downstream stage.",
+    "near-dups), not O(n^2); signatures AND per-doc base sets come from ONE "
+    "Arrow-batched shuffle-free pass (hashlib md5 + numpy segment-min), and "
+    "verification intersects base arrays on broadcast candidates — the "
+    "exploded shingle relation never exists.",
     sql=_minhash_duck_sql,
     spark_fn=_minhash_spark_fn,
 )
