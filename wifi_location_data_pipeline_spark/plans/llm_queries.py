@@ -371,71 +371,39 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     still counts ALL common shingles so Jaccard stays exact for every
     surviving pair.
 
-    Intersection counts come straight out of the blocking structure —
-    ``n_rare = COUNT(*) GROUP BY (doc_a, doc_b)`` over generated pairs —
-    instead of DISTINCT-ing a candidate-pair set and re-joining it against
-    the full shingle table twice (at sf0.1 that was 1.1M broadcast pairs ×
-    260k shingles twice: ~19 s; this form is ~3 s). Shared HOT shingles
-    (df > cap) are added back from a second small join so n_common covers
-    ALL common shingles: a pair blocked by a rare shingle gets an exact
-    Jaccard even when it also shares hot shingles.
+    The per-doc base arrays come from ``minhash_signature_table`` — the
+    single Arrow-batched shingle+md5 pass shared with MinHash (bases are the
+    60-bit md5-derived hashes of ``_minhash_based_sql``: 8-byte longs
+    shuffle far cheaper than ~20-char strings, and both dialects hash the
+    same strings with the same md5, so a (cosmically unlikely) hash
+    collision is the SAME collision on both sides — parity is
+    unconditional).
 
     The pair generation is an inverted-index doc-list walk, not a
     self-join: group shingle hashes to a sorted doc list per hash (df-cap
     bounds the list), then explode each list's i<j pairs with an array
     comprehension — narrow, codegen'd, no join build/probe, and one fewer
     shuffle than the equi-self-join (which cost ~2.5 s on its own here).
-    Shingles are keyed by their 60-bit md5-derived hash (the exact base
-    relation MinHash builds, ``_minhash_based_sql``): 8-byte longs shuffle
-    far cheaper than ~20-char strings, and both dialects hash the same
-    strings with the same md5, so a (cosmically unlikely) hash collision is
-    the SAME collision on both sides — parity is unconditional. Per-doc
-    shingle-set sizes come narrowly from the per-doc array (no shuffle).
-    Three small relations persist under the Spark 4.1
-    cache-before-reference discipline (a WITH-clause reference would
-    re-expand per consumer): the per-doc array table, the per-hash doc
-    lists, and the pair relation nr (read by nh and the final assembly).
+    Verification is size(array_intersect) over the two docs' base arrays on
+    the DISTINCT blocked pairs — exact over ALL common shingles (a pair
+    blocked by a rare shingle is scored across its hot shingles too), with
+    no hot add-back join and no sizes joins: the earlier form re-joined the
+    exploded hot relation twice and the sizes relation twice per pair.
 
     Gotcha encoded below: Spark's ``sequence(1, 0)`` DESCENDS (it is not
     empty), so single-doc lists must be filtered out before pair-gen.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    src = spread_documents_src(spark, sf_dir)
-    gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
-    docarr = spark.sql(
-        f"""
-SELECT doc_id,
-  transform(array_distinct(transform(sequence(1, size(w) - 2), i -> concat({gram}))),
-            s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)) AS bases
-FROM (SELECT doc_id, split(text, ' ') AS w FROM {src}) t
-WHERE size(w) >= 3"""
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _maybe_eager(docarr)
-    # no eager count: within the single final action Spark's per-partition
-    # cache locks ensure one computation even when AQE runs the two
-    # consumer stages concurrently; an extra materialization job costs a
-    # full scheduling round. Cluster caveat: BlockManager cache locks are
-    # per-EXECUTOR, so on a multi-executor cluster concurrent stages may
-    # schedule the same uncached partition on different executors and
-    # recompute it (correct, just redundant work); set
-    # SPARK_GRAFT_EAGER_PERSIST=1 there to restore eager materialization.
-
-    sizes = docarr.select("doc_id", F2.size("bases").alias("n_sh"))
+    arrs = minhash_signature_table(spark, sf_dir)
     blists = (
-        docarr.select("doc_id", F2.explode("bases").alias("base"))
+        arrs.select("doc_id", F2.explode("bases").alias("base"))
         .groupBy("base")
         .agg(F2.array_sort(F2.collect_list("doc_id")).alias("ds"))
-        .filter(F2.size("ds") >= 2)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter((F2.size("ds") >= 2) & (F2.size("ds") <= NGRAM_DF_CAP))
     )
-    rare_pairs = (
-        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
-        .select(
+    pairs = (
+        blists.select(
             F2.explode(
                 F2.expr(
                     "flatten(transform(sequence(1, size(ds) - 1), "
@@ -446,45 +414,26 @@ WHERE size(w) >= 3"""
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    hot = blists.filter(F2.size("ds") > NGRAM_DF_CAP).select(
-        "base", F2.explode("ds").alias("doc_id")
+    a = arrs.select(
+        F2.col("doc_id").alias("doc_a"),
+        F2.col("bases").alias("ba"),
+        F2.col("n_sh").alias("na"),
     )
-    nr = (
-        rare_pairs.groupBy("doc_a", "doc_b")
-        .agg(F2.count("*").alias("n_rare"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    b = arrs.select(
+        F2.col("doc_id").alias("doc_b"),
+        F2.col("bases").alias("bb"),
+        F2.col("n_sh").alias("nb"),
     )
-    # add back shared HOT shingles so n_common spans the full shingle sets
-    nh = (
-        nr.alias("p")
-        .join(hot.alias("ha"), F2.col("p.doc_a") == F2.col("ha.doc_id"))
-        .join(
-            hot.alias("hb"),
-            (F2.col("p.doc_b") == F2.col("hb.doc_id"))
-            & (F2.col("hb.base") == F2.col("ha.base")),
-        )
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F2.count("*").alias("n_hot"))
-    )
-    inter = (
-        nr.join(nh, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F2.col("n_rare") + F2.coalesce(F2.col("n_hot"), F2.lit(0))).alias("n_common"),
-        )
-    )
-    jac = F2.col("n_common").cast("double") / (
-        F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
-    )
-    # sizes (one row per doc) joins onto the pair relation; AQE picks
-    # broadcast when a side fits — never force-broadcast the pair set, it
-    # is the potentially-large side at scale
+    # the pair set is O(true near-dups × blocking keys) after distinct —
+    # small relative to the corpus; AQE broadcasts it at runtime (no
+    # explicit broadcast: at pathological dup rates it is the large side)
+    j = a.join(pairs, "doc_a").join(b, "doc_b")
+    n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
+    jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
     return (
-        inter.join(sizes.alias("za"), F2.col("doc_a") == F2.col("za.doc_id"))
-        .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
-        .filter(jac >= 0.8)
+        j.filter(jac >= 0.8)
         .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
     )
 
@@ -499,22 +448,75 @@ register(
     spark_fn=_ngram_jaccard_spark_fn,
 )
 
+def _batch_shingle_bases(texts, n: int):
+    """Per-batch shingle+md5 core shared by the Arrow kernels: for each text
+    in the batch, the distinct word n-gram shingles' 60-bit md5-derived
+    bases (first 15 hex chars as int, computed as big-endian u64 of
+    digest[:8] >> 4 — bit-identical to the SQL spec's
+    conv(substr(md5(s),1,15),16,10)). Returns (kept row indexes, per-doc
+    counts, flat int64 base array); docs with < n tokens are dropped (the
+    SQL spec's WHERE size(w) >= n)."""
+    import hashlib
+
+    import numpy as np
+
+    keep, counts, digests = [], [], []
+    for i, txt in enumerate(texts):
+        w = txt.split(" ")
+        if len(w) < n:
+            continue
+        # dict.fromkeys == array_distinct's first-seen order
+        sh = dict.fromkeys(
+            " ".join(w[i0 : i0 + n]) for i0 in range(len(w) - n + 1)
+        )
+        digests.append(b"".join(hashlib.md5(s.encode()).digest()[:8] for s in sh))
+        keep.append(i)
+        counts.append(len(sh))
+    if not keep:
+        return [], None, None
+    u64 = np.frombuffer(b"".join(digests), dtype=">u8")
+    bases = (u64 >> np.uint64(4)).astype(np.int64)
+    return keep, np.array(counts, dtype=np.int64), bases
+
+
 def persisted_shingle_bases(spark, sf_dir, n: int = 3):
     """Persisted, materialized (doc_id, base) shingle-hash relation — the
-    shared checkpoint of the dedup family (MinHash signatures/sizes/verify,
-    decontamination blocking). 16 bytes/row; count() materializes before
-    fan-out so downstream stages read the cache instead of racing to build
-    it (Spark 4.1 cache-before-reference discipline)."""
+    exploded blocking form (decontamination's eval×train equi-join needs
+    per-shingle rows). Built by the Arrow kernel (hashlib md5 at C speed —
+    the JVM HOF concat+md5+conv form cost ~3× more) and exploded JVM-side;
+    16 bytes/row. Lazily materialized under the Spark 4.1
+    cache-before-reference discipline."""
     from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
     src = spread_documents_src(spark, sf_dir)
-    df = spark.sql(
-        f"WITH {shingles_cte('spark', n, src=src)} SELECT doc_id, "
-        "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS base FROM shingles"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = spark.sql(f"SELECT doc_id, text FROM {src}")
+
+    import numpy as np
+    import pandas as pd
+
+    def to_bases(batches):
+        for pdf in batches:
+            ids_all = pdf["doc_id"].to_numpy(np.int64)
+            if len(ids_all) == 0:
+                continue
+            keep, counts, bases = _batch_shingle_bases(pdf["text"], n)
+            if not keep:
+                continue
+            offsets = np.zeros(len(keep), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            yield pd.DataFrame(
+                {"doc_id": ids_all[keep], "bases": np.split(bases, offsets[1:])}
+            )
+
+    df = (
+        docs.mapInPandas(to_bases, "doc_id long, bases array<long>")
+        .select("doc_id", F2.explode("bases").alias("base"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # lazily materialized: per-partition cache locks serialize concurrent
     # consumer stages; an eager count costs one extra scheduling round
     # (per-executor locks — cluster caveat + opt-out in _maybe_eager)
@@ -620,8 +622,6 @@ def minhash_signature_table(spark, sf_dir):
     src = spread_documents_src(spark, sf_dir)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
 
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -633,29 +633,13 @@ def minhash_signature_table(spark, sf_dir):
             ids_all = pdf["doc_id"].to_numpy(np.int64)
             if len(ids_all) == 0:
                 continue
-            keep, counts, digests = [], [], []
-            for i, txt in enumerate(pdf["text"]):
-                w = txt.split(" ")
-                if len(w) < 3:
-                    continue  # the SQL spec's WHERE size(w) >= 3
-                sh = dict.fromkeys(
-                    " ".join(w[i0 : i0 + 3]) for i0 in range(len(w) - 2)
-                )
-                digests.append(
-                    b"".join(hashlib.md5(s.encode()).digest()[:8] for s in sh)
-                )
-                keep.append(i)
-                counts.append(len(sh))
+            keep, counts, bases = _batch_shingle_bases(pdf["text"], 3)
             if not keep:
                 continue
-            ids = ids_all[keep]
-            counts = np.array(counts, dtype=np.int64)
-            u64 = np.frombuffer(b"".join(digests), dtype=">u8")
-            bases = (u64 >> np.uint64(4)).astype(np.int64)
-            offsets = np.zeros(len(ids), dtype=np.int64)
+            offsets = np.zeros(len(keep), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             bmod = bases % P
-            cols = {"doc_id": ids, "n_sh": counts}
+            cols = {"doc_id": ids_all[keep], "n_sh": counts}
             for j, (a, b) in enumerate(coeffs):
                 cols[f"m{j}"] = np.minimum.reduceat((bmod * a + b) % P, offsets)
             cols["bases"] = np.split(bases, offsets[1:])
@@ -1367,8 +1351,8 @@ def _decontamination_spark_fn(spark, sf_dir):
     The round-2 dual-dialect SQL re-expanded the shingles CTE per reference
     (ev, train, ev_sizes — Spark re-inlines WITH references), so sf1 paid
     the 10×-bigger shingle build three times plus a string-keyed join: 46 s.
-    This path builds the 60-bit md5 base table once (same relation MinHash
-    persists; the oracle hashes identically, so parity is unconditional)
+    This path builds the 60-bit md5 base table once via the Arrow shingle
+    kernel (the oracle md5s the same strings, so parity is unconditional)
     and joins on longs."""
     from pyspark.sql import functions as F2
 
