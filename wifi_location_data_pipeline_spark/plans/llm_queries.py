@@ -2493,6 +2493,63 @@ register(
 )
 
 
+_UNIGRAM_VOCAB = 64  # top-V corpus vocabulary; OOV tokens take the floor
+# probability 0.5/total (Laplace-style). V bounds the broadcast side at any
+# corpus size — the standard truncated-vocab LM-score proxy.
+
+
+def _unigram_logprob_sql(d: str) -> str:
+    """Unigram LM quality score: per-doc mean log-probability under the
+    corpus' own truncated unigram distribution — the cheap proxy for the
+    'LM perplexity' filter of pretraining pipelines (CCNet / Brown et al.
+    GPT-3 appendix A use a real LM; the unigram form is the same shape:
+    score = mean token logprob, flag the improbable tail).
+
+    Scale shape: vocab is an ORDER BY count LIMIT V aggregate (V=64 —
+    broadcast-sized at ANY corpus scale); the token explode keeps doc_id so
+    scoring is one broadcast join + one per-doc re-aggregation shuffle.
+    The corpus total rides along as a scalar subquery (one-row broadcast).
+    mean_logprob rounds at 1e-4 (float-sum order differs across engines;
+    the ~1e-9 accumulation disparity sits far below the rounding grain);
+    the oov flag compares exact integers, so it can never flip between
+    engines.
+    """
+    if d == "spark":
+        toks = "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+    else:
+        toks = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    return f"""
+WITH toks AS ({toks}),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {_UNIGRAM_VOCAB}),
+scored AS (
+  SELECT t.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tok,
+    CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+    AVG(CASE WHEN v.tok IS NOT NULL THEN LN(CAST(v.c AS DOUBLE) / (SELECT n FROM tot))
+             ELSE LN(0.5 / (SELECT n FROM tot)) END) AS mean_lp
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tok, n_oov,
+  ROUND(mean_lp, 4) AS mean_logprob,
+  CAST(n_oov * 2 > n_tok AS BOOLEAN) AS oov_heavy
+FROM scored
+"""
+
+
+register(
+    "unigram_logprob_score",
+    "Unigram LM quality score: per-doc mean token log-probability under "
+    "the corpus' truncated top-64 unigram distribution with an OOV floor "
+    "(0.5/total) — the perplexity-filter proxy of pretraining pipelines; "
+    "vocab stays broadcast-sized at any corpus scale, scoring is one "
+    "broadcast join + one per-doc re-aggregation.",
+    sql=_unigram_logprob_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 training-mix extensions: paragraph-level dedup, canonical pick
 # ---------------------------------------------------------------------------

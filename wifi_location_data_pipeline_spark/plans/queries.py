@@ -2654,6 +2654,7 @@ _TAIL = (
     # round-5 training-mix extensions (window full; parity-net covered):
     "gopher_rule_filters",
     "url_domain_mixture",
+    "unigram_logprob_score",
     # rotated out round 5 (driver-green rounds 1-4; see block comment):
     "bssid_format_filter",
     "ap_quality_metrics",
