@@ -382,8 +382,9 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     The pair generation is an inverted-index doc-list walk, not a
     self-join: group shingle hashes to a sorted doc list per hash (df-cap
     bounds the list), then explode each list's i<j pairs with an array
-    comprehension — narrow, codegen'd, no join build/probe, and one fewer
-    shuffle than the equi-self-join (which cost ~2.5 s on its own here).
+    comprehension — narrow, JVM-side (interpreted: lambda HOFs skip
+    whole-stage codegen), no join build/probe, and one fewer shuffle than
+    the equi-self-join (which cost ~2.5 s on its own here).
     Verification is size(array_intersect) over the two docs' base arrays on
     the DISTINCT blocked pairs — exact over ALL common shingles (a pair
     blocked by a rare shingle is scored across its hot shingles too), with
@@ -1850,7 +1851,8 @@ def _label_centroids_sql(d: str) -> str:
     explode-aggregate builds the |labels|x|dims| centroid grid (tiny), the
     grid folds back into per-label centroid VECTORS via sorted
     collect_list, and the 10-row centroid table broadcast-joins the
-    embeddings scan where zip_with computes dot/cosine inside codegen.
+    embeddings scan where zip_with computes dot/cosine JVM-side (lambda
+    HOFs run interpreted — fine for a 10-way broadcast probe).
     2 shuffles (640-row centroid agg, 10-row final agg) + 1 broadcast
     join, no big-side explode. The DuckDB oracle keeps the independent
     exploded two-join formulation."""

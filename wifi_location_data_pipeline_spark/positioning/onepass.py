@@ -10,7 +10,10 @@ passes over the fact table.
 Every phase keys on request_id and every request holds ≤20 observations, so
 the Spark-first shape is: ONE hash aggregate packs each request into an
 array-of-structs row, then every algorithm becomes higher-order array
-expressions (transform/filter/aggregate — JVM-side, codegen'd), and the only
+expressions (transform/filter/aggregate — JVM-side; note lambda HOFs run in
+Spark's INTERPRETED projection path, they disqualify whole-stage codegen —
+still ~0.16 ms/request end-to-end at the 14.5k-request sf1 batch, and the
+≤20-element arrays keep per-row work bounded), and the only
 Python hop is a mapInPandas over the minority of rows whose selection
 includes trilateration/MLE. Physics gating happens on the nested scan array
 before anything is exploded.

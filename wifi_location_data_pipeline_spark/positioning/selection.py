@@ -86,8 +86,9 @@ def _multiplier_expr(table: dict[str, tuple[float, ...]], class_col: str):
 
     A constant decision table evaluated per row belongs in the projection, not
     in a join: the four broadcast hash joins this replaces each cost a
-    broadcast exchange + job in every run of the plan, while the CASE chain is
-    folded into the same whole-stage-codegen'd select."""
+    broadcast exchange + job in every run of the plan, while the CASE chain
+    folds into the surrounding select (codegen'd when the stage carries no
+    lambda HOFs; interpreted-projection otherwise — either way, no join)."""
     expr = None
     for klass, mults in table.items():
         inner = None
