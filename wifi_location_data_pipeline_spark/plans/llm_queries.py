@@ -694,11 +694,12 @@ def _minhash_spark_fn(spark, sf_dir):
         .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # broadcast the SMALL side (candidate pairs ~ O(true near-dups)), never
-    # the signature table; exact-Jaccard verification is a per-pair
-    # array_intersect over the two docs' (distinct) base arrays — identical
-    # to the SQL spec's common-base join-count, without re-shuffling the
-    # exploded base relation twice
+    # exact-Jaccard verification is a per-pair array_intersect over the two
+    # docs' (distinct) base arrays — identical to the SQL spec's common-base
+    # join-count, without re-shuffling the exploded base relation twice.
+    # No forced broadcast of the pair set: it is O(true near-dups) and AQE
+    # broadcasts it when it fits, but at pathological dup rates (a 100 TB
+    # crawl can be 30%+ near-dup) it is the LARGE side and must shuffle.
     a = arrs.select(
         F2.col("doc_id").alias("doc_a"),
         F2.col("bases").alias("ba"),
@@ -709,7 +710,7 @@ def _minhash_spark_fn(spark, sf_dir):
         F2.col("bases").alias("bb"),
         F2.col("n_sh").alias("nb"),
     )
-    j = a.join(F2.broadcast(cand), "doc_a").join(b, "doc_b")
+    j = a.join(cand, "doc_a").join(b, "doc_b")
     n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
     jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
     return (
