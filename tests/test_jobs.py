@@ -203,3 +203,24 @@ def test_comparison_scenario_decision_tree(spark):
     assert out["r13"]["haversine_distance_m"] is None
     assert out["r13"]["expected_uncertainty_m"] is None
     assert out["r13"]["confidence_ratio"] is None
+
+
+def test_shingle_kernel_null_and_short_text():
+    """The Arrow shingle kernel must mirror the SQL spec's NULL semantics:
+    ``WHERE size(split(text,' ')) >= n`` drops NULL text (size(NULL) = -1)
+    and sub-n-token docs, without crashing the batch (a NULL text in a
+    user-supplied corpus killed the whole dedup job before the guard)."""
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        _batch_shingle_bases,
+    )
+
+    keep, counts, offsets, bases = _batch_shingle_bases(
+        [None, "a b", "a b c d", float("nan"), "x y z"], 3
+    )
+    assert keep == [2, 4]          # NULL, 2-token, and NaN rows dropped
+    assert list(counts) == [2, 1]  # "a b c d" -> 2 shingles, "x y z" -> 1
+    assert list(offsets) == [0, 2]
+    import hashlib
+
+    exp = int(hashlib.md5(b"a b c").hexdigest()[:15], 16)
+    assert bases[0] == exp         # bit-identical to conv(substr(md5,1,15),16,10)

@@ -375,9 +375,10 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     single Arrow-batched shingle+md5 pass shared with MinHash (bases are the
     60-bit md5-derived hashes of ``_minhash_based_sql``: 8-byte longs
     shuffle far cheaper than ~20-char strings, and both dialects hash the
-    same strings with the same md5, so a (cosmically unlikely) hash
-    collision is the SAME collision on both sides — parity is
-    unconditional).
+    same strings with the same md5, so a cross-doc collision is the SAME
+    collision on both sides; the one asymmetry left is a WITHIN-doc 60-bit
+    collision, where array_intersect dedups what the oracle's join-count
+    counts twice — ~2^-60 per shingle pair, see ``_verify_pairs_jaccard``).
 
     The pair generation is an inverted-index doc-list walk, not a
     self-join: group shingle hashes to a sorted doc list per hash (df-cap
@@ -417,6 +418,21 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    return _verify_pairs_jaccard(arrs, pairs)
+
+
+def _verify_pairs_jaccard(arrs, pairs, threshold: float = 0.8):
+    """Exact-Jaccard verification shared by the MinHash and ngram paths:
+    join the candidate pair set against the per-doc signature table twice
+    and intersect base arrays — identical to the SQL spec's common-base
+    join-count (up to within-doc 60-bit collisions, which dedup here but
+    double-count in the join form — ~2^-60 per shingle pair), without
+    re-shuffling an exploded base relation. No forced broadcast of the
+    pair set: it is O(true near-dups) and AQE broadcasts it when it fits,
+    but at pathological dup rates (a large crawl can be 30%+ near-dup) it
+    is the LARGE side and must shuffle."""
+    from pyspark.sql import functions as F2
+
     a = arrs.select(
         F2.col("doc_id").alias("doc_a"),
         F2.col("bases").alias("ba"),
@@ -427,14 +443,11 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
         F2.col("bases").alias("bb"),
         F2.col("n_sh").alias("nb"),
     )
-    # the pair set is O(true near-dups × blocking keys) after distinct —
-    # small relative to the corpus; AQE broadcasts it at runtime (no
-    # explicit broadcast: at pathological dup rates it is the large side)
     j = a.join(pairs, "doc_a").join(b, "doc_b")
     n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
     jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
     return (
-        j.filter(jac >= 0.8)
+        j.filter(jac >= threshold)
         .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
     )
 
@@ -455,14 +468,18 @@ def _batch_shingle_bases(texts, n: int):
     bases (first 15 hex chars as int, computed as big-endian u64 of
     digest[:8] >> 4 — bit-identical to the SQL spec's
     conv(substr(md5(s),1,15),16,10)). Returns (kept row indexes, per-doc
-    counts, flat int64 base array); docs with < n tokens are dropped (the
-    SQL spec's WHERE size(w) >= n)."""
+    counts, per-doc segment offsets, flat int64 base array); docs with < n
+    tokens — including NULL text, which the SQL spec's
+    ``WHERE size(split(text,' ')) >= n`` also drops (size(NULL) = -1) —
+    are skipped."""
     import hashlib
 
     import numpy as np
 
     keep, counts, digests = [], [], []
     for i, txt in enumerate(texts):
+        if not isinstance(txt, str):
+            continue  # NULL text: the SQL predicate drops it too
         w = txt.split(" ")
         if len(w) < n:
             continue
@@ -474,10 +491,13 @@ def _batch_shingle_bases(texts, n: int):
         keep.append(i)
         counts.append(len(sh))
     if not keep:
-        return [], None, None
+        return [], None, None, None
     u64 = np.frombuffer(b"".join(digests), dtype=">u8")
     bases = (u64 >> np.uint64(4)).astype(np.int64)
-    return keep, np.array(counts, dtype=np.int64), bases
+    counts = np.array(counts, dtype=np.int64)
+    offsets = np.zeros(len(keep), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return keep, counts, offsets, bases
 
 
 def persisted_shingle_bases(spark, sf_dir, n: int = 3):
@@ -504,11 +524,9 @@ def persisted_shingle_bases(spark, sf_dir, n: int = 3):
             ids_all = pdf["doc_id"].to_numpy(np.int64)
             if len(ids_all) == 0:
                 continue
-            keep, counts, bases = _batch_shingle_bases(pdf["text"], n)
+            keep, counts, offsets, bases = _batch_shingle_bases(pdf["text"], n)
             if not keep:
                 continue
-            offsets = np.zeros(len(keep), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
             yield pd.DataFrame(
                 {"doc_id": ids_all[keep], "bases": np.split(bases, offsets[1:])}
             )
@@ -634,11 +652,9 @@ def minhash_signature_table(spark, sf_dir):
             ids_all = pdf["doc_id"].to_numpy(np.int64)
             if len(ids_all) == 0:
                 continue
-            keep, counts, bases = _batch_shingle_bases(pdf["text"], 3)
+            keep, counts, offsets, bases = _batch_shingle_bases(pdf["text"], 3)
             if not keep:
                 continue
-            offsets = np.zeros(len(keep), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
             bmod = bases % P
             cols = {"doc_id": ids_all[keep], "n_sh": counts}
             for j, (a, b) in enumerate(coeffs):
@@ -694,29 +710,7 @@ def _minhash_spark_fn(spark, sf_dir):
         .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification is a per-pair array_intersect over the two
-    # docs' (distinct) base arrays — identical to the SQL spec's common-base
-    # join-count, without re-shuffling the exploded base relation twice.
-    # No forced broadcast of the pair set: it is O(true near-dups) and AQE
-    # broadcasts it when it fits, but at pathological dup rates (a 100 TB
-    # crawl can be 30%+ near-dup) it is the LARGE side and must shuffle.
-    a = arrs.select(
-        F2.col("doc_id").alias("doc_a"),
-        F2.col("bases").alias("ba"),
-        F2.col("n_sh").alias("na"),
-    )
-    b = arrs.select(
-        F2.col("doc_id").alias("doc_b"),
-        F2.col("bases").alias("bb"),
-        F2.col("n_sh").alias("nb"),
-    )
-    j = a.join(cand, "doc_a").join(b, "doc_b")
-    n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
-    jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
-    return (
-        j.filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
-    )
+    return _verify_pairs_jaccard(arrs, cand)
 
 
 register(
@@ -2542,14 +2536,66 @@ FROM scored
 """
 
 
+def _unigram_logprob_spark_fn(spark, sf_dir):
+    """Spark side of the unigram LM score with the token-count relation
+    persisted ONCE: executing the dual-dialect SQL directly re-inlines the
+    toks/counts CTEs (4 explodes + 3 full-token GROUP BYs per run — the
+    same WITH re-expansion this module documents for decontamination).
+    Here `counts` is built and cached once; vocab (LIMIT 64), the corpus
+    total (one-row aggregate, broadcast via crossJoin), and the scoring
+    join all read it or the cheap re-exploded token stream."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    toks = spark.sql(
+        "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(F2.count("*").cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _maybe_eager(counts)
+    tot = counts.agg(F2.sum("c").cast("double").alias("n"))
+    vocab = (
+        counts.orderBy(F2.col("c").desc(), "tok")
+        .limit(_UNIGRAM_VOCAB)
+        .crossJoin(F2.broadcast(tot))
+        .select("tok", (F2.log(F2.col("c").cast("double") / F2.col("n"))).alias("lp"))
+    )
+    oov = tot.select(F2.log(0.5 / F2.col("n")).alias("oov_lp"))
+    scored = (
+        toks.join(F2.broadcast(vocab), "tok", "left")
+        .crossJoin(F2.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F2.count("*").cast("long").alias("n_tok"),
+            F2.sum(F2.col("lp").isNull().cast("int")).cast("long").alias("n_oov"),
+            F2.avg(F2.coalesce("lp", "oov_lp")).alias("mean_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        F2.round("mean_lp", 4).alias("mean_logprob"),
+        (F2.col("n_oov") * 2 > F2.col("n_tok")).alias("oov_heavy"),
+    )
+
+
 register(
     "unigram_logprob_score",
     "Unigram LM quality score: per-doc mean token log-probability under "
     "the corpus' truncated top-64 unigram distribution with an OOV floor "
     "(0.5/total) — the perplexity-filter proxy of pretraining pipelines; "
     "vocab stays broadcast-sized at any corpus scale, scoring is one "
-    "broadcast join + one per-doc re-aggregation.",
-    sql=_unigram_logprob_sql,
+    "broadcast join + one per-doc re-aggregation over a once-persisted "
+    "token-count relation.",
+    sql=lambda d: None if d == "spark" else _unigram_logprob_sql(d),
+    spark_fn=_unigram_logprob_spark_fn,
 )
 
 
