@@ -74,6 +74,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "≤2 hour buckets (plus the 1-row min-ts scalar) — O(2m) probe rows, "
         "never n·m; the candidate join itself is the bucket equi-join"
     ),
+    "unigram_logprob_score": (
+        "two ONE-ROW scalar broadcasts (corpus token total, OOV floor "
+        "log-prob) attached via crossJoin — the SQL scalar-subquery "
+        "pattern; the vocab join itself is a broadcast hash equi-join"
+    ),
 }
 
 
