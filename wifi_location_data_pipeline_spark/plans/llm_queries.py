@@ -2599,6 +2599,83 @@ register(
 )
 
 
+def _strategy_agreement_spark_fn(spark, sf_dir):
+    """Blocking-strategy agreement: the tuning measurement a production
+    dedup pipeline runs before trusting a probabilistic blocker. Both
+    strategies verify the SAME exact Jaccard ≥ 0.8, so every difference is
+    pure blocking recall: rare-shingle blocking misses pairs whose shared
+    shingles are all hot (df > cap); MinHash-LSH banding misses pairs whose
+    12-hash signatures never collide in any band (P[miss] = (1-j^3)^4,
+    ~1.7% at j = 0.8). One row: pair counts, overlap, and each side's
+    recall against the union of verified pairs. Runs both existing
+    pipelines and joins their (tiny) verified-pair outputs — cost is the
+    two pipelines themselves, the agreement math is free."""
+    from pyspark.sql import functions as F2
+
+    lsh = _minhash_spark_fn(spark, sf_dir).select("doc_a", "doc_b")
+    blocked = _ngram_jaccard_spark_fn(spark, sf_dir).select("doc_a", "doc_b")
+    j = lsh.withColumn("in_lsh", F2.lit(1)).join(
+        blocked.withColumn("in_blk", F2.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    six = lambda c: (F2.floor(c * 1e6 + F2.lit(0.5)) / F2.lit(1e6)).cast("double")
+    return j.agg(
+        F2.sum(F2.coalesce("in_lsh", F2.lit(0))).cast("long").alias("n_lsh"),
+        F2.sum(F2.coalesce("in_blk", F2.lit(0))).cast("long").alias("n_blocked"),
+        F2.sum(
+            (F2.col("in_lsh").isNotNull() & F2.col("in_blk").isNotNull()).cast("int")
+        )
+        .cast("long")
+        .alias("n_both"),
+        F2.count("*").cast("long").alias("n_union"),
+    ).select(
+        "n_lsh",
+        "n_blocked",
+        "n_both",
+        "n_union",
+        six(F2.col("n_lsh").cast("double") / F2.col("n_union")).alias("lsh_recall"),
+        six(F2.col("n_blocked").cast("double") / F2.col("n_union")).alias(
+            "blocked_recall"
+        ),
+    )
+
+
+def _strategy_agreement_duck_sql(d: str) -> str | None:
+    if d == "spark":
+        return None
+    return f"""
+WITH lsh AS (SELECT doc_a, doc_b FROM ({_minhash_duck_sql(d)})),
+blk AS (SELECT doc_a, doc_b FROM ({_ngram_jaccard_duck_sql(d)})),
+j AS (
+  SELECT COALESCE(l.doc_a, b.doc_a) AS doc_a,
+    l.doc_a IS NOT NULL AS in_lsh, b.doc_a IS NOT NULL AS in_blk
+  FROM lsh l FULL JOIN blk b ON l.doc_a = b.doc_a AND l.doc_b = b.doc_b
+)
+SELECT
+  CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+  CAST(SUM(CASE WHEN in_blk THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+  CAST(SUM(CASE WHEN in_lsh AND in_blk THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  FLOOR(CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+    / CAST(1e6 AS DOUBLE) AS lsh_recall,
+  FLOOR(CAST(SUM(CASE WHEN in_blk THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+    / CAST(1e6 AS DOUBLE) AS blocked_recall
+FROM j
+"""
+
+
+register(
+    "dedup_strategy_agreement",
+    "Blocking-strategy agreement: MinHash-LSH banding vs rare-shingle "
+    "blocking over the SAME exact-Jaccard >= 0.8 verification — pair "
+    "counts, overlap, and per-strategy recall against the union. The "
+    "tuning measurement that tells a pipeline whether its probabilistic "
+    "blocker's miss rate ((1-j^b)^r for LSH) is acceptable before a "
+    "corpus-wide run.",
+    sql=_strategy_agreement_duck_sql,
+    spark_fn=_strategy_agreement_spark_fn,
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 training-mix extensions: paragraph-level dedup, canonical pick
 # ---------------------------------------------------------------------------

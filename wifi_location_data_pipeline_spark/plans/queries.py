@@ -2655,6 +2655,7 @@ _TAIL = (
     "gopher_rule_filters",
     "url_domain_mixture",
     "unigram_logprob_score",
+    "dedup_strategy_agreement",
     # rotated out round 5 (driver-green rounds 1-4; see block comment):
     "bssid_format_filter",
     "ap_quality_metrics",
