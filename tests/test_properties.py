@@ -208,3 +208,39 @@ def test_combiner_single_position_passes_through(spark):
         assert math.isclose(o["latitude"], r["latitude"], abs_tol=1e-12), rid
         assert math.isclose(o["longitude"], r["longitude"], abs_tol=1e-12), rid
         assert math.isclose(o["altitude"], r["altitude"], abs_tol=1e-12), rid
+
+
+def test_shingle_kernel_matches_sql_spec_on_arbitrary_unicode(spark):
+    """The Arrow shingle kernel (_batch_shingle_bases) must be bit-identical
+    to the SQL spec — split(text,' ') → 3-gram array_distinct shingles →
+    conv(substr(md5(shingle),1,15),16,10) — for arbitrary unicode text,
+    including NULs, control chars, repeated/leading/trailing spaces (empty
+    tokens!), newlines, and NULL rows. One Spark job for the whole corpus."""
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        _batch_shingle_bases,
+    )
+
+    corpus = _text_corpus(n=150, seed=20260815) + [
+        "a  b   c    d",          # empty tokens between multi-spaces
+        " leading and trailing ", # boundary empty tokens
+        "x y z",                  # minimal 1-shingle doc
+        None,                     # NULL text row
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    rows = df.selectExpr(
+        "doc_id",
+        "transform(array_distinct(transform(sequence(1, size(split(text,' ')) - 2),"
+        " i -> concat(element_at(split(text,' '), i), ' ',"
+        " element_at(split(text,' '), i + 1), ' ',"
+        " element_at(split(text,' '), i + 2)))),"
+        " s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)) AS bases",
+    ).where("size(split(text,' ')) >= 3").collect()
+    sql_bases = {r["doc_id"]: list(r["bases"]) for r in rows}
+
+    keep, counts, offsets, bases = _batch_shingle_bases(corpus, 3)
+    kernel_bases = {
+        i: list(bases[o : o + c]) for i, c, o in zip(keep, counts, offsets)
+    }
+    assert kernel_bases == sql_bases
