@@ -2663,6 +2663,184 @@ FROM j
 """
 
 
+SUBSTR_WIN = 24  # token window for exact-substring dedup; stride 1
+
+
+def _substring_spans_sql(d: str) -> str:
+    """Exact-substring duplicate spans (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): every stride-1
+    {SUBSTR_WIN}-token window is hashed; windows whose hash appears in 2+
+    documents mark verbatim cross-document repetition; overlapping hits in
+    a document merge into maximal spans via interval gaps-and-islands
+    (a new span starts where a window's position exceeds the running MAX
+    of previous span ends — plain consecutive-position islands would
+    double-count partially-overlapping windows).
+
+    Scale shape: the window relation is built array-native per document
+    (one slice+md5 per window, no token explode) and carries ~(tokens)
+    rows of (60-bit hash, doc_id, pos) into one GROUP BY for the shared
+    set; the island pass is one per-doc window sort. Output integers are
+    exact, so cross-engine hashing is unconditional."""
+    W = SUBSTR_WIN
+    if d == "spark":
+        wins = f"""
+  SELECT doc_id, s.p, s.h FROM (
+    SELECT doc_id, explode(transform(sequence(1, size(w) - {W - 1}),
+      i -> struct(i AS p,
+        {hex_to_bigint(d, f"substr(md5(concat_ws(' ', slice(w, i, {W}))), 1, 15)")} AS h))) AS s
+    FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+    WHERE size(w) >= {W}) x"""
+    else:
+        wins = f"""
+  SELECT doc_id, unnest(generate_series(1, len(w) - {W - 1})) AS p,
+    unnest([{hex_to_bigint(d, f"substr(md5(list_aggregate(w[i:i+{W - 1}], 'string_agg', ' ')), 1, 15)")}
+            FOR i IN generate_series(1, len(w) - {W - 1})]) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+  WHERE len(w) >= {W}"""
+    return f"""
+WITH wins AS ({wins}),
+shared AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT doc_id, p, p + {W - 1} AS e FROM wins WHERE h IN (SELECT h FROM shared)
+),
+flagged AS (
+  SELECT doc_id, p, e,
+    CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+  FROM m
+),
+islands AS (
+  SELECT doc_id, e, new_span,
+    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS UNBOUNDED PRECEDING) AS span_id,
+    p
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(p) AS s, MAX(e) AS e,
+    CAST(COUNT(*) AS BIGINT) AS n_wins
+  FROM islands GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+  CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows
+FROM spans GROUP BY doc_id
+"""
+
+
+def _substring_spans_spark_fn(spark, sf_dir):
+    """Spark side with the window relation persisted ONCE (the dual-dialect
+    SQL references the wins CTE twice — shared-set build and match — and
+    Spark re-inlines WITH references, doubling the slice+md5 window build;
+    the known re-expansion cost this module documents). Windows come from
+    the same Arrow pattern as the shingle kernels: hashlib md5 at C speed
+    over stride-1 token windows, positions carried alongside."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir)
+    docs = spark.sql(f"SELECT doc_id, text FROM {src}")
+    W = SUBSTR_WIN
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def to_wins(batches):
+        for pdf in batches:
+            ids_all = pdf["doc_id"].to_numpy(np.int64)
+            if len(ids_all) == 0:
+                continue
+            ids, pos, digests = [], [], []
+            for i, txt in enumerate(pdf["text"]):
+                if not isinstance(txt, str):
+                    continue
+                w = txt.split(" ")
+                nw = len(w) - W + 1
+                if nw < 1:
+                    continue
+                digests.append(
+                    b"".join(
+                        hashlib.md5(" ".join(w[p : p + W]).encode()).digest()[:8]
+                        for p in range(nw)
+                    )
+                )
+                ids.append(np.full(nw, ids_all[i], dtype=np.int64))
+                pos.append(np.arange(1, nw + 1, dtype=np.int64))
+            if not ids:
+                continue
+            u64 = np.frombuffer(b"".join(digests), dtype=">u8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "p": np.concatenate(pos),
+                    "h": (u64 >> np.uint64(4)).astype(np.int64),
+                }
+            )
+
+    wins = docs.mapInPandas(to_wins, "doc_id long, p long, h long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _maybe_eager(wins)
+    # "2+ distinct docs" as min(doc) != max(doc): same set as
+    # COUNT(DISTINCT doc_id) >= 2 but with cheap map-side-combinable
+    # partial aggregates instead of a per-group distinct structure
+    shared = (
+        wins.groupBy("h")
+        .agg(F2.min("doc_id").alias("d0"), F2.max("doc_id").alias("d1"))
+        .filter(F2.col("d0") != F2.col("d1"))
+        .select("h")
+    )
+    m = wins.join(shared, "h").select(
+        "doc_id", "p", (F2.col("p") + (W - 1)).alias("e")
+    )
+    prev = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = (
+        m.withColumn(
+            "new_span",
+            (F2.col("p") > F2.coalesce(F2.max("e").over(prev), F2.lit(-1))).cast(
+                "int"
+            ),
+        )
+        .withColumn("span_id", F2.sum("new_span").over(run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F2.min("p").alias("s"),
+            F2.max("e").alias("e2"),
+            F2.count("*").alias("nw"),
+        )
+    )
+    return spans.groupBy("doc_id").agg(
+        F2.count("*").cast("long").alias("n_spans"),
+        F2.sum(F2.col("e2") - F2.col("s") + 1).cast("long").alias("dup_tokens"),
+        F2.sum("nw").cast("long").alias("n_dup_windows"),
+    )
+
+
+register(
+    "substring_dup_spans",
+    f"Exact-substring duplicate spans (Lee et al. 2022): stride-1 "
+    f"{SUBSTR_WIN}-token window hashes shared by 2+ docs, overlapping hits "
+    "merged into maximal spans by interval gaps-and-islands — per-doc span "
+    "count, duplicated-token total, matched-window count. Finds verbatim "
+    "repeated passages that segment-aligned paragraph_dedup misses; "
+    "window relation built once by an Arrow kernel (no token explode).",
+    sql=lambda d: None if d == "spark" else _substring_spans_sql(d),
+    spark_fn=_substring_spans_spark_fn,
+)
+
+
 register(
     "dedup_strategy_agreement",
     "Blocking-strategy agreement: MinHash-LSH banding vs rare-shingle "

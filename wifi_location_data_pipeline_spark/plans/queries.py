@@ -2656,6 +2656,7 @@ _TAIL = (
     "url_domain_mixture",
     "unigram_logprob_score",
     "dedup_strategy_agreement",
+    "substring_dup_spans",
     # rotated out round 5 (driver-green rounds 1-4; see block comment):
     "bssid_format_filter",
     "ap_quality_metrics",
