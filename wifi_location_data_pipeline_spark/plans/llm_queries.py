@@ -320,6 +320,9 @@ GROUP BY md5(trim(lower(text)))
 )
 
 NGRAM_DF_CAP = 50  # max document frequency for a blocking shingle
+NGRAM_ARRAY_VERIFY_MAX_PAIRS = 200_000  # measured break-even between the
+# array-intersect verify (wins when candidates ≈ true near-dups) and the
+# join-count verify (wins when blocking generates O(Σ df²) candidates)
 
 
 def _ngram_jaccard_duck_sql(d: str) -> str | None:
@@ -386,26 +389,41 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     comprehension — narrow, JVM-side (interpreted: lambda HOFs skip
     whole-stage codegen), no join build/probe, and one fewer shuffle than
     the equi-self-join (which cost ~2.5 s on its own here).
-    Verification is size(array_intersect) over the two docs' base arrays on
-    the DISTINCT blocked pairs — exact over ALL common shingles (a pair
-    blocked by a rare shingle is scored across its hot shingles too), with
-    no hot add-back join and no sizes joins: the earlier form re-joined the
-    exploded hot relation twice and the sizes relation twice per pair.
+
+    Verification is ADAPTIVE by candidate volume, decided from one tiny
+    aggregate over the cached block lists (Σ C(df,2), the exact generated-
+    pair count): the blocked candidate set is O(Σ df²) and only the true
+    near-dups survive — 1.1M candidates → 256 survivors at sf0.1, where
+    the array form drags two ~52-element arrays through a 1.1M-row join
+    and pays interpreted array_intersect per candidate (measured 13.5 s
+    vs ~2.5 s for the join-count form whose n_rare falls out of the pair
+    generation's own GROUP BY for free). At sf1 the 10× document
+    frequencies push most blocking keys past the df-cap, candidates
+    collapse to O(true near-dups), and the array verify wins (2.2 s vs
+    4.8 s). Neither regime is knowable statically at 100 TB — it depends
+    on the corpus' dup structure — so the operator measures and picks.
+    Shared HOT shingles (df > cap) are covered either way: array verify
+    intersects FULL base sets; join-count adds them back from a second
+    small join.
 
     Gotcha encoded below: Spark's ``sequence(1, 0)`` DESCENDS (it is not
     empty), so single-doc lists must be filtered out before pair-gen.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
     arrs = minhash_signature_table(spark, sf_dir)
+    based = arrs.select("doc_id", F2.explode("bases").alias("base"))
+    sizes = arrs.select("doc_id", "n_sh")
     blists = (
-        arrs.select("doc_id", F2.explode("bases").alias("base"))
-        .groupBy("base")
+        based.groupBy("base")
         .agg(F2.array_sort(F2.collect_list("doc_id")).alias("ds"))
-        .filter((F2.size("ds") >= 2) & (F2.size("ds") <= NGRAM_DF_CAP))
+        .filter(F2.size("ds") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pairs = (
-        blists.select(
+    rare_pairs = (
+        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
+        .select(
             F2.explode(
                 F2.expr(
                     "flatten(transform(sequence(1, size(ds) - 1), "
@@ -416,9 +434,56 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
-    return _verify_pairs_jaccard(arrs, pairs)
+    n_cand = (
+        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
+        .agg(
+            F2.sum(
+                F2.size("ds").cast("long") * (F2.size("ds").cast("long") - 1) / 2
+            ).alias("n")
+        )
+        .first()["n"]
+        or 0
+    )
+    if n_cand <= NGRAM_ARRAY_VERIFY_MAX_PAIRS:
+        return _verify_pairs_jaccard(arrs, rare_pairs.distinct())
+    hot = blists.filter(F2.size("ds") > NGRAM_DF_CAP).select(
+        "base", F2.explode("ds").alias("doc_id")
+    )
+    nr = (
+        rare_pairs.groupBy("doc_a", "doc_b")
+        .agg(F2.count("*").alias("n_rare"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # add back shared HOT shingles so n_common spans the full shingle sets
+    nh = (
+        nr.alias("p")
+        .join(hot.alias("ha"), F2.col("p.doc_a") == F2.col("ha.doc_id"))
+        .join(
+            hot.alias("hb"),
+            (F2.col("p.doc_b") == F2.col("hb.doc_id"))
+            & (F2.col("hb.base") == F2.col("ha.base")),
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F2.count("*").alias("n_hot"))
+    )
+    inter = nr.join(nh, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F2.col("n_rare") + F2.coalesce(F2.col("n_hot"), F2.lit(0))).alias("n_common"),
+    )
+    jac = F2.col("n_common").cast("double") / (
+        F2.col("za.n_sh") + F2.col("zb.n_sh") - F2.col("n_common")
+    )
+    # sizes (one row per doc) joins onto the pair relation; AQE picks
+    # broadcast when a side fits — never force-broadcast the pair set, it
+    # is the potentially-large side at scale
+    return (
+        inter.join(sizes.alias("za"), F2.col("doc_a") == F2.col("za.doc_id"))
+        .join(sizes.alias("zb"), F2.col("doc_b") == F2.col("zb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F2.round(jac, 4).alias("jaccard"))
+    )
 
 
 def _verify_pairs_jaccard(arrs, pairs, threshold: float = 0.8):
