@@ -363,7 +363,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
 """
 
 
-def _ngram_jaccard_spark_fn(spark, sf_dir):
+def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None):
     """N-gram Jaccard with a document-frequency cap on the blocking key.
 
     The round-2 form blocked candidates on raw shingle equality: one hot
@@ -412,7 +412,8 @@ def _ngram_jaccard_spark_fn(spark, sf_dir):
     from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
-    arrs = minhash_signature_table(spark, sf_dir)
+    if arrs is None:
+        arrs = minhash_signature_table(spark, sf_dir)
     based = arrs.select("doc_id", F2.explode("bases").alias("base"))
     sizes = arrs.select("doc_id", "n_sh")
     blists = (
@@ -736,7 +737,7 @@ def minhash_signature_table(spark, sf_dir):
     return _maybe_eager(arrs)
 
 
-def _minhash_spark_fn(spark, sf_dir):
+def _minhash_spark_fn(spark, sf_dir, arrs=None):
     """MinHash+LSH from the per-doc signature table (one Arrow pass, zero
     signature shuffles); banding + candidate equi-join stay JVM-side and
     verification is size(array_intersect) over the two docs' base arrays —
@@ -744,7 +745,8 @@ def _minhash_spark_fn(spark, sf_dir):
     spec lives on as the DuckDB oracle (``_minhash_duck_sql``)."""
     from pyspark.sql import functions as F2
 
-    arrs = minhash_signature_table(spark, sf_dir)
+    if arrs is None:
+        arrs = minhash_signature_table(spark, sf_dir)
     bands = arrs.select(
         "doc_id",
         F2.explode(
@@ -2677,8 +2679,13 @@ def _strategy_agreement_spark_fn(spark, sf_dir):
     two pipelines themselves, the agreement math is free."""
     from pyspark.sql import functions as F2
 
-    lsh = _minhash_spark_fn(spark, sf_dir).select("doc_a", "doc_b")
-    blocked = _ngram_jaccard_spark_fn(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE signature-table build shared by both pipelines (each would
+    # otherwise kernel-build and persist its own copy of the same relation)
+    arrs = minhash_signature_table(spark, sf_dir)
+    lsh = _minhash_spark_fn(spark, sf_dir, arrs=arrs).select("doc_a", "doc_b")
+    blocked = _ngram_jaccard_spark_fn(spark, sf_dir, arrs=arrs).select(
+        "doc_a", "doc_b"
+    )
     j = lsh.withColumn("in_lsh", F2.lit(1)).join(
         blocked.withColumn("in_blk", F2.lit(1)), ["doc_a", "doc_b"], "full"
     )
