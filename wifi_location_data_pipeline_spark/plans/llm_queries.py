@@ -80,8 +80,13 @@ def spread_documents_src(spark, sf_dir) -> str:
         # single FILE (the test corpus): size known, scan is 1 task/row-group.
         # A directory layout (any real lakehouse) raises -> plain table, no
         # shuffle: its scan is already as parallel as the storage allows.
+        # Floor at ~16 KB text/task: every consumer is now an Arrow kernel
+        # (hashlib md5 over shingles/windows — CPU-bound Python), so spread
+        # to the full core count as soon as the corpus can feed it; the old
+        # 64 KB floor was tuned for the retired JVM HOF builders and left
+        # sf0.1 on 10 of 32 cores.
         sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-        target = min(spark.sparkContext.defaultParallelism, sz // (64 << 10) + 1)
+        target = min(spark.sparkContext.defaultParallelism, sz // (16 << 10) + 1)
     except OSError:
         target = 1
     if target <= 1:
