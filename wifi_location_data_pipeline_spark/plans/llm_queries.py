@@ -65,12 +65,7 @@ def spread_documents_src(spark, sf_dir) -> str:
     # in-place at the same sf_dir must rebuild the view (else the shingle /
     # simhash / ngram queries silently read stale data or fail on deleted
     # files). Mirrors queries._corpus_fingerprint for the same reason.
-    try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        fp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fp = ()
-    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
     hit = _SPREAD_SRC.get(key)
     if hit is not None:
         return hit
@@ -329,6 +324,20 @@ NGRAM_ARRAY_VERIFY_MAX_PAIRS = 200_000  # measured break-even between the
 # array-intersect verify (wins when candidates ≈ true near-dups) and the
 # join-count verify (wins when blocking generates O(Σ df²) candidates)
 
+_NGRAM_REGIME: dict = {}  # (app, sf_dir, corpus fp) -> Σ C(df,2) decision
+
+
+def _corpus_fp(sf_dir: str) -> tuple:
+    """(mtime_ns, size) fingerprint of the documents table — the shared
+    memo-key component of spread_documents_src / minhash_signature_table /
+    the ngram regime decision, so an in-place corpus regeneration at the
+    same path invalidates every derived memo together."""
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
 
 def _ngram_jaccard_duck_sql(d: str) -> str | None:
     if d == "spark":
@@ -421,14 +430,29 @@ def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None):
         arrs = minhash_signature_table(spark, sf_dir)
     based = arrs.select("doc_id", F2.explode("bases").alias("base"))
     sizes = arrs.select("doc_id", "n_sh")
-    blists = (
+    # per-base stats with the doc list kept ONLY for rare (df <= cap)
+    # shingles: a stop-word-grade hot shingle's list is O(#docs), and while
+    # the aggregation builds it transiently either way, NULLing it before
+    # the persist keeps the cache bound at CAP elements/row. Interior
+    # persists here and on nr are per-invocation; discarded DataFrames are
+    # reclaimed by Spark's ContextCleaner on driver GC (the bench
+    # additionally clearCache()s between attempts).
+    bstats = (
         based.groupBy("base")
-        .agg(F2.array_sort(F2.collect_list("doc_id")).alias("ds"))
-        .filter(F2.size("ds") >= 2)
+        .agg(
+            F2.count("*").alias("df"),
+            F2.array_sort(F2.collect_list("doc_id")).alias("ds0"),
+        )
+        .filter(F2.col("df") >= 2)
+        .select(
+            "base",
+            "df",
+            F2.when(F2.col("df") <= NGRAM_DF_CAP, F2.col("ds0")).alias("ds"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rare_pairs = (
-        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
+        bstats.filter(F2.col("df") <= NGRAM_DF_CAP)
         .select(
             F2.explode(
                 F2.expr(
@@ -441,20 +465,31 @@ def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None):
         )
         .select("p.doc_a", "p.doc_b")
     )
-    n_cand = (
-        blists.filter(F2.size("ds") <= NGRAM_DF_CAP)
-        .agg(
-            F2.sum(
-                F2.size("ds").cast("long") * (F2.size("ds").cast("long") - 1) / 2
-            ).alias("n")
+    # adaptive-verify decision, memoized per (app, corpus fingerprint) so
+    # repeated invocations — and plan-only consumers after the first build
+    # (plan_audit, schema gates) — skip the decision job
+    dkey = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    n_cand = _NGRAM_REGIME.get(dkey)
+    if n_cand is None:
+        n_cand = (
+            bstats.filter(F2.col("df") <= NGRAM_DF_CAP)
+            .agg(
+                F2.sum(
+                    F2.col("df").cast("long") * (F2.col("df").cast("long") - 1) / 2
+                ).alias("n")
+            )
+            .first()["n"]
+            or 0
         )
-        .first()["n"]
-        or 0
-    )
+        for k in [k for k in _NGRAM_REGIME if k[:2] == dkey[:2]]:
+            del _NGRAM_REGIME[k]
+        _NGRAM_REGIME[dkey] = n_cand
     if n_cand <= NGRAM_ARRAY_VERIFY_MAX_PAIRS:
         return _verify_pairs_jaccard(arrs, rare_pairs.distinct())
-    hot = blists.filter(F2.size("ds") > NGRAM_DF_CAP).select(
-        "base", F2.explode("ds").alias("doc_id")
+    # hot (df > cap) membership derives from the cached signature table —
+    # only the bounded (base, df) rows come from the persisted stats
+    hot = based.join(
+        bstats.filter(F2.col("df") > NGRAM_DF_CAP).select("base"), "base"
     )
     nr = (
         rare_pairs.groupBy("doc_a", "doc_b")
@@ -703,12 +738,29 @@ def minhash_signature_table(spark, sf_dir):
     build never shuffles, and downstream verification joins candidates
     (O(true near-dups)) against this 50k-row/sf table instead of the 2.6M-row
     exploded relation — the verify shuffle disappears entirely.
+
+    Memoized per (application, sf_dir, corpus fingerprint) — the same
+    keying as ``spread_documents_src`` — so the three consumers in a suite
+    run (MinHash, ngram Jaccard, strategy agreement) share ONE kernel pass
+    and ONE cache instead of building three copies. On a memo hit the
+    persist marker is re-armed: a caller's ``spark.catalog.clearCache()``
+    (the bench does this between attempts) drops the cached blocks AND the
+    plan's storage registration, and without re-arming every downstream
+    consumer would silently recompute the kernel uncached.
     """
     from pyspark import StorageLevel
 
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    hit = _SIG_TABLE.get(key)
+    if hit is not None:
+        hit.persist(StorageLevel.MEMORY_AND_DISK)  # re-arm after clearCache
+        return hit
+    for k in [k for k in _SIG_TABLE if k[:2] == key[:2]]:
+        del _SIG_TABLE[k]  # evict superseded corpus generations
+
     src = spread_documents_src(spark, sf_dir)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
 
@@ -739,7 +791,11 @@ def minhash_signature_table(spark, sf_dir):
         + ", bases array<long>"
     )
     arrs = docs.mapInPandas(to_sigs, schema).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIG_TABLE[key] = arrs
     return _maybe_eager(arrs)
+
+
+_SIG_TABLE: dict = {}
 
 
 def _minhash_spark_fn(spark, sf_dir, arrs=None):
@@ -2758,17 +2814,10 @@ def _substring_spans_sql(d: str) -> str:
     rows of (60-bit hash, doc_id, pos) into one GROUP BY for the shared
     set; the island pass is one per-doc window sort. Output integers are
     exact, so cross-engine hashing is unconditional."""
-    W = SUBSTR_WIN
     if d == "spark":
-        wins = f"""
-  SELECT doc_id, s.p, s.h FROM (
-    SELECT doc_id, explode(transform(sequence(1, size(w) - {W - 1}),
-      i -> struct(i AS p,
-        {hex_to_bigint(d, f"substr(md5(concat_ws(' ', slice(w, i, {W}))), 1, 15)")} AS h))) AS s
-    FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
-    WHERE size(w) >= {W}) x"""
-    else:
-        wins = f"""
+        return None  # the Spark side is the Arrow-kernel spark_fn below
+    W = SUBSTR_WIN
+    wins = f"""
   SELECT doc_id, unnest(generate_series(1, len(w) - {W - 1})) AS p,
     unnest([{hex_to_bigint(d, f"substr(md5(list_aggregate(w[i:i+{W - 1}], 'string_agg', ' ')), 1, 15)")}
             FOR i IN generate_series(1, len(w) - {W - 1})]) AS h
@@ -2913,7 +2962,7 @@ register(
     "count, duplicated-token total, matched-window count. Finds verbatim "
     "repeated passages that segment-aligned paragraph_dedup misses; "
     "window relation built once by an Arrow kernel (no token explode).",
-    sql=lambda d: None if d == "spark" else _substring_spans_sql(d),
+    sql=_substring_spans_sql,
     spark_fn=_substring_spans_spark_fn,
 )
 
