@@ -224,3 +224,40 @@ def test_shingle_kernel_null_and_short_text():
 
     exp = int(hashlib.md5(b"a b c").hexdigest()[:15], 16)
     assert bases[0] == exp         # bit-identical to conv(substr(md5,1,15),16,10)
+
+
+def test_substring_span_interval_merging(spark):
+    """Planted docs pin the gaps-and-islands span semantics: two documents
+    share a verbatim 26-token passage at different offsets, producing three
+    overlapping 24-token window hits per doc that must merge into ONE
+    26-token span (consecutive-position islands would report 3 windows as
+    separate spans; naive summing would count 72 tokens)."""
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        _substring_spans_spark_fn,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(26))      # 26-token shared passage
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 5)} {shared} {uniq('b', 4)}"),   # passage at offset 6
+        (2, f"{shared} {uniq('c', 10)}"),                 # passage at offset 1
+        (3, uniq("d", 40)),                               # no shared content
+    ]
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ssp_unit_")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    for f in os.listdir(sf_dir):  # register_views wants the full table set
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copyfile(os.path.join(sf_dir, f), os.path.join(d, f))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["n_dup_windows"])
+        for r in _substring_spans_spark_fn(spark, d).collect()
+    }
+    # 26-token passage -> 3 stride-1 windows of 24 tokens; merged span = 26
+    assert got == {1: (1, 26, 3), 2: (1, 26, 3)}
