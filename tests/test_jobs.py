@@ -261,3 +261,37 @@ def test_substring_span_interval_merging(spark):
     }
     # 26-token passage -> 3 stride-1 windows of 24 tokens; merged span = 26
     assert got == {1: (1, 26, 3), 2: (1, 26, 3)}
+
+
+def test_signature_table_memo_rearms_and_invalidates(spark):
+    """minhash_signature_table memo contract: same corpus -> same DataFrame
+    (one kernel build shared by all consumers); catalog.clearCache() must
+    RE-ARM the persist on the next hit (without it every consumer would
+    silently recompute the kernel uncached); regenerating the corpus
+    in-place must miss the memo (fingerprint keying — the round-5 ADVICE
+    staleness class)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        minhash_signature_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="sig_memo_")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copyfile(os.path.join(sf_dir, f), os.path.join(d, f))
+
+    t1 = minhash_signature_table(spark, d)
+    assert minhash_signature_table(spark, d) is t1          # memo hit
+    assert t1.storageLevel.useMemory
+    spark.catalog.clearCache()
+    t2 = minhash_signature_table(spark, d)
+    assert t2 is t1 and t2.storageLevel.useMemory           # re-armed
+    # in-place regeneration (mtime changes) -> memo miss, fresh build
+    time.sleep(0.01)
+    os.utime(os.path.join(d, "documents.parquet"))
+    assert minhash_signature_table(spark, d) is not t1
