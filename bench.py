@@ -156,6 +156,24 @@ def main() -> None:
         and not only
         and sf_val == 0.1
     ):
+        # emit the sf0.1 result BEFORE starting the (long) sf1 pass: if a
+        # harness-side timeout kills the process mid-sf1, the captured tail
+        # still ends in a complete, parseable summary line for the primary
+        # scale instead of nothing
+        sys.stdout.flush()
+        print(json.dumps(result))
+        print(
+            json.dumps(
+                {
+                    "metric": result["metric"],
+                    "value": result["value"],
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(timings),
+                }
+            )
+        )
+        sys.stdout.flush()
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_bench")
         try:
             _ensure_sf1_corpus(sf_dir, sf1_dir)
