@@ -1082,14 +1082,20 @@ EMB_DIM = 64  # the corpus embedding length (all SFs; checked at generation)
 # Dedup-LSH shape: collisions per table scale ~n²/2^k, so k must grow with
 # log2(n) to keep the verify stage linear — the sf1 scaling run (20k
 # vectors, fixed k=8) showed the candidate set and the exact-cosine verify
-# behind it growing ~29× on 10× data. The Spark path therefore picks k
-# adaptively (emb_lsh_k below): k=8 up to 4096 vectors — the regime every
-# oracle comparison runs in (sf0.001/0.01), matching the static DuckDB
-# oracle — then ceil(log2 n)+1 beyond, which holds expected junk
-# candidates per table (n²/2^(k+1)) roughly constant. True near-dup pairs
+# behind it growing ~29× on 10× data. Both engines therefore pick k
+# adaptively (emb_lsh_k below; the oracle computes the same k in-SQL from
+# COUNT(*)): k=8 up to 4096 vectors, then min(K_MAX, ceil(log2 n)+1),
+# which holds expected junk candidates per table (n²/2^(k+1)) roughly
+# constant. Plane layout is PREFIX-stable: each table reserves K_MAX
+# planes and uses the FIRST k as an MSB-first bucket, so the oracle can
+# derive any k's bucket from the full K_MAX-bit value with one dynamic
+# right-shift — cross-engine parity holds at EVERY scale (the earlier
+# static-k=8 oracle silently diverged above 4096 vectors: at sf2 it
+# emitted 16,862 pairs vs the adaptive side's 450). True near-dup pairs
 # (cosine ≥ 0.9) still collide in ≥1 of the 8 tables with probability
 # ≥ 99.9% at any of these k.
 EMB_LSH_L = 8
+EMB_LSH_K_MAX = 24  # caps k at 2^23 vectors; also the reserved planes/table
 
 
 def _embeddings_rows(spark, sf_dir) -> int:
@@ -1110,11 +1116,14 @@ def _embeddings_rows(spark, sf_dir) -> int:
 
 
 def emb_lsh_k(n_vectors: int) -> int:
+    """Bits per LSH table — MUST stay in lockstep with the oracle SQL's
+    in-query CASE (``_embedding_cosine_sql``), which computes the same
+    value from COUNT(*)."""
     import math
 
     if n_vectors <= 4096:
         return 8
-    return math.ceil(math.log2(n_vectors)) + 1
+    return min(EMB_LSH_K_MAX, math.ceil(math.log2(n_vectors)) + 1)
 
 
 def _plane_weights(j: int, dims: int = EMB_DIM) -> list[float]:
@@ -1198,10 +1207,13 @@ def _embedding_lsh_spark_fn(spark, sf_dir):
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    L = EMB_LSH_L
+    L, KM = EMB_LSH_L, EMB_LSH_K_MAX
     k = emb_lsh_k(_embeddings_rows(spark, sf_dir))
-    W = np.array([_plane_weights(j) for j in range(1, k * L + 1)])  # (k*L planes, 64 dims)
-    powers = 2 ** np.arange(k)
+    # prefix-stable plane layout: table t owns planes [t*K_MAX, (t+1)*K_MAX)
+    # and buckets on the FIRST k of them, MSB-first — so the oracle derives
+    # the same bucket from its full K_MAX-bit value with one right-shift
+    W = np.array([_plane_weights(j) for j in range(1, KM * L + 1)])  # (K_MAX*L, 64)
+    powers = 2 ** np.arange(k - 1, -1, -1)  # MSB-first
 
     def to_buckets(batches):
         for pdf in batches:
@@ -1210,7 +1222,7 @@ def _embedding_lsh_spark_fn(spark, sf_dir):
             if len(ids) == 0:
                 yield pd.DataFrame({"vec_id": [], "tbl": [], "bucket": []})
                 continue
-            bits = (M @ W.T >= 0).astype(np.int64)  # (n, k*L) sign bits
+            bits = (M @ W.T >= 0).astype(np.int64)  # (n, K_MAX*L) sign bits
             out = []
             for t in range(L):
                 out.append(
@@ -1218,7 +1230,7 @@ def _embedding_lsh_spark_fn(spark, sf_dir):
                         {
                             "vec_id": ids,
                             "tbl": np.full(len(ids), t, dtype=np.int32),
-                            "bucket": bits[:, t * k : (t + 1) * k] @ powers,
+                            "bucket": bits[:, t * KM : t * KM + k] @ powers,
                         }
                     )
                 )
@@ -1287,27 +1299,36 @@ def _embedding_cosine_sql(d: str) -> str:
     log2(n) (see EMB_LSH_K) while high-similarity pairs (the near-dup
     regime) still collide with probability 1-(1-(1-θ/π)^k)^L.
     """
-    k, L = 8, EMB_LSH_L  # static SQL form: the <=4096-vector oracle regime
+    # Full K_MAX-bit bucket per table, MSB-first, then one dynamic
+    # right-shift by (K_MAX - k) where k is computed in-query from
+    # COUNT(*) — the exact CASE emb_lsh_k() evaluates in Python, so the
+    # candidate sets (and hence results) match the adaptive Spark side at
+    # EVERY scale, not just the k=8 regime the old static form covered.
+    KM, L = EMB_LSH_K_MAX, EMB_LSH_L
     buckets = ", ".join(
-        " + ".join(f"hb{t * k + r + 1} * {2 ** r}" for r in range(k)) for t in range(L)
+        " + ".join(
+            f"hb{t * KM + r + 1} * {2 ** (KM - 1 - r)}" for r in range(KM)
+        )
+        for t in range(L)
     )
     # Unpivot the L bucket values via ONE explode, not L UNION branches: each
-    # UNION branch re-expands the k*L-column projection (verified: the UNION
-    # form recomputed it L times — CTEs are not materialized).
-    if d == "spark":
-        tbl_sql = (
-            f"SELECT vec_id, posexplode(array({buckets})) AS (tbl, bucket) FROM proj"
-        )
-    else:
-        tbl_sql = (
-            f"SELECT vec_id, generate_subscripts([{buckets}], 1) - 1 AS tbl, "
-            f"unnest([{buckets}]) AS bucket FROM proj"
-        )
+    # UNION branch re-expands the K_MAX*L-column projection (verified: the
+    # UNION form recomputed it L times — CTEs are not materialized).
+    tbl_sql = (
+        f"SELECT vec_id, generate_subscripts([{buckets}], 1) - 1 AS tbl, "
+        f"unnest([{buckets}]) >> (SELECT shift FROM kk) AS bucket FROM proj"
+    )
     return f"""
 WITH v AS (SELECT vec_id, {array_double(d, 'embedding')} AS e FROM embeddings),
+kk AS (
+  SELECT {KM} - (CASE WHEN COUNT(*) <= 4096 THEN 8
+                      ELSE LEAST({KM}, CAST(CEIL(LOG2(COUNT(*))) AS INTEGER) + 1)
+                 END) AS shift
+  FROM v
+),
 proj AS (
   SELECT vec_id,
-    {_sign_bits(d, k * L)}
+    {_sign_bits(d, KM * L)}
   FROM v
 ),
 tbl_buckets AS (
