@@ -295,3 +295,35 @@ def test_signature_table_memo_rearms_and_invalidates(spark):
     time.sleep(0.01)
     os.utime(os.path.join(d, "documents.parquet"))
     assert minhash_signature_table(spark, d) is not t1
+
+
+def test_spread_view_survives_corpus_switching(spark):
+    """spread_documents_src memo contract across ALTERNATING corpora
+    (A -> B -> A): the round-5 ADVICE bug class where all corpora shared
+    one global temp view name, so the memo hit for A returned a view name
+    rebound to B's documents and every spread consumer silently read the
+    wrong corpus. The view name is now derived from (dir, fingerprint), so
+    each memoized name stays permanently bound to its own corpus."""
+    import duckdb
+
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        spread_documents_src,
+    )
+
+    from pyspark.sql import functions as F
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    q = "SELECT sum(length(text)) FROM '{}/documents.parquet'"
+    n_a = duckdb.sql(q.format(a)).fetchone()[0]
+    n_b = duckdb.sql(q.format(b)).fetchone()[0]
+    assert n_a != n_b
+
+    def total_len(view):
+        return spark.table(view).agg(F.sum(F.length("text"))).collect()[0][0]
+
+    src_a = spread_documents_src(spark, a)
+    src_b = spread_documents_src(spark, b)
+    src_a2 = spread_documents_src(spark, a)  # memo hit after the B switch
+    assert src_a2 == src_a
+    assert total_len(src_a) == n_a
+    assert total_len(src_b) == n_b

@@ -93,6 +93,7 @@ def connected_components(
         return e.select(
             F.col("u").alias("doc_id"), F.col("v").alias("canonical_doc_id")
         )
+    converged = False
     for _ in range(max_rounds):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n_new = new_e.count()
@@ -101,8 +102,19 @@ def connected_components(
         # stable under both phases)
         if n_new == n_e and new_e.subtract(e).isEmpty():
             e = new_e
+            converged = True
             break
         e, n_e = new_e, n_new
+    if not converged:
+        # Unconverged output can carry conflicting (doc_id, canonical) rows —
+        # corrupt labels are worse than a loud failure. The alternating
+        # algorithm's proven bound is O(log^2 n) (Kiveris et al., "Connected
+        # Components in MapReduce and Beyond"), so the empirical-O(log n)
+        # docnote alone doesn't make the cap unreachable; check, don't trust.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({n_e} edges at cap); raise max_rounds"
+        )
     members = e.select(
         F.col("u").alias("doc_id"), F.col("v").alias("canonical_doc_id")
     )

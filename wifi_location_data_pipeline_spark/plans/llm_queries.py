@@ -20,6 +20,7 @@ Scale notes (the 100 TB design intent, validated at sf0.1 by bench.py):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from wifi_location_data_pipeline_spark.plans.dialect import (
@@ -87,10 +88,15 @@ def spread_documents_src(spark, sf_dir) -> str:
     if target <= 1:
         src = "documents"
     else:
-        load_table(spark, sf_dir, "documents").repartition(target).createOrReplaceTempView(
-            "_documents_spread"
-        )
-        src = "_documents_spread"
+        # Derive the view NAME from the memo key: sessions that alternate
+        # between corpora (A -> B -> A) would otherwise get a memo hit for A
+        # that returns the shared view name now bound to B's documents, and
+        # every spread consumer (minhash/shingle/simhash/substring kernels)
+        # silently reads the wrong corpus. One view per (dir, fingerprint)
+        # generation keeps every memoized name permanently correct.
+        tag = hashlib.md5(f"{sf_dir}|{key[2]}".encode()).hexdigest()[:12]
+        src = f"_documents_spread_{tag}"
+        load_table(spark, sf_dir, "documents").repartition(target).createOrReplaceTempView(src)
     _SPREAD_SRC[key] = src
     return src
 
@@ -2374,7 +2380,7 @@ def _pii_scrub_sql(d: str) -> str:
         " CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.1') ELSE '' END)"
     )
     return f"""
-WITH planted AS (SELECT doc_id, {planted} AS text FROM documents),
+WITH planted AS (SELECT doc_id, {planted} AS text FROM documents WHERE text IS NOT NULL),
 scrubbed AS (
   SELECT doc_id, text,
     regexp_replace(
@@ -2539,7 +2545,7 @@ def _gopher_sql(d: str) -> str:
         for name, _ in rules
     )
     return f"""
-WITH planted AS (SELECT doc_id, {plant} AS text FROM documents),
+WITH planted AS (SELECT doc_id, {plant} AS text FROM documents WHERE text IS NOT NULL),
 s AS ({stats}),
 f AS (
   SELECT
@@ -2604,7 +2610,7 @@ def _url_mixture_sql(d: str) -> str:
             "string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]"
         )
     return f"""
-WITH planted AS (SELECT doc_id, {plant} AS text FROM documents),
+WITH planted AS (SELECT doc_id, {plant} AS text FROM documents WHERE text IS NOT NULL),
 urls AS ({urls}),
 hosts AS (
   SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM urls
