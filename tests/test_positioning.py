@@ -584,16 +584,15 @@ def test_onepass_numeric_tier_off_matches_auto_and_enforces(spark, ap_df):
         position_requests_onepass(bdf, ap_df, numeric_tier="off").collect()
 
 
-def test_onepass_staged_cache_is_load_bearing(spark, ap_df):
-    """The interior .cache() on the staged relation (onepass.py) is a hard
-    requirement, not an optimization: the auto path reads ``staged`` twice
-    (plain + numeric split) and without cache substitution the consumer's
-    optimizer re-collapses the generated nested-subquery tree
-    combinatorially (observed: analysis/optimization OOM at depth). A
-    future cleanup that drops the cache would only blow up at scale — so
-    pin it here: the returned plan must read the staged split through
-    InMemoryRelation (cache substitution visible in the optimized plan).
-    """
+def test_onepass_plan_is_one_job_one_exchange(spark, ap_df):
+    """Pin the kernel-era plan shape: the whole ensemble is ONE job whose
+    only data exchange is the explicit request_id hash partition feeding the
+    pack aggregate (the groupBy must REUSE it, not add a second one), and the
+    packed middle runs as a single MapInPandas — no interior cache, no
+    staged split, no numeric-count job (the round-2-5 staged-SQL design
+    needed all three)."""
+    import re
+
     from wifi_location_data_pipeline_spark.positioning.onepass import (
         position_requests_onepass,
     )
@@ -607,10 +606,11 @@ def test_onepass_staged_cache_is_load_bearing(spark, ap_df):
     ]
     rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
     out = position_requests_onepass(rdf, ap_df)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "InMemoryRelation" in plan, (
-        "staged relation no longer cached — the onepass split would "
-        "re-collapse the plan tree (optimizer OOM) without it"
-    )
-    # and the cached plan still executes correctly
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange clustered on request_id (the AP-dim keep-first
+    # window exchanges on mac_addr inside the broadcast subtree — that one
+    # is allowed); exactly one Python stage
+    req_exchanges = re.findall(r"Exchange hashpartitioning\(request_id", plan)
+    assert len(req_exchanges) == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert {r["request_id"] for r in out.collect()} == {"c1", "c2"}

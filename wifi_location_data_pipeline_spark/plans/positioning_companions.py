@@ -410,7 +410,8 @@ def ensemble_closed_fn(spark, sf_dir):
 
 def _w_product(algo: str) -> str:
     """base × signal × geometry × distribution CASE product — same literal
-    order and CAST discipline as the engine's onepass_sql._weight_case."""
+    order and CAST discipline as the engine's selection weight tables
+    (positioning/selection.py, compiled in the onepass kernel)."""
     i = ALGORITHMS.index(algo)
 
     def case(col: str, table: dict[str, tuple[float, ...]]) -> str:

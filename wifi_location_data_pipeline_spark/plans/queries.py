@@ -1926,7 +1926,7 @@ def _sel_mult_case(klass_col: str, table: dict[str, tuple[float, ...]]) -> str:
     for klass, mults in table.items():
         # CAST each multiplier: bare `1.3` parses as DECIMAL in both engines
         # and a decimal product leaks into the output type (hash mismatch vs
-        # the DOUBLE oracle column) — same discipline as onepass_sql._weight_case.
+        # the DOUBLE oracle column) — same discipline as the engine's selection weight CASEs.
         inner = " ".join(
             f"WHEN '{a}' THEN CAST({m} AS DOUBLE)" for a, m in zip(_SEL_ALGOS, mults)
         )

@@ -66,6 +66,23 @@ def _gdop(xs: np.ndarray, ys: np.ndarray, px: float, py: float) -> float:
     return float(min(30.0, math.sqrt(np.trace(np.linalg.inv(hth)))))
 
 
+def _gdop_fast(xs: np.ndarray, ys: np.ndarray, px: float, py: float) -> float:
+    """Closed-form twin of ``_gdop`` for the 2x2 case: trace((HᵀH)⁻¹) =
+    (a+c)/(ac−b²) — no per-request LAPACK det/inv calls (the batched kernel
+    paths run this once per trilateration-routed request)."""
+    dx, dy = xs - px, ys - py
+    r = np.maximum(np.hypot(dx, dy), 1e-9)
+    ux, uy = dx / r, dy / r
+    a = float(np.dot(ux, ux))
+    b = float(np.dot(ux, uy))
+    c = float(np.dot(uy, uy))
+    det = a * c - b * b
+    if abs(det) < 1e-10:
+        return 30.0
+    val = (a + c) / det
+    return float(min(30.0, math.sqrt(val))) if val > 0.0 else 30.0
+
+
 def _gdop_factor(gdop: float) -> float:
     """GDOPCalculator.calculateGDOPFactor (:603-626)."""
     if gdop <= 2.0:
@@ -257,120 +274,243 @@ def _mle_batch(groups: list[dict]) -> list[list | None]:
     if not idx:
         return out
     R = len(idx)
-    K = max(len(groups[i]["rssi"]) for i in idx)
+    lens = np.array([len(groups[i]["rssi"]) for i in idx])
+    K = int(lens.max())
+    mask = np.arange(K) < lens[:, None]
 
-    rssi = np.zeros((R, K))
-    freq_hz = np.full((R, K), 2437e6)
-    conf = np.zeros((R, K))
-    ax = np.zeros((R, K))
-    ay = np.zeros((R, K))
-    sigma = np.ones((R, K))
-    lat0 = np.zeros(R)
-    lon0 = np.zeros(R)
-    coslat = np.ones(R)
-    px = np.zeros(R)
-    py = np.zeros(R)
+    # padded-tensor build, fully vectorized (the per-request init loop cost
+    # ~60 µs/request of small-NumPy dispatch — the dominant term when
+    # thousands of requests route to MLE in one kernel batch). Padded
+    # entries sit at the local origin with conf 0 — they contribute exactly
+    # 0 to the likelihood, the gradient, and the masked reductions.
+    def pad(key, fill):
+        m = np.full((R, K), fill)
+        m[mask] = np.concatenate([groups[i][key] for i in idx])
+        return m
 
-    for r, i in enumerate(idx):
-        g = groups[i]
-        k = len(g["rssi"])
-        rs = g["rssi"]
-        rssi[r, :k] = rs
-        freq_hz[r, :k] = np.where(np.isnan(g["freq"]), 2437.0, g["freq"]) * 1e6
-        conf[r, :k] = np.where(np.isnan(g["conf"]), 0.5, g["conf"])
-        sigma[r, :k] = np.where(rs >= -60.0, 2.5, np.where(rs >= -80.0, 4.0, 6.0))
-        la, lo = g["lat"], g["lon"]
-        lat0[r], lon0[r] = float(np.mean(la)), float(np.mean(lo))
-        coslat[r] = math.cos(math.radians(lat0[r]))
-        ax[r, :k] = (lo - lon0[r]) * METERS_PER_DEG * coslat[r]
-        ay[r, :k] = (la - lat0[r]) * METERS_PER_DEG
-        # padded entries sit at the local origin with conf 0 — they contribute
-        # exactly 0 to both the likelihood and the gradient
-        # init: weighted centroid in degrees, then to local meters — the same
-        # operation order as the sequential _mle_group, so results match
-        clat, clon = _weighted_centroid(la, lo, rs)
-        px[r] = (clon - lon0[r]) * METERS_PER_DEG * coslat[r]
-        py[r] = (clat - lat0[r]) * METERS_PER_DEG
+    rssi = pad("rssi", 0.0)
+    rssi[~mask] = 0.0
+    freq = pad("freq", 2437.0)
+    freq_hz = np.where(np.isnan(freq), 2437.0, freq) * 1e6
+    conf = np.where(mask, np.nan_to_num(pad("conf", 0.0), nan=0.5), 0.0)
+    lat = pad("lat", 0.0)
+    lon = pad("lon", 0.0)
+    sigma = np.where(
+        mask, np.where(rssi >= -60.0, 2.5, np.where(rssi >= -80.0, 4.0, 6.0)), 1.0
+    )
+    kf = lens.astype(float)
+    lat0 = np.sum(np.where(mask, lat, 0.0), axis=1) / kf
+    lon0 = np.sum(np.where(mask, lon, 0.0), axis=1) / kf
+    coslat = np.cos(np.radians(lat0))
+    ax = np.where(mask, (lon - lon0[:, None]) * METERS_PER_DEG * coslat[:, None], 0.0)
+    ay = np.where(mask, (lat - lat0[:, None]) * METERS_PER_DEG, 0.0)
+    # init: weighted centroid in degrees, then to local meters (same formula
+    # as the sequential _mle_group; masked reductions replace exact slices)
+    wcw = np.where(mask, np.power(10.0, np.clip((rssi + 30.0) / (-70.0), 0.0, 1.0)), 0.0)
+    wsum = np.sum(wcw, axis=1)
+    clat = np.sum(lat * wcw, axis=1) / wsum
+    clon = np.sum(lon * wcw, axis=1) / wsum
+    px = (clon - lon0) * METERS_PER_DEG * coslat
+    py = (clat - lat0) * METERS_PER_DEG
 
     wavelength = SPEED_OF_LIGHT / freq_hz
     ref_rssi = -20.0 * np.log10(4.0 * math.pi / wavelength)
     kgrad = 10.0 * 3.0 / math.log(10.0)
 
-    def ll_of(x, y):
-        d = np.hypot(ax - x[:, None], ay - y[:, None])
-        err = rssi - (ref_rssi - 30.0 * np.log10(np.maximum(d, 1.0)))
-        return np.sum(-(err**2) / (2.0 * sigma**2) * conf, axis=1)
+    # Working-set ascent with compaction + gradient reuse. Two facts keep
+    # this bit-identical per request to the plain lockstep loop (and hence
+    # to the sequential _mle_group):
+    #  - every op is element-wise per row, so dropping CONVERGED rows from
+    #    the tensors never changes the remaining rows' values;
+    #  - the gradient at an unchanged `cur` equals the previous iteration's
+    #    gradient inputs, so (d, err) from the last evaluation can be reused
+    #    instead of recomputed (same floats either way).
+    # Without compaction the loop runs all 100 iterations at full width for
+    # the slowest straggler; typical batches converge in ~20-40, so this is
+    # a 2-4x cut in tensor work.
+    sig2 = sigma**2
+    two_sig2 = 2.0 * sigma**2
 
+    best_x_full, best_y_full = px.copy(), py.copy()
+    widx = np.arange(R)
+    ax_w, ay_w, rssi_w, ref_w = ax, ay, rssi, ref_rssi
+    sig2_w, two_sig2_w, conf_w = sig2, two_sig2, conf
     cur_x, cur_y = px.copy(), py.copy()
     best_x, best_y = px.copy(), py.copy()
-    best_ll = ll_of(px, py)
+
+    def eval_point(x, y):
+        d = np.maximum(np.hypot(ax_w - x[:, None], ay_w - y[:, None]), 1.0)
+        err = rssi_w - (ref_w - 30.0 * np.log10(d))
+        ll = np.sum(-(err**2) / two_sig2_w * conf_w, axis=1)
+        return d, err, ll
+
+    d_cur, err_cur, best_ll = eval_point(cur_x, cur_y)
     lr = np.ones(R)
-    active = np.ones(R, dtype=bool)
+    frozen = np.zeros(R, dtype=bool)  # converged rows awaiting compaction
 
     for _ in range(100):  # MAX_OPTIMIZATION_ITERATIONS
-        if not active.any():
-            break
-        d = np.maximum(np.hypot(ax - cur_x[:, None], ay - cur_y[:, None]), 1.0)
-        err = rssi - (ref_rssi - 30.0 * np.log10(d))
-        kk = err / (sigma**2) * conf * kgrad / (d**2)
-        gx = np.sum(kk * (ax - cur_x[:, None]), axis=1)
-        gy = np.sum(kk * (ay - cur_y[:, None]), axis=1)
+        kk = err_cur / sig2_w * conf_w * kgrad / (d_cur**2)
+        gx = np.sum(kk * (ax_w - cur_x[:, None]), axis=1)
+        gy = np.sum(kk * (ay_w - cur_y[:, None]), axis=1)
         gn = np.hypot(gx, gy)
-        active &= gn >= 1e-12
-        if not active.any():
-            break
+        dead = ~frozen & (gn < 1e-12)  # flat point: freeze at current best
         safe_gn = np.where(gn > 0, gn, 1.0)
         step_x = cur_x + lr * gx / safe_gn
         step_y = cur_y + lr * gy / safe_gn
-        ll = ll_of(step_x, step_y)
-        improved = active & (ll > best_ll)
+        d_s, err_s, ll = eval_point(step_x, step_y)
+        improved = ~frozen & ~dead & (ll > best_ll)
         best_ll = np.where(improved, ll, best_ll)
         best_x = np.where(improved, step_x, best_x)
         best_y = np.where(improved, step_y, best_y)
         cur_x = np.where(improved, step_x, cur_x)
         cur_y = np.where(improved, step_y, cur_y)
-        lr = np.where(active, np.where(improved, lr * 1.2, lr * 0.5), lr)
-        active &= lr >= 0.1  # CONVERGENCE_THRESHOLD_METERS
+        imp2 = improved[:, None]
+        d_cur = np.where(imp2, d_s, d_cur)
+        err_cur = np.where(imp2, err_s, err_cur)
+        lr = np.where(frozen | dead, lr, np.where(improved, lr * 1.2, lr * 0.5))
+        frozen |= dead | (lr < 0.1)  # CONVERGENCE_THRESHOLD_METERS
+        n_frozen = int(frozen.sum())
+        if n_frozen == len(widx):
+            break
+        # compact once a meaningful slice converged; tiny tails ride along
+        # (frozen rows are excluded from every update above, so carrying
+        # them a few extra iterations is wasted flops, never wrong values)
+        if n_frozen * 8 >= len(widx):
+            done = frozen
+            best_x_full[widx[done]] = best_x[done]
+            best_y_full[widx[done]] = best_y[done]
+            keep = ~done
+            widx = widx[keep]
+            ax_w, ay_w = ax_w[keep], ay_w[keep]
+            rssi_w, ref_w = rssi_w[keep], ref_w[keep]
+            sig2_w, two_sig2_w, conf_w = sig2_w[keep], two_sig2_w[keep], conf_w[keep]
+            d_cur, err_cur = d_cur[keep], err_cur[keep]
+            cur_x, cur_y = cur_x[keep], cur_y[keep]
+            best_x, best_y, best_ll = best_x[keep], best_y[keep], best_ll[keep]
+            lr = lr[keep]
+            frozen = frozen[keep]
+    if len(widx):
+        best_x_full[widx] = best_x
+        best_y_full[widx] = best_y
+    best_x, best_y = best_x_full, best_y_full
 
+    # vectorized finalize: closed-form 2x2 GDOP (trace((HᵀH)⁻¹) = (a+c)/det)
+    # over masked unit vectors — same math as _gdop without per-request
+    # LAPACK calls
+    with np.errstate(all="ignore"):
+        dx = ax - best_x[:, None]
+        dy = ay - best_y[:, None]
+        rr = np.maximum(np.hypot(dx, dy), 1e-9)
+        ux, uy = dx / rr, dy / rr
+        ga = np.sum(np.where(mask, ux * ux, 0.0), axis=1)
+        gb = np.sum(np.where(mask, ux * uy, 0.0), axis=1)
+        gc = np.sum(np.where(mask, uy * uy, 0.0), axis=1)
+        gdet = ga * gc - gb * gb
+        gdop = np.where(
+            np.abs(gdet) < 1e-10, 30.0,
+            np.minimum(30.0, np.sqrt(np.maximum((ga + gc) / gdet, 0.0))),
+        )
+        gf = np.select(
+            [gdop <= 2.0, gdop <= 4.0, gdop <= 6.0],
+            [1.0, 1.0 + 0.5 * ((gdop - 2.0) / 2.0), 1.5 + 0.5 * ((gdop - 4.0) / 2.0)],
+            default=np.minimum(4.0, 2.0 + (gdop - 6.0) / 2.0),
+        )
+        avg_s = np.sum(np.where(mask, rssi, 0.0), axis=1) / kf
+        out_lat = lat0 + best_y / METERS_PER_DEG
+        out_lon = lon0 + best_x / (METERS_PER_DEG * coslat)
+        strong = avg_s >= -60.0
+        accuracy = np.where(
+            strong,
+            np.clip(3.0 * (1.0 + (gf - 1.0) * 0.5), 1.0, 5.0),
+            np.clip((6.0 + np.abs(avg_s + 70.0) * 0.2) * gf, 1.0, 25.0),
+        )
+        signal_factor = np.clip((avg_s + 100.0) / 40.0, 0.0, 1.0)
+        cc = 0.6 + (0.95 - 0.6) * signal_factor / np.maximum(1.0, gf)
+        cc = np.clip(np.where(strong, np.maximum(0.8, cc), cc), 0.6, 0.95)
+        altp = pad("alt", np.nan)
+        alt_ok = mask & ~np.isnan(altp)
+        n_alt = alt_ok.sum(axis=1)
+        altitude = np.where(
+            n_alt > 0,
+            np.sum(np.where(alt_ok, altp, 0.0), axis=1) / np.maximum(n_alt, 1),
+            0.0,
+        )
     for r, i in enumerate(idx):
-        g = groups[i]
-        k = len(g["rssi"])
-        x, y = float(best_x[r]), float(best_y[r])
-        gdop = _gdop(ax[r, :k], ay[r, :k], x, y)
-        gf = _gdop_factor(gdop)
-        avg_s = float(np.mean(g["rssi"]))
-        out_lat = lat0[r] + y / METERS_PER_DEG
-        out_lon = lon0[r] + x / (METERS_PER_DEG * coslat[r])
-        if avg_s >= -60.0:
-            accuracy = max(1.0, min(5.0, 3.0 * (1.0 + (gf - 1.0) * 0.5)))
-        else:
-            accuracy = 6.0 + abs(avg_s - (-70.0)) * 0.2
-            accuracy = max(1.0, min(25.0, accuracy * gf))
-        signal_factor = min(1.0, max(0.0, (avg_s + 100.0) / 40.0))
-        cc = 0.6 + (0.95 - 0.6) * signal_factor / max(1.0, gf)
-        if avg_s >= -60.0:
-            cc = max(0.8, cc)
-        cc = max(0.6, min(0.95, cc))
-        alts = g["alt"][~np.isnan(g["alt"])]
-        altitude = float(alts.mean()) if len(alts) else 0.0
-        out[i] = [out_lat, out_lon, altitude, float(accuracy), float(cc)]
+        out[i] = [
+            float(out_lat[r]), float(out_lon[r]), float(altitude[r]),
+            float(accuracy[r]), float(cc[r]),
+        ]
     return out
 
 
 def _trilat_arrays(g: dict) -> list | None:
-    """NumPy-arrays twin of ``_trilaterate_group`` (no pandas construction)."""
-    if len(g["rssi"]) < 3:
+    """NumPy-arrays twin of ``_trilaterate_group``: same operation sequence,
+    no per-request pandas DataFrame (the construction alone cost ~0.3 ms per
+    request — the dominant term when thousands of requests route to
+    trilateration in one kernel batch)."""
+    rssi = g["rssi"]
+    if len(rssi) < 3:
         return None
-    pdf = pd.DataFrame(
-        {
-            "signal_strength": g["rssi"],
-            "frequency": g["freq"],
-            "ap_lat": g["lat"],
-            "ap_lon": g["lon"],
-            "ap_alt": g["alt"],
-        }
+    freq = np.where(np.isnan(g["freq"]), 2437.0, g["freq"])
+    lat, lon = g["lat"], g["lon"]
+    dists = _distance_from_rssi(rssi, freq)
+
+    lat0, lon0 = float(lat[0]), float(lon[0])
+    x, y = _local_xy(lat, lon, lat0, lon0)
+
+    # linear system relative to AP 0 (TrilaterationAlgorithm :851-899)
+    a = np.column_stack([2.0 * (x[1:] - x[0]), 2.0 * (y[1:] - y[0])])
+    b = (
+        (x[1:] ** 2 + y[1:] ** 2)
+        - (x[0] ** 2 + y[0] ** 2)
+        + (dists[0] ** 2 - dists[1:] ** 2)
     )
-    return _trilaterate_group(pdf)
+    try:
+        sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+        px, py = float(sol[0]), float(sol[1])
+        if not (math.isfinite(px) and math.isfinite(py)):
+            raise ValueError
+    except (np.linalg.LinAlgError, ValueError):
+        # fallback: weighted centroid in local coords (:619-642)
+        clat, clon = _weighted_centroid(lat, lon, rssi)
+        cx, cy = _local_xy(np.array([clat]), np.array([clon]), lat0, lon0)
+        px, py = float(cx[0]), float(cy[0])
+
+    gdop = _gdop_fast(x, y, px, py)
+    gf = _gdop_factor(gdop)
+    avg_s = float(np.mean(rssi))
+    avg_d = float(np.mean(dists))
+
+    out_lat = lat0 + py / METERS_PER_DEG
+    out_lon = lon0 + px / (METERS_PER_DEG * math.cos(math.radians(lat0)))
+    out_lat = min(90.0, max(-90.0, out_lat))
+    out_lon = min(180.0, max(-180.0, out_lon))
+
+    # accuracy (:1034-1070)
+    if avg_s >= -65.0:
+        accuracy = 3.0 * (1.0 + (gf - 1.0) * 0.5)
+        accuracy = max(1.0, min(5.0, accuracy))
+    else:
+        accuracy = min(avg_d * 0.3, 50.0) * gf
+        accuracy = max(1.0, min(50.0, accuracy))
+
+    # confidence (:1104-1180)
+    if avg_s >= -65.0:
+        signal_factor = min(1.0, max(0.0, (avg_s - (-80.0)) / ((-65.0) - (-80.0))))
+    else:
+        signal_factor = min(1.0, max(0.0, (avg_s - (-100.0)) / ((-80.0) - (-100.0))))
+    ap_factor = min(1.0, max(0.0, (len(rssi) - 3) / 5.0))
+    base_conf = 0.55 + (0.85 - 0.55) * (0.7 * signal_factor + 0.3 * ap_factor)
+    conf = base_conf * (1.0 - 0.30 * (1.0 - 1.0 / max(1.0, gf)))
+    if avg_s >= -65.0:
+        conf = max(0.8, min(0.85, conf))
+    elif avg_s < -80.0:
+        conf = min(0.58, conf)
+    conf = max(0.55, min(0.85, conf))
+
+    alts = g["alt"][~np.isnan(g["alt"])]
+    altitude = float(alts.mean()) if len(alts) else 0.0
+    return [out_lat, out_lon, altitude, float(accuracy), float(conf)]
 
 
 def _run_numeric(pdf: pd.DataFrame) -> pd.DataFrame:
