@@ -100,20 +100,40 @@ def main() -> None:
     # parse+bind is sub-ms, so the asymmetry is negligible on that side.)
     attempts = max(1, int(os.environ.get("BENCH_ATTEMPTS", "2")))
 
+    # Uniform-inflation canary (round-5 lesson: a degraded host window can
+    # inflate EVERY attempt of one query — dedup_simhash recorded 16.5 s
+    # where a clean window measures 3.3 s, and the per-query resample below
+    # can't see it because all samples agree). A fixed cheap query is timed
+    # at suite start (baseline = best of 3); after any query that measured
+    # >1 s, the canary re-runs — if it comes back >1.5x baseline the window
+    # was degraded, so the query gets one settle-and-retry sample and, if
+    # the window still looks bad, lands in the result's "tainted" list so
+    # the record is explicit about which numbers deserve a re-run.
+    canary_name = next(
+        (n for n in ("text_quality_score", "text_token_stats") if n in qs), None
+    )
+    tainted: list[str] = []
+
+    def canary_time(bench_dir: str) -> float:
+        t0 = time.perf_counter()
+        qs[canary_name](spark, bench_dir).count()
+        return time.perf_counter() - t0
+
     def run_suite(bench_dir: str) -> dict[str, float]:
         timings: dict[str, float] = {}
+        baseline = (
+            min(canary_time(bench_dir) for _ in range(3)) if canary_name else None
+        )
+
+        def measure(name: str) -> float:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, bench_dir).count()
+            return time.perf_counter() - t0
+
         for name in names:
-            samples: list[float] = []
-            for _ in range(attempts):
-                # isolate queries/attempts from each other: no inherited
-                # cached plans, and a driver GC so the ContextCleaner
-                # releases earlier broadcast blocks before the next start
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                df = qs[name](spark, bench_dir)
-                df.count()
-                samples.append(time.perf_counter() - t0)
+            samples = [measure(name) for _ in range(attempts)]
             # the host shows multi-second scheduling/GC spikes that can land
             # on EVERY attempt in an unlucky window; the minimum is
             # trustworthy only when it is reproduced. Resample (bounded)
@@ -123,11 +143,13 @@ def main() -> None:
                 best2 = sorted(samples)[:2]
                 if len(best2) > 1 and best2[1] <= 1.2 * best2[0]:
                     break
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                qs[name](spark, bench_dir).count()
-                samples.append(time.perf_counter() - t0)
+                samples.append(measure(name))
+            if baseline is not None and min(samples) > 1.0:
+                if canary_time(bench_dir) > 1.5 * baseline:
+                    time.sleep(2.0)  # let the degraded window pass
+                    samples.append(measure(name))
+                    if canary_time(bench_dir) > 1.5 * baseline:
+                        tainted.append(name)
             timings[name] = round(min(samples), 3)
         return timings
 
@@ -145,6 +167,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if tainted:
+        # queries whose window the canary flagged as degraded even after a
+        # settle-and-retry — their recorded minima are upper bounds
+        result["tainted"] = sorted(set(tainted))
+        tainted.clear()
 
     # Second pass at sf1 (10x replica of sf0.1, tools/make_scale_corpus.py):
     # the sf0.1 aggregate is floor-bound by ~15-19s of per-job scheduling
@@ -185,6 +212,8 @@ def main() -> None:
                 "queries": sf1_timings,
                 "dir": sf1_dir,
             }
+            if tainted:
+                result["sf1"]["tainted"] = sorted(set(tainted))
         except Exception as e:  # never let the scale pass break the capture
             result["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
