@@ -2611,22 +2611,21 @@ GROUP BY user_id, session_no
 # queries — those stay value-checked by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation (VERDICT r04 #3): the round-4 training-mix trio
-# (rag/pii/mixture), dedup_clusters (now on the alternating-star fallback),
-# and hypertable_rollup moved INTO the window so the external gate
-# certifies them; five single-expression entries that have been
-# driver-green four consecutive rounds moved to the parity net —
-# ap_quality_metrics is the same groupBy-agg class as the in-window
-# per_ap_stats, bssid_format_filter is one regex predicate (unit-tested,
-# and stage1_validation's format branch stays in-window), comparison
-# metrics/haversine stay certified via comparison_enriched +
-# comparison_scenarios, and strongest_signal_pick / weighted_centroid run
-# for real inside the in-window ensemble_closed_form end-to-end check.
+# Round-6 rotation (VERDICT r05 #6): the round-5 training-mix extensions
+# (gopher_rule_filters, url_domain_mixture, unigram_logprob_score,
+# dedup_strategy_agreement, substring_dup_spans) plus paragraph_dedup and
+# dedup_canonical_pick moved INTO the window — none had ever been
+# driver-certified. Seven entries green in every driver check since round 2
+# moved to the parity net: per_ap_stats / stage1_validation /
+# ap_lookup_join / physics_validator (the VERDICT's named long-green set),
+# hotspot_oui_exclude (anti-join also unit-tested; behavioral twin stays
+# in-window), text_language_id (same array-native projection class as the
+# in-window text_token_stats / text_quality_score), and
+# signal_context_classes (the context classifier runs for real inside the
+# in-window ensemble_closed_form / selection_matrix checks).
 # Everything here stays value-checked by tests/test_oracle_parity.py.
 _TAIL = (
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
-    "paragraph_dedup",  # round-5 addition: CCNet segment-level exact dedup
-    "dedup_canonical_pick",  # round-5 addition: cluster keep-decision
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
     "tumbling_window_agg",  # plain hour-bucket GROUP BY; stream twin in pytest
@@ -2651,12 +2650,14 @@ _TAIL = (
     "event_dedup",
     "derived_quality_columns",
     "per_group_topn",
-    # round-5 training-mix extensions (window full; parity-net covered):
-    "gopher_rule_filters",
-    "url_domain_mixture",
-    "unigram_logprob_score",
-    "dedup_strategy_agreement",
-    "substring_dup_spans",
+    # rotated out round 6 (driver-green rounds 2-5; see block comment):
+    "per_ap_stats",
+    "stage1_validation",
+    "ap_lookup_join",
+    "physics_validator",
+    "hotspot_oui_exclude",
+    "text_language_id",
+    "signal_context_classes",
     # rotated out round 5 (driver-green rounds 1-4; see block comment):
     "bssid_format_filter",
     "ap_quality_metrics",
