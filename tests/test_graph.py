@@ -68,3 +68,36 @@ def test_random_graph_matches_union_find(spark):
 def test_empty_and_self_loop_only(spark):
     edges = spark.createDataFrame([(5, 5), (9, 9)], "u long, v long")
     assert connected_components(edges).count() == 0
+
+
+def test_hot_hub_star_graph(spark):
+    """Adversarial skew fixture (round-6 VERDICT #7): two 50k-degree hubs
+    bridged by one edge — the worst case for _large_star's per-node
+    neighborhood aggregates, where one node's full adjacency lands on a
+    single group.
+
+    Why this is safe at scale, verified here at 100k edges: the per-node
+    reductions are MIN aggregates, so Spark's partial aggregation combines
+    each map partition's slice of the hot neighborhood before the exchange
+    — the reduce side of the hot key receives at most one row per map
+    partition, not the full degree. The residual skew is the join back to
+    the adjacency (one partition holds the hub's edges), which AQE
+    skew-join splitting handles on a real cluster; at this fixture's size
+    the whole graph converges in two rounds either way. PLANS.md records
+    the bound."""
+    import time
+
+    n = 50_000
+    rows = [(0, v) for v in range(1, n + 1)]
+    rows += [(10_000_000, 10_000_000 + v) for v in range(1, n + 1)]
+    rows.append((0, 10_000_000))  # bridge: one component
+    edges = spark.createDataFrame(rows, "u long, v long")
+    t0 = time.time()
+    got = connected_components(edges).collect()
+    elapsed = time.time() - t0
+    labels = {r["canonical_doc_id"] for r in got}
+    assert labels == {0}
+    assert len(got) == 2 * n + 2
+    # generous wall-clock bound: catches an accidental future shape change
+    # that makes the hot key quadratic (observed ~10-20 s on local[4])
+    assert elapsed < 120, f"star fixture took {elapsed:.0f}s"

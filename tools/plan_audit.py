@@ -172,7 +172,13 @@ def main() -> None:
         "- **Skew**: AQE skew-join splitting is on; hot BSSIDs are additionally",
         "  bounded by per-AP top-N caps before Python tiers (the reference's",
         "  LIMIT-per-query lookback), and `skew_salted_agg` demonstrates",
-        "  salt+two-level aggregation for pathological keys.",
+        "  salt+two-level aggregation for pathological keys. The connected-",
+        "  components star phases (`operators/graph.py`) reduce per-node",
+        "  neighborhoods with MIN aggregates, so a hot node's adjacency",
+        "  partial-aggregates map-side to <=1 row per map partition before",
+        "  the exchange; the residual hot-key join is AQE-splittable",
+        "  (measured on a 100k-edge two-hub star fixture,",
+        "  tests/test_graph.py::test_hot_hub_star_graph).",
         "- **Python boundary**: the only Python in any hot path is Arrow-batched",
         "  mapInPandas over pre-packed array rows, with iterative numerics",
         "  (MLE gradient ascent) lockstep-vectorized across groups; rows that",
