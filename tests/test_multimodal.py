@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wifi_location_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_media,
     decode_payload,
     sample_frames,
@@ -48,9 +49,131 @@ def test_decode_media_roundtrip(media):
     assert all(again[m] == by_id[m]["feature"] for m in some)
 
 
-def test_decode_payload_stub_gates_real_formats():
+def test_decode_payload_stub_gates_unsupported_formats():
     with pytest.raises(NotImplementedError):
-        decode_payload("png", "image", b"\x89PNG")
+        decode_payload("mp4", "video", b"\x00\x00\x00\x18ftypmp42")
+
+
+def _make_png(pixels, ctype=2, filters=None):
+    """Hand-assemble a real PNG from an (h, w, ch) uint8 array — stdlib
+    only, one scanline per filter type so the decoder's unfilter paths are
+    all exercised against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, nch = px.shape
+    filters = filters or [0] * h
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def filt(line, prev, f):
+        out = bytearray(line)
+        if f == 1:
+            for i in range(len(line) - 1, nch - 1, -1):
+                out[i] = (line[i] - line[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(len(line)):
+                out[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(line)):
+                a = line[i - nch] if i >= nch else 0
+                out[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(len(line)):
+                a = line[i - nch] if i >= nch else 0
+                b, c = prev[i], (prev[i - nch] if i >= nch else 0)
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(w * nch)
+    for y, f in zip(range(h), filters):
+        line = px[y].tobytes()
+        raw += bytes([f]) + filt(line, prev, f)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(samples, rate=16_000, nch=1):
+    """Real 16-bit PCM WAV via the stdlib wave writer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_png_decode_through_spark(spark):
+    """A REAL PNG (all five scanline filter types) decoded through the full
+    decode_media path must report exact dimensions and pixel statistics."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    payload = _make_png(px, ctype=2, filters=[0, 1, 2, 3, 4])
+    rows = [
+        (1, "image", "png",
+         {"width": 7, "height": 5, "sample_rate": None,
+          "duration_ms": None, "n_frames": None},
+         bytearray(payload)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    f = out[1]["feature"]
+    pxf = px.astype(float)
+    assert f[0] == 7.0 and f[1] == 5.0 and f[2] == 3.0
+    assert f[3] == pytest.approx(pxf.mean())
+    assert f[4] == pytest.approx(pxf.std())
+    assert f[5] == float(pxf.min()) and f[6] == float(pxf.max())
+    assert f[7] == pytest.approx(np.abs(np.diff(pxf, axis=1)).mean())
+
+
+def test_real_wav_decode_through_spark(spark):
+    """A REAL 16-bit PCM WAV (440 Hz sine) decoded through decode_media
+    must report exact frame counts, rate, and signal statistics."""
+    import numpy as np
+
+    rate, n = 8_000, 800
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * np.pi * 440.0 * t) * 20_000).astype("<i2")
+    payload = _make_wav(samples, rate=rate)
+    rows = [
+        (2, "audio", "wav",
+         {"width": None, "height": None, "sample_rate": rate,
+          "duration_ms": int(1000 * n / rate), "n_frames": None},
+         bytearray(payload)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    f = out[2]["feature"]
+    x = samples.astype(float) / 32768.0
+    assert f[0] == 1.0 and f[1] == float(rate) and f[2] == float(n)
+    assert f[3] == pytest.approx(np.sqrt(np.mean(x * x)))
+    assert f[4] == pytest.approx(np.abs(x).max())
+    assert f[7] == pytest.approx(n / rate)
 
 
 def test_sample_frames_shape(media):

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded / feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the byte-level decode is STUBBED:
-``decode_payload`` raises ``NotImplementedError`` for real media formats and
-provides a deterministic fake ("synthetic" format) so the Spark-side plumbing
-— schema, partitioning, UDF signature, Arrow batch shape — is real and
-testable end-to-end. Swapping in PIL/librosa/pyav later only changes the
-body of ``decode_payload``.
+The container has no codec LIBRARIES (PIL/librosa/pyav probed absent every
+round), but two formats decode for REAL with the stdlib alone: PNG (zlib
+inflate + chunk parse + full scanline unfilter) and 16-bit PCM WAV (the
+``wave`` module) — exact pixel/sample statistics, verified against
+ground-truth fixtures in tests/test_multimodal.py. Compressed formats that
+genuinely need external codecs (jpeg/mp4/...) raise ``NotImplementedError``;
+the "synthetic" format remains the deterministic oracle-checkable path the
+registry queries use. Swapping in PIL/pyav later only changes the body of
+``decode_payload``.
 
 Scale design:
 - payloads stay in executor memory only for the duration of one Arrow batch;
@@ -88,12 +91,130 @@ def synthesize_media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
-    """STUB decode: deterministic fake feature vector for 'synthetic' format.
+def _decode_png(payload: bytes) -> list[float]:
+    """Real PNG decode with the stdlib only (zlib inflate + struct chunk
+    parse + scanline unfilter, filters 0-4 per the PNG spec §9). Supports
+    8-bit depth, color types 0/2/4/6, non-interlaced — the shapes real
+    pipelines emit for training images. Returns
+    [width, height, channels, mean, std, min, max, mean |horizontal diff|]
+    over the decoded pixels (all in 0-255 space except dims).
 
-    Real formats raise until codec libraries are available; the surrounding
-    Spark plumbing does not change when they are.
+    The unfilter runs in per-byte Python — fine for the narrow-map decode
+    of test-sized fixtures; a production deployment swaps this body for a
+    vectorized codec (PIL/libpng) without touching the Spark plumbing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} unsupported"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline payload truncated")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, nch).astype(np.float64)
+    hdiff = np.abs(np.diff(px, axis=1)).mean() if w > 1 else 0.0
+    return [
+        float(w), float(h), float(nch),
+        float(px.mean()), float(px.std()),
+        float(px.min()), float(px.max()), float(hdiff),
+    ]
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Real WAV/PCM decode with the stdlib ``wave`` module. Returns
+    [channels, sample_rate, n_frames, rms, peak, zero_crossing_rate,
+    dc_offset, duration_s] over the decoded 16-bit samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        fr = wf.getframerate()
+        nf = wf.getnframes()
+        frames = wf.readframes(nf)
+    if sw != 2:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported (16-bit only)")
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    if len(x) == 0:
+        return [float(nch), float(fr), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return [
+        float(nch), float(fr), float(nf),
+        float(np.sqrt(np.mean(x * x))), float(np.abs(x).max()),
+        zcr, float(x.mean()), nf / fr if fr else 0.0,
+    ]
+
+
+def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
+    """Byte-level decode to a FEATURE_DIM feature vector.
+
+    Real format paths (stdlib codecs, no external libraries):
+    - ``png``  → zlib/struct decode with full filter unrolling (_decode_png)
+    - ``wav``  → ``wave`` module PCM decode (_decode_wav)
+    - ``synthetic`` → deterministic content-hash fake (the oracle-checkable
+      path the registry queries use)
+    Other formats (mp4/jpeg/...) raise until their codec libraries are
+    available; the surrounding Spark plumbing does not change when they are.
     """
+    if fmt == "png":
+        return _decode_png(payload)
+    if fmt == "wav":
+        return _decode_wav(payload)
     if fmt != "synthetic":
         raise NotImplementedError(
             f"no codec for format={fmt!r} in this environment; "
