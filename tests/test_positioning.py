@@ -718,3 +718,73 @@ def test_time_series_same_spot_21_25(scenario6_results):
     assert 45.0 <= r["accuracy"] <= 60.0
     assert 0.35 <= r["confidence"] <= 0.55
     assert dist_m(r, (37.7780, -122.4220)) < 5
+
+
+def test_onepass_matches_multipass_randomized(spark):
+    """Randomized kernel-vs-multipass parity net (round 6: the packed middle
+    moved from staged SQL to the NumPy kernel, so pin equivalence on a
+    corpus dense in the awkward shapes: NULL altitude / accuracy /
+    confidence / vendor / frequency on the AP side, duplicate macs within a
+    request, 1-20 scans, boundary signal strengths crossing every context
+    class). Seeded: deterministic across runs."""
+    import random
+
+    from wifi_location_data_pipeline_spark.positioning.pipeline import (
+        position_requests,
+        position_requests_multipass,
+    )
+
+    rng = random.Random(20240815)
+    n_aps = 40
+    vendors = ["cisco", "aruba", "meraki", "ubiquiti", "ruckus", "hpe-aruba",
+               "  Cisco  ", "unknown-vendor", None]
+    ap_rows = []
+    for k in range(n_aps):
+        ap_rows.append({
+            "mac_addr": f"02:00:00:00:{k // 256:02x}:{k % 256:02x}",
+            "version": "1",
+            "latitude": 40.75 + rng.uniform(-0.01, 0.01),
+            "longitude": -73.98 + rng.uniform(-0.01, 0.01),
+            "altitude": None if rng.random() < 0.3 else rng.uniform(0, 50),
+            "horizontal_accuracy": None if rng.random() < 0.3 else rng.uniform(3, 40),
+            "vertical_accuracy": 4.0,
+            "confidence": None if rng.random() < 0.3 else rng.uniform(0.3, 1.0),
+            "ssid": "t",
+            "frequency": rng.choice([2412, 2437, 5180, 5500, 6100, None]),
+            "vendor": rng.choice(vendors),
+            "status": rng.choice(["active", "active", "warning", "verified", "expired"]),
+            "geohash": None,
+        })
+    ap_df = spark.createDataFrame(ap_rows, WIFI_ACCESS_POINTS_SCHEMA)
+    macs = [r["mac_addr"] for r in ap_rows]
+
+    signals = [-97.5, -95.0, -94.9, -90.0, -85.0, -84.9, -80.0, -70.1,
+               -70.0, -69.9, -60.0, -50.0, -45.0, -35.0, -30.0]
+    requests = []
+    for i in range(60):
+        k = rng.randint(1, 20)
+        chosen = [rng.choice(macs) for _ in range(k)]  # duplicates likely
+        scans = [
+            {"macAddress": m, "signalStrength": rng.choice(signals),
+             "frequency": rng.choice([2437, 5180, None]), "ssid": "t",
+             "linkSpeed": None, "channelWidth": None}
+            for m in chosen
+        ]
+        requests.append({"requestId": f"x{i}", "client": "t", "application": "t",
+                         "calculationDetail": False, "wifiScanResults": scans})
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+
+    one = {r["request_id"]: r for r in position_requests(rdf, ap_df).collect()}
+    multi = {r["request_id"]: r for r in position_requests_multipass(rdf, ap_df).collect()}
+    assert set(one) == set(multi)
+    assert len(one) >= 15  # the corpus isn't degenerate (23 with this seed)
+    for rid, a in one.items():
+        b = multi[rid]
+        assert sorted(a["methods_used"]) == sorted(b["methods_used"]), rid
+        assert a["is_collinear"] == b["is_collinear"], rid
+        for c in ("latitude", "longitude", "altitude", "accuracy", "confidence"):
+            av, bv = a[c], b[c]
+            if av is None or bv is None:
+                assert av == bv, (rid, c)
+            else:
+                assert abs(av - bv) < 1e-6 * max(1.0, abs(bv)), (rid, c, av, bv)

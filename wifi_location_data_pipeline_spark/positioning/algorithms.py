@@ -222,15 +222,19 @@ def rssi_ratio(obs: DataFrame) -> DataFrame:
         ).alias("palt"),
         pw.alias("pw"),
     )
+    # try_divide + the _total_w > 0 filter: a request whose distinct-mac
+    # pairs ALL carry equal signals has zero total pair weight — the
+    # algorithm yields nothing there (same gate as the onepass kernel's
+    # rr_valid), rather than an ANSI division error
     agg = pair_pos.groupBy("request_id").agg(
-        (F.sum(F.col("plat") * F.col("pw")) / F.sum("pw")).alias("latitude"),
-        (F.sum(F.col("plon") * F.col("pw")) / F.sum("pw")).alias("longitude"),
-        (
-            F.sum(F.when(F.col("palt").isNotNull(), F.col("palt") * F.col("pw")))
-            / F.sum(F.when(F.col("palt").isNotNull(), F.col("pw")))
+        F.try_divide(F.sum(F.col("plat") * F.col("pw")), F.sum("pw")).alias("latitude"),
+        F.try_divide(F.sum(F.col("plon") * F.col("pw")), F.sum("pw")).alias("longitude"),
+        F.try_divide(
+            F.sum(F.when(F.col("palt").isNotNull(), F.col("palt") * F.col("pw"))),
+            F.sum(F.when(F.col("palt").isNotNull(), F.col("pw"))),
         ).alias("altitude"),
         F.sum("pw").alias("_total_w"),
-    )
+    ).filter(F.col("_total_w") > 0.0)
     stats = obs.groupBy("request_id").agg(
         F.avg("signal_strength").alias("_avg_s"),
         F.avg(

@@ -574,12 +574,25 @@ def _run_numeric_packed(batches):
     for pdf in batches:
         reqs = []
         for rid, algs, packed in zip(pdf["request_id"], pdf["algorithms"], pdf["obs"]):
-            # collect_list order is nondeterministic; sort by mac so the
-            # trilateration reference-AP choice (row 0) is reproducible.
-            # "keep-first" dedup per AP mirrors the reference's createAPMap.
+            # collect_list order is nondeterministic; sort by the FULL
+            # observation tuple (mac, signal, frequency — None smallest,
+            # matching SQL NULLS FIRST) so both the trilateration
+            # reference-AP choice (row 0) AND the keep-first dedup winner
+            # among same-mac duplicates are deterministic and identical to
+            # the onepass kernel's min-struct-per-mac dedup. "Keep-first"
+            # per AP mirrors the reference's createAPMap.
+            def okey(o):
+                f = o["frequency"]
+                return (
+                    o["mac_addr"],
+                    o["signal_strength"],
+                    f is not None,
+                    f if f is not None else 0,
+                )
+
             seen = set()
             ded = []
-            for o in sorted(packed, key=lambda o: o["mac_addr"]):
+            for o in sorted(packed, key=okey):
                 if o["mac_addr"] in seen:
                     continue
                 seen.add(o["mac_addr"])
