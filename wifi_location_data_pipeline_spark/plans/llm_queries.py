@@ -294,6 +294,59 @@ FROM best
 """,
 )
 
+def _doc_fingerprint_spark_fn(spark, sf_dir):
+    """Fingerprints via one Arrow kernel pass (hashlib md5 at C speed).
+
+    The dual-dialect SQL form expanded every doc's distinct 3-gram shingles
+    through interpreted lambda HOFs and md5'd each JVM-side — 2.5 s at sf1
+    for what is one linear text scan (the same interpreted-HOF-vs-kernel gap
+    the dedup family closed in round 5). Semantics are byte-identical to
+    the SQL (kept as the DuckDB oracle): min over hex digests == hex of the
+    min digest bytes (lowercase hex is monotonic per nibble), Python
+    str.split(' ') == Spark split(col, ' '), sorted() == array_sort for
+    UTF-8 (code-point order == byte order), and docs with < 3 tokens drop
+    exactly like the shingles CTE's size(w) >= 3 inner join."""
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir)
+    docs = spark.sql(f"SELECT doc_id, text FROM {src}")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wfp, mh = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(txt, str):
+                    continue
+                w = txt.split(" ")
+                if len(w) < 3:
+                    continue
+                sh = dict.fromkeys(
+                    " ".join(w[i0 : i0 + 3]) for i0 in range(len(w) - 2)
+                )
+                mh.append(min(hashlib.md5(s.encode()).digest() for s in sh).hex())
+                wfp.append(
+                    hashlib.md5(" ".join(sorted(set(w))).encode()).hexdigest()
+                )
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "wordset_fingerprint": pd.Series(wfp, dtype=object),
+                    "shingle_minhash": pd.Series(mh, dtype=object),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, wordset_fingerprint string, shingle_minhash string",
+    )
+
+
 register(
     "doc_fingerprint",
     "Document fingerprinting: md5 over the canonical sorted word set + "
@@ -306,6 +359,7 @@ SELECT dc.doc_id,
   mh.shingle_minhash
 FROM documents dc JOIN mh ON dc.doc_id = mh.doc_id
 """,
+    spark_fn=_doc_fingerprint_spark_fn,
 )
 
 # ---------------------------------------------------------------------------
