@@ -336,7 +336,14 @@ def position_requests_onepass(
     obs = obs.withColumns(_derived_element_cols())
 
     spark = requests.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    # "eager" is the serving hint (streaming/positioning.py): a micro-batch
+    # is bounded by maxFilesPerTrigger, so two kernel tasks cost less in
+    # scheduling than cluster-width near-empty ones. Batch jobs take the
+    # full width.
+    n_parts = (
+        2 if numeric_tier == "eager"
+        else max(2, spark.sparkContext.defaultParallelism // 2)
+    )
     packed = (
         obs.repartition(n_parts, "request_id")
         .groupBy("request_id")
