@@ -720,7 +720,19 @@ def test_time_series_same_spot_21_25(scenario6_results):
     assert dist_m(r, (37.7780, -122.4220)) < 5
 
 
-def test_onepass_matches_multipass_randomized(spark):
+@pytest.mark.parametrize(
+    "seed,signals",
+    [
+        # broad corpus: every context class, strong spreads, physics edges
+        (20240815, [-97.5, -95.0, -94.9, -90.0, -85.0, -84.9, -80.0, -70.1,
+                    -70.0, -69.9, -60.0, -50.0, -45.0, -35.0, -30.0]),
+        # weak/duplicate-heavy corpus: very-weak override + equal-signal
+        # pairs (the zero-pair-weight rssi_ratio gate) dominate
+        (977, [-97.0, -97.0, -96.0, -95.0, -95.0, -94.9, -90.0, -90.0,
+               -88.0, -70.0, -70.0]),
+    ],
+)
+def test_onepass_matches_multipass_randomized(spark, seed, signals):
     """Randomized kernel-vs-multipass parity net (round 6: the packed middle
     moved from staged SQL to the NumPy kernel, so pin equivalence on a
     corpus dense in the awkward shapes: NULL altitude / accuracy /
@@ -734,7 +746,7 @@ def test_onepass_matches_multipass_randomized(spark):
         position_requests_multipass,
     )
 
-    rng = random.Random(20240815)
+    rng = random.Random(seed)
     n_aps = 40
     vendors = ["cisco", "aruba", "meraki", "ubiquiti", "ruckus", "hpe-aruba",
                "  Cisco  ", "unknown-vendor", None]
@@ -758,8 +770,6 @@ def test_onepass_matches_multipass_randomized(spark):
     ap_df = spark.createDataFrame(ap_rows, WIFI_ACCESS_POINTS_SCHEMA)
     macs = [r["mac_addr"] for r in ap_rows]
 
-    signals = [-97.5, -95.0, -94.9, -90.0, -85.0, -84.9, -80.0, -70.1,
-               -70.0, -69.9, -60.0, -50.0, -45.0, -35.0, -30.0]
     requests = []
     for i in range(60):
         k = rng.randint(1, 20)
