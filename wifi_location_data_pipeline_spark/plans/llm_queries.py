@@ -71,7 +71,11 @@ def spread_documents_src(spark, sf_dir) -> str:
     if hit is not None:
         return hit
     for k in [k for k in _SPREAD_SRC if k[:2] == key[:2]]:
-        del _SPREAD_SRC[k]  # evict superseded corpus generations
+        # evict superseded corpus generations AND drop their (per-generation
+        # named) views so long sessions don't accumulate catalog entries
+        stale = _SPREAD_SRC.pop(k)
+        if stale != "documents":
+            spark.catalog.dropTempView(stale)
     try:
         # single FILE (the test corpus): size known, scan is 1 task/row-group.
         # A directory layout (any real lakehouse) raises -> plain table, no
