@@ -145,10 +145,18 @@ def main() -> None:
                     break
                 samples.append(measure(name))
             if baseline is not None and min(samples) > 1.0:
-                if canary_time(bench_dir) > 1.5 * baseline:
+                probe = canary_time(bench_dir)
+                # self-correcting baseline: if the suite STARTED in a
+                # degraded window, the first baseline is inflated and every
+                # later probe looks "fine" relative to it — track the best
+                # canary time ever seen instead
+                baseline = min(baseline, probe)
+                if probe > 1.5 * baseline:
                     time.sleep(2.0)  # let the degraded window pass
                     samples.append(measure(name))
-                    if canary_time(bench_dir) > 1.5 * baseline:
+                    probe = canary_time(bench_dir)
+                    baseline = min(baseline, probe)
+                    if probe > 1.5 * baseline:
                         tainted.append(name)
             timings[name] = round(min(samples), 3)
         return timings
