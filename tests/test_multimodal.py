@@ -184,3 +184,58 @@ def test_sample_frames_shape(media):
     assert all(r["frame_no"] < r["n_frames"] for r in rows)
     # payload never enters the exploded plan
     assert "payload" not in frames.columns
+
+
+def test_png_codec_property_random_images():
+    """Seeded property sweep (house style of tests/test_properties.py): 40
+    random images across sizes 1x1..12x9, all four color types, random
+    per-scanline filter choices — the stdlib decoder must recover exact
+    pixels and statistics for every one."""
+    import random
+
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(20260815)
+    for case in range(40):
+        w = rng.randint(1, 12)
+        h = rng.randint(1, 9)
+        ctype = rng.choice([0, 2, 4, 6])
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        seed = rng.randint(0, 2**31 - 1)
+        px = np.random.RandomState(seed).randint(0, 256, size=(h, w, nch)).astype(np.uint8)
+        filters = [rng.choice([0, 1, 2, 3, 4]) for _ in range(h)]
+        payload = _make_png(px, ctype=ctype, filters=filters)
+        f = _decode_png(payload)
+        pxf = px.astype(float)
+        assert f[0] == float(w) and f[1] == float(h) and f[2] == float(nch), (case, filters)
+        assert f[3] == pytest.approx(pxf.mean()), (case, filters)
+        assert f[4] == pytest.approx(pxf.std()), (case, filters)
+        assert f[5] == float(pxf.min()) and f[6] == float(pxf.max()), (case, filters)
+
+
+def test_wav_codec_property_random_signals():
+    """Seeded property sweep: random 16-bit PCM signals across rates,
+    channel counts, and lengths — exact frame/statistics recovery."""
+    import random
+
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import _decode_wav
+
+    rng = random.Random(20260816)
+    for case in range(25):
+        rate = rng.choice([8000, 16000, 44100])
+        nch = rng.choice([1, 2])
+        n = rng.randint(1, 4000)
+        samples = np.random.RandomState(case).randint(
+            -32768, 32768, size=n * nch
+        ).astype("<i2")
+        payload = _make_wav(samples, rate=rate, nch=nch)
+        f = _decode_wav(payload)
+        x = samples.astype(float) / 32768.0
+        assert f[0] == float(nch) and f[1] == float(rate) and f[2] == float(n), case
+        assert f[3] == pytest.approx(np.sqrt(np.mean(x * x))), case
+        assert f[4] == pytest.approx(np.abs(x).max()), case
+        assert f[7] == pytest.approx(n / rate), case
