@@ -798,3 +798,109 @@ def test_onepass_matches_multipass_randomized(spark, seed, signals):
                 assert av == bv, (rid, c)
             else:
                 assert abs(av - bv) < 1e-6 * max(1.0, abs(bv)), (rid, c, av, bv)
+
+
+def test_gdop_unit_vectors_from_reference():
+    """GDOPCalculatorTest.java ported vectors (GDOPCalculationTests /
+    GDOPFactorTests): equilateral triangle from its center is excellent
+    (< 2), collinear APs from off-line are poor (> 6), < 3 APs returns the
+    MAX_ALLOWED_GDOP cap (30), and calculateGDOPFactor's exact/band
+    expectations at gdop = 1.5 / 3 / 5 / 8 / 15. Runs both the reference
+    _gdop (LAPACK) and the batched-path _gdop_fast closed form."""
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.positioning.numeric import (
+        _gdop,
+        _gdop_factor,
+        _gdop_fast,
+    )
+
+    for g in (_gdop, _gdop_fast):
+        tri_x = np.array([0.0, 100.0, 50.0])
+        tri_y = np.array([0.0, 0.0, 86.6])
+        # shouldHandle2DCoordinatesProperly: center of the triangle
+        assert g(tri_x, tri_y, 50.0, 28.87) < 2.0
+        # shouldCalculatePoorGDOPForCollinearAPs — the Java case evaluates
+        # 10 m off the line in 3D (the unobservable z blows the DOP up);
+        # the engine's GDOP is 2D by design (SURVEY §2.7), where the
+        # degenerate form is the position ON the line: every unit vector
+        # is (+-1, 0), the Gram matrix is singular, and the 30 cap applies
+        col_x = np.array([0.0, 50.0, 100.0])
+        col_y = np.array([0.0, 0.0, 0.0])
+        assert g(col_x, col_y, 50.0, 0.0) == 30.0
+        # shouldHandleMinimumRequiredAPs: the Java helper short-circuits
+        # < 3 APs to the cap; in the engine that rule lives at the
+        # kernel/staged level (n_aps < 3 -> GDOP_MAX -> POOR_GDOP class,
+        # pinned by the selection tests) — the singular form the helper
+        # itself must cap is the rank-1 Gram (one direction)
+        assert g(np.array([0.0]), np.array([0.0]), 50.0, 0.0) == 30.0
+        # the two implementations agree to fp noise on regular geometry
+    assert abs(
+        _gdop(tri_x, tri_y, 50.0, 28.87) - _gdop_fast(tri_x, tri_y, 50.0, 28.87)
+    ) < 1e-9
+
+    # GDOPFactorTests
+    assert _gdop_factor(1.5) == pytest.approx(1.0)
+    assert 1.0 < _gdop_factor(3.0) < 1.5
+    assert 1.5 <= _gdop_factor(5.0) <= 2.0
+    assert _gdop_factor(8.0) > 2.0
+    assert _gdop_factor(15.0) == pytest.approx(4.0)
+
+
+def test_combiner_vectors_from_reference(spark):
+    """WeightedAveragePositionCombinerTest.java ported vectors against the
+    production combine_positions: equal-weight collinear trio lands at the
+    center with accuracy >= 6 (MIN_COLLINEAR_ACCURACY) and confidence
+    <= 0.69 (MAX_COLLINEAR_CONFIDENCE); non-collinear triangle lands at the
+    centroid; 3:1 weights pull the answer to the weighted mean; a single
+    position passes through unchanged. Positions use the Java fixture's
+    (alt 0, accuracy 1, confidence 1) defaults."""
+    from wifi_location_data_pipeline_spark.positioning.combiner import (
+        combine_positions,
+    )
+
+    def pos(rid, algo, w, lat, lon):
+        return (rid, algo, float(w), float(lat), float(lon), 0.0, 1.0, 1.0)
+
+    rows = [
+        # testCombinePositionsWithCollinearPositions
+        pos("col", "a", 1.0, 40.0, -74.0),
+        pos("col", "b", 1.0, 40.0, -75.0),
+        pos("col", "c", 1.0, 40.0, -76.0),
+        # testCombinePositionsWithNonCollinearPositions
+        pos("tri", "a", 1.0, 40.0, -74.0),
+        pos("tri", "b", 1.0, 41.0, -75.0),
+        pos("tri", "c", 1.0, 42.0, -73.0),
+        # testCombinePositionsWithWeights
+        pos("wtd", "a", 3.0, 40.0, -74.0),
+        pos("wtd", "b", 1.0, 42.0, -72.0),
+        # single-position pass-through
+        pos("one", "a", 1.0, 40.0, -74.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "request_id string, algorithm string, weight double, latitude double,"
+        " longitude double, altitude double, accuracy double, confidence double",
+    )
+    out = {r["request_id"]: r for r in combine_positions(df).collect()}
+
+    col = out["col"]
+    assert col["latitude"] == pytest.approx(40.0, abs=1e-4)
+    assert col["longitude"] == pytest.approx(-75.0, abs=1e-4)
+    assert col["is_collinear"]
+    assert col["accuracy"] >= 6.0
+    assert col["confidence"] <= 0.69
+
+    tri = out["tri"]
+    assert tri["latitude"] == pytest.approx(41.0, abs=1e-4)
+    assert tri["longitude"] == pytest.approx(-74.0, abs=1e-4)
+    assert not tri["is_collinear"]
+
+    wtd = out["wtd"]
+    assert wtd["latitude"] == pytest.approx(40.5, abs=1e-4)
+    assert wtd["longitude"] == pytest.approx(-73.5, abs=1e-4)
+
+    one = out["one"]
+    assert (one["latitude"], one["longitude"]) == (40.0, -74.0)
+    assert one["accuracy"] == 1.0 and one["confidence"] == 1.0
+    assert not one["is_collinear"]
