@@ -1051,7 +1051,7 @@ WHERE size(w) >= 3"""
     )
 
     nb, w = SIMHASH_BITS, SIMHASH_BITS // 4
-    shifts = np.array([31 - (b % 32) for b in range(nb)], dtype=np.uint32)
+    nbytes = nb // 8
     powersw = 2 ** np.arange(w, dtype=np.int64)
 
     def to_sigs(batches):
@@ -1061,18 +1061,24 @@ WHERE size(w) >= 3"""
                 continue
             lists = list(pdf["sh"])
             counts = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+            # Signature bit b = bit b (MSB-first) of the digest — which is
+            # exactly np.unpackbits over the digest's leading bytes, so the
+            # whole vote matrix stays uint8. (The previous formulation
+            # expanded to a (shingles x nb) int64 matrix plus two same-size
+            # temporaries for the +-1 mapping — ~1.3 GB of traffic at the
+            # 20x corpus, memory-bandwidth-bound at 32 concurrent tasks;
+            # measured 43 s single-thread vs 1.5 s for this form. Vote
+            # semantics unchanged: sum(2b-1) = 2*sum(b) - n.)
             digest = b"".join(
-                hashlib.md5(sh.encode()).digest() for x in lists for sh in x
+                hashlib.md5(sh.encode()).digest()[:nbytes] for x in lists for sh in x
             )
-            chunks = np.frombuffer(digest, dtype=">u4").reshape(-1, 4)
-            # signature bit b = bit b (MSB-first) of the digest's first
-            # 64 bits: chunk b//32, shift 31-(b%32) — the SQL spec's math
-            bits = np.empty((len(chunks), nb), dtype=np.int64)
-            for b in range(nb):
-                bits[:, b] = (chunks[:, b // 32] >> shifts[b]) & 1
+            bits8 = np.unpackbits(
+                np.frombuffer(digest, dtype=np.uint8).reshape(-1, nbytes), axis=1
+            )
             offsets = np.zeros(len(ids), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
-            votes = np.add.reduceat(bits * 2 - 1, offsets, axis=0)
+            sumbits = np.add.reduceat(bits8, offsets, axis=0, dtype=np.int64)
+            votes = 2 * sumbits - counts[:, None]
             sig = (votes >= 0).astype(np.int64)
             yield pd.DataFrame(
                 {
