@@ -219,8 +219,14 @@ def combiner_positions_sql(d: str) -> str:
 
     Shapes planted: 3-7 positions normally; user%13=1 → single position
     (n=1 branch); user%19=3 → all-zero weights (total_w<=0 branch, with
-    per-row-unique algorithms so the top pick is deterministic); user%11=5 →
-    exact collinear point sets; user%7=2 → one accuracy=500 MAD outlier."""
+    per-row-unique algorithms so the top pick is deterministic — capped at
+    6 rows since algorithm = ALGORITHMS[rn] and the list has 6 entries; an
+    uncapped rn=7 indexed past the end, which ANSI Spark raises on while
+    DuckDB's list_extract silently NULLs — a latent cross-engine divergence
+    that only corpora big enough to produce 7 events for a user in BOTH
+    planted residue classes could expose, found by the round-6 sf2
+    value-level gate); user%11=5 → exact collinear point sets; user%7=2 →
+    one accuracy=500 MAD outlier."""
     algo_idx = (
         "CASE WHEN user_id % 19 = 3 THEN rn ELSE ((event_id + user_id) % 6) + 1 END"
     )
@@ -243,7 +249,9 @@ def combiner_positions_sql(d: str) -> str:
       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
     FROM events
   ) numbered
-  WHERE rn <= CASE WHEN user_id % 13 = 1 THEN 1 ELSE 3 + user_id % 5 END
+  WHERE rn <= CASE WHEN user_id % 13 = 1 THEN 1
+                   WHEN user_id % 19 = 3 THEN LEAST(3 + user_id % 5, 6)
+                   ELSE 3 + user_id % 5 END
 """
 
 
