@@ -2687,7 +2687,13 @@ def _url_mixture_sql(d: str) -> str:
 WITH planted AS (SELECT doc_id, {plant} AS text FROM documents WHERE text IS NOT NULL),
 urls AS ({urls}),
 hosts AS (
-  SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM urls
+  -- dotless hosts (http://localhost/...) would index split(host,'.') at -2
+  -- past the front: ANSI Spark raises where DuckDB's list indexing NULLs,
+  -- so a user-supplied corpus could crash one engine and silently diverge
+  -- on the other; registrable-domain extraction needs >= 2 labels anyway
+  SELECT doc_id, host FROM (
+    SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM urls
+  ) h WHERE host LIKE '%.%'
 ),
 doms AS (SELECT doc_id, host, {dom} AS domain FROM hosts),
 per_dom AS (
