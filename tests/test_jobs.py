@@ -327,3 +327,56 @@ def test_spread_view_survives_corpus_switching(spark):
     assert src_a2 == src_a
     assert total_len(src_a) == n_a
     assert total_len(src_b) == n_b
+
+
+def test_text_family_null_text_cross_engine_agreement(spark, tmp_path):
+    """User-supplied corpora can carry NULL text, where the engines'
+    primitives diverge by default (Spark size(split(NULL)) = -1 vs DuckDB
+    len(NULL) = NULL; Spark concat NULL-propagates, DuckDB skips; ANSI
+    element_at raises where list indexing NULLs). Round 6 added shared
+    NULL/text guards across the text family — this net runs every
+    text-reading oracle query on a 20%-NULL corpus through BOTH engines
+    and requires exact agreement (the generated corpora contain no NULLs,
+    so the standard gates cannot cover this class)."""
+    import duckdb
+    import pandas as pd
+
+    from tools.check_correctness import TABLES, compare
+    from wifi_location_data_pipeline_spark.plans.queries import QUERIES
+
+    d = str(tmp_path)
+    pd.DataFrame({
+        "doc_id": range(40),
+        "text": [
+            None if i % 5 == 0
+            else f"the quick brown fox {i} jumps over the lazy dog number {i}"
+                 " many words here to pass limits"
+            for i in range(40)
+        ],
+        "source": ["s"] * 40,
+        "n_chars": [80] * 40,
+    }).to_parquet(f"{d}/documents.parquet")
+    for t in TABLES:
+        if t != "documents":
+            pd.DataFrame({"x": [1]}).to_parquet(f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    names = (
+        "text_token_stats", "text_quality_score", "text_language_id",
+        "doc_fingerprint", "quality_stratified_sample", "sequence_packing_plan",
+        "rag_chunk_plan", "gopher_rule_filters", "url_domain_mixture",
+        "pii_scrub_stats", "dedup_exact", "unigram_logprob_score",
+        "paragraph_dedup",
+    )
+    problems = {}
+    for name in names:
+        q = QUERIES[name]
+        sp = q.spark(spark, d).toPandas()
+        du = con.execute(q.oracle()).df()
+        p = compare(name, sp, du)
+        if p:
+            problems[name] = p
+    con.close()
+    assert not problems, problems

@@ -188,7 +188,7 @@ SELECT doc_id,
   CAST({regexp_count(d, 'text', '[a-z]+|[0-9]+|[^a-z0-9 ]')} AS BIGINT) AS bpe_ish_tokens,
   CAST(size(array_distinct({split_words(d, 'text')})) AS BIGINT) AS distinct_tokens,
   ROUND(CAST(n_chars AS DOUBLE) / size({split_words(d, 'text')}), 4) AS chars_per_token
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
     if d == "spark"
     else f"""
@@ -198,7 +198,7 @@ SELECT doc_id,
   CAST({regexp_count(d, 'text', '[a-z]+|[0-9]+|[^a-z0-9 ]')} AS BIGINT) AS bpe_ish_tokens,
   CAST(len(list_distinct({split_words(d, 'text')})) AS BIGINT) AS distinct_tokens,
   ROUND(CAST(n_chars AS DOUBLE) / len({split_words(d, 'text')}), 4) AS chars_per_token
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
 )
 
@@ -217,7 +217,7 @@ def _tqs_stats(d: str) -> str:
     CAST(size(filter(split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop,
     CAST(aggregate(split(text, ' '), 0L, (a, w) -> a + length(w)) AS DOUBLE)
       / size(split(text, ' ')) AS mean_word_len
-  FROM documents"""
+  FROM documents WHERE text IS NOT NULL"""
     return f"""
   SELECT doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -225,7 +225,7 @@ def _tqs_stats(d: str) -> str:
     CAST(len(list_filter(string_split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop,
     CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
       / len(string_split(text, ' ')) AS mean_word_len
-  FROM documents"""
+  FROM documents WHERE text IS NOT NULL"""
 
 
 register(
@@ -280,7 +280,7 @@ register(
 WITH counts AS (
   SELECT doc_id,
     {_lang_counts(d)}
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 best AS (
   SELECT doc_id, c_de, c_en, c_es, c_fr,
@@ -1449,13 +1449,13 @@ def _qss_stats(d: str) -> str:
     CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
     CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct,
     CAST(size(filter(split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop
-  FROM documents"""
+  FROM documents WHERE text IS NOT NULL"""
     return f"""
   SELECT doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
     CAST(len(list_filter(string_split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop
-  FROM documents"""
+  FROM documents WHERE text IS NOT NULL"""
 
 
 register(
@@ -1509,7 +1509,7 @@ WITH toks AS (
   SELECT doc_id,
     CAST(doc_id % 8 AS BIGINT) AS shard,
     CAST({"size" if d == "spark" else "len"}({split_words(d, 'text')}) AS BIGINT) AS n_tokens
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pref AS (
   SELECT doc_id, shard, n_tokens,
@@ -2382,7 +2382,7 @@ def _rag_chunk_sql(d: str) -> str:
     c, s = CHUNK_TOKENS, CHUNK_STRIDE
     if d == "spark":
         return f"""
-WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
 ch AS (
   SELECT doc_id,
     explode(transform(
@@ -2397,7 +2397,7 @@ SELECT doc_id, CAST(e.chunk_id AS BIGINT) AS chunk_id,
 FROM ch
 """
     return f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
 ch AS (
   SELECT doc_id,
     unnest(generate_series(0, CAST(FLOOR((len(w) - 1) / {s}.0) AS BIGINT))) AS chunk_id,
