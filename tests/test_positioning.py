@@ -904,3 +904,40 @@ def test_combiner_vectors_from_reference(spark):
     assert (one["latitude"], one["longitude"]) == (40.0, -74.0)
     assert one["accuracy"] == 1.0 and one["confidence"] == 1.0
     assert not one["is_collinear"]
+
+
+def test_physics_validator_vectors_from_reference(spark):
+    """SignalPhysicsValidatorTest.java ported vectors against the nested-
+    array gate (physics_valid_expr): single valid signal passes; -29.9 /
+    -100.1 out-of-range reject; the exact [-30, -100] boundary pair passes
+    (the special case); same-frequency -40/-95 (55 dB spread with max >
+    -50) rejects while -60/-75 passes; the SAME spread split across
+    2412/5180 passes (per-frequency grouping); -45/-75/-80 on one channel
+    passes at exactly 45 dB while -45/-95 (50 dB) rejects."""
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        physics_valid_expr,
+    )
+
+    cases = [
+        ("single_valid", [(-65.0, 2412)], True),
+        ("too_strong", [(-29.9, 2412)], False),
+        ("too_weak", [(-100.1, 2412)], False),
+        ("boundary_pair", [(-30.0, 2412), (-100.0, 2412)], True),
+        ("impossible_same_freq", [(-40.0, 2412), (-95.0, 2412)], False),
+        ("reasonable_variation", [(-60.0, 2412), (-75.0, 2412)], True),
+        ("cross_freq_ok", [(-40.0, 2412), (-95.0, 5180)], True),
+        ("strong_within_45db", [(-45.0, 2412), (-75.0, 2412), (-80.0, 2412)], True),
+        ("strong_50db_reject", [(-45.0, 2412), (-95.0, 2412)], False),
+    ]
+    requests = [
+        req(name, [scan(f"00:11:22:33:44:{i:02x}", s, f)
+                   for i, (s, f) in enumerate(scans)])
+        for name, scans, _ in cases
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    passed = {
+        r["requestId"]
+        for r in rdf.filter(physics_valid_expr(F.col("wifiScanResults"))).collect()
+    }
+    for name, _, expect in cases:
+        assert (name in passed) == expect, (name, expect)
