@@ -213,3 +213,62 @@ def test_streaming_positioning_answers_requests(spark, tmpzone):
     q3 = start_positioning_stream(spark, zone, aps, out, ckpt, with_reasons=True)
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_ap_state_survives_restart(spark, tmpzone):
+    """applyInPandasWithState recovery: the per-AP Kalman state (x-hat, P,
+    n_updates) must be RESTORED from the state store when the query
+    restarts on the same checkpoint — the new batch continues the filter
+    (n_updates 2 -> 3, variance keeps contracting) instead of
+    re-bootstrapping from scratch. This is the persistence contract the
+    reference keeps in its AP-state table (kalman_update_step's batch
+    twin); GroupState recovery is the streaming analog."""
+    src = os.path.join(tmpzone, "estimates_r"); os.makedirs(src)
+    ckpt = os.path.join(tmpzone, "ckpt_r")
+    schema = (
+        "bssid string, latitude double, longitude double,"
+        " horizontal_accuracy double, batch_ts int"
+    )
+    spark.createDataFrame(
+        [("ap1", 40.0, -74.0, 10.0, 1), ("ap1", 40.0002, -74.0002, 10.0, 2)],
+        schema,
+    ).write.parquet(os.path.join(src, "batch1"))
+
+    out = os.path.join(tmpzone, "ap_state_out_r")
+
+    def run_once():
+        # a real (parquet) sink: the memory sink cannot recover from a
+        # checkpoint, and recovery is exactly what this test pins
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = (
+            streaming_ap_state(stream)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # each state flush appends one row per updated AP; the LATEST
+        # n_updates per bssid is the live state
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:
+            if r["bssid"] not in latest or r["n_updates"] > latest[r["bssid"]]["n_updates"]:
+                latest[r["bssid"]] = r
+        return latest
+
+    first = run_once()
+    assert first["ap1"]["n_updates"] == 2
+    p_after_two = first["ap1"]["p_var_m2"]
+
+    # new arrival AFTER the restart — the restored state must absorb it
+    spark.createDataFrame(
+        [("ap1", 40.0001, -74.0001, 10.0, 3)], schema
+    ).write.parquet(os.path.join(src, "batch2"))
+    second = run_once()
+    assert second["ap1"]["n_updates"] == 3, "state was not restored on restart"
+    assert second["ap1"]["p_var_m2"] < p_after_two  # variance kept contracting
+    assert 40.0 < second["ap1"]["latitude"] < 40.0002
