@@ -941,3 +941,53 @@ def test_physics_validator_vectors_from_reference(spark):
     }
     for name, _, expect in cases:
         assert (name in passed) == expect, (name, expect)
+
+
+def test_wcl_vectors_from_reference(spark):
+    """WeightedCentroidAlgorithmTest.java ported vectors against the
+    row-wise weighted_centroid twin: two APs at (1,1)/(3,3) scanned at
+    -60/-80 dBm must land between them AND be biased toward the WEAKER
+    AP2 (> 1.5) — the reference's normalization 10^((s - MAX)/(MIN - MAX))
+    gives weaker signals MORE weight, the documented counter-intuitive
+    property the Java test pins; a request whose scans all miss the known
+    APs produces no row (shouldReturnNullWhenNoMatchingAPs)."""
+    from wifi_location_data_pipeline_spark.positioning.algorithms import (
+        weighted_centroid,
+    )
+    from wifi_location_data_pipeline_spark.positioning.prepare import (
+        explode_requests,
+        join_known_aps,
+    )
+
+    ap_rows = [
+        {"mac_addr": m, "version": "1", "latitude": la, "longitude": lo,
+         "altitude": 5.0, "horizontal_accuracy": ha, "vertical_accuracy": 4.0,
+         "confidence": 0.8, "ssid": "t", "frequency": 2412, "vendor": None,
+         "status": "active", "geohash": None}
+        for m, la, lo, ha in [
+            ("0a:00:00:00:00:01", 1.0, 1.0, 10.0),
+            ("0a:00:00:00:00:02", 3.0, 3.0, 20.0),
+        ]
+    ]
+    aps = spark.createDataFrame(ap_rows, WIFI_ACCESS_POINTS_SCHEMA)
+    requests = [
+        req("wcl", [scan("0a:00:00:00:00:01", -60.0, 2412),
+                    scan("0a:00:00:00:00:02", -80.0, 2412)]),
+        req("with_unknown", [scan("0a:00:00:00:00:01", -60.0, 2412),
+                             scan("ff:ff:00:00:00:01", -50.0, 2412),
+                             scan("0a:00:00:00:00:02", -70.0, 2412)]),
+        req("all_unknown", [scan("ff:ff:00:00:00:02", -60.0, 2412),
+                            scan("ff:ff:00:00:00:03", -70.0, 2412)]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    obs = join_known_aps(explode_requests(rdf), aps)
+    out = {r["request_id"]: r for r in weighted_centroid(obs).collect()}
+
+    r = out["wcl"]
+    assert 1.0 <= r["latitude"] <= 3.0 and 1.0 <= r["longitude"] <= 3.0
+    assert r["latitude"] > 1.5 and r["longitude"] > 1.5  # biased to weak AP2
+
+    u = out["with_unknown"]  # unknown MAC filtered; known pair still answers
+    assert 1.0 <= u["latitude"] <= 3.0 and u["latitude"] > 1.5
+
+    assert "all_unknown" not in out  # no matching APs -> no row
