@@ -2772,45 +2772,77 @@ FROM scored
 
 
 def _unigram_logprob_spark_fn(spark, sf_dir):
-    """Spark side of the unigram LM score with the token-count relation
-    persisted ONCE: executing the dual-dialect SQL directly re-inlines the
-    toks/counts CTEs (4 explodes + 3 full-token GROUP BYs per run — the
-    same WITH re-expansion this module documents for decontamination).
-    Here `counts` is built and cached once; vocab (LIMIT 64), the corpus
-    total (one-row aggregate, broadcast via crossJoin), and the scoring
-    join all read it or the cheap re-exploded token stream."""
-    from pyspark import StorageLevel
+    """Spark side of the unigram LM score: two jobs, zero scoring join.
+
+    The round-6 form (persist full token counts, broadcast-join the token
+    stream against the vocab, re-aggregate per doc) ran 5.5-8.7x of the
+    oracle at sf1 and GREW with data — 4+ scheduled jobs and two full
+    explode+aggregate passes. The profiled floor here is ~0.14 s per
+    scheduled job and ~0.2 s per explode pass (single-row-group test
+    corpus -> 1 scan task; an Arrow kernel pass floors even higher,
+    ~0.5 s, so the doc_fingerprint treatment LOSES on this operator).
+    Minimum-job shape instead:
+
+    - Job 1 (vocab + total, ONE collect): explode -> GROUP BY tok
+      (map-side combinable, output = token universe) -> TakeOrdered(V,
+      c DESC, tok), UNION ALL a NULL-keyed grand-total row from a
+      SUM(size(split(text))) scan (no second explode — NULL is a safe
+      sentinel because exploded tokens are never NULL). Collects V+1=65
+      rows to the driver: bounded by construction at any corpus scale,
+      the same justified class as the ANN contract-vector collects.
+    - Job 2 (score): the 64 (tok, lp) pairs fold into a LITERAL map (a
+      codegen'd hash probe per token — no broadcast exchange, no join):
+      one explode -> try_element_at(vmap, tok) -> GROUP BY doc_id with
+      partial agg. try_element_at, not element_at: ANSI mode raises on
+      missing map keys, and OOV probes are the expected path.
+
+    Semantics pinned to the dual-dialect oracle: split-on-space matches
+    (empty text -> one '' token; NULL text -> no exploded rows, and
+    size(split(NULL)) is NULL under ANSI so it drops from SUM too), and
+    AVG over the token stream is reproduced exactly (same per-token
+    terms, same grouping)."""
+    import math
+
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
+    rows = spark.sql(
+        f"""
+        SELECT * FROM (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_VOCAB})
+        UNION ALL
+        SELECT CAST(NULL AS STRING), CAST(SUM(size(split(text, ' '))) AS BIGINT)
+        FROM documents
+        """
+    ).collect()
+    vt = [r for r in rows if r.tok is not None]
+    n = float(next((r.c for r in rows if r.tok is None and r.c is not None), 0.0))
+    if not vt or n <= 0:
+        # degenerate corpus (no non-NULL text): zero scored rows
+        return spark.sql(
+            "SELECT doc_id, CAST(NULL AS BIGINT) AS n_tok, "
+            "CAST(NULL AS BIGINT) AS n_oov, CAST(NULL AS DOUBLE) AS "
+            "mean_logprob, CAST(NULL AS BOOLEAN) AS oov_heavy "
+            "FROM documents WHERE text IS NOT NULL AND 1 = 0"
+        )
+    ents = []
+    for r in vt:
+        ents += [F2.lit(r.tok), F2.lit(math.log(r.c / n))]
+    vmap = F2.create_map(*ents)
+    oov_lp = F2.lit(math.log(0.5 / n))
+
     toks = spark.sql(
         "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
     )
-    counts = (
-        toks.groupBy("tok")
-        .agg(F2.count("*").cast("long").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _maybe_eager(counts)
-    tot = counts.agg(F2.sum("c").cast("double").alias("n"))
-    vocab = (
-        counts.orderBy(F2.col("c").desc(), "tok")
-        .limit(_UNIGRAM_VOCAB)
-        .crossJoin(F2.broadcast(tot))
-        .select("tok", (F2.log(F2.col("c").cast("double") / F2.col("n"))).alias("lp"))
-    )
-    oov = tot.select(F2.log(0.5 / F2.col("n")).alias("oov_lp"))
-    scored = (
-        toks.join(F2.broadcast(vocab), "tok", "left")
-        .crossJoin(F2.broadcast(oov))
-        .groupBy("doc_id")
-        .agg(
-            F2.count("*").cast("long").alias("n_tok"),
-            F2.sum(F2.col("lp").isNull().cast("int")).cast("long").alias("n_oov"),
-            F2.avg(F2.coalesce("lp", "oov_lp")).alias("mean_lp"),
-        )
+    lp = F2.try_element_at(vmap, F2.col("tok"))
+    scored = toks.groupBy("doc_id").agg(
+        F2.count("*").cast("long").alias("n_tok"),
+        F2.sum(lp.isNull().cast("int")).cast("long").alias("n_oov"),
+        F2.avg(F2.coalesce(lp, oov_lp)).alias("mean_lp"),
     )
     return scored.select(
         "doc_id",
@@ -2826,9 +2858,10 @@ register(
     "Unigram LM quality score: per-doc mean token log-probability under "
     "the corpus' truncated top-64 unigram distribution with an OOV floor "
     "(0.5/total) — the perplexity-filter proxy of pretraining pipelines; "
-    "vocab stays broadcast-sized at any corpus scale, scoring is one "
-    "broadcast join + one per-doc re-aggregation over a once-persisted "
-    "token-count relation.",
+    "vocab is one TakeOrdered aggregation (output bounded at V=64 at any "
+    "corpus scale) folded into a literal map, scoring is one explode + "
+    "per-doc aggregation with a codegen'd map probe — no scoring join, "
+    "no broadcast exchange, two scheduled jobs total.",
     sql=lambda d: None if d == "spark" else _unigram_logprob_sql(d),
     spark_fn=_unigram_logprob_spark_fn,
 )
