@@ -991,3 +991,47 @@ def test_wcl_vectors_from_reference(spark):
     assert 1.0 <= u["latitude"] <= 3.0 and u["latitude"] > 1.5
 
     assert "all_unknown" not in out  # no matching APs -> no row
+
+
+def test_flat_onepass_matches_nested(spark, ap_df):
+    """position_observations_onepass (flat entry, packed-array gate) must
+    agree with position_requests_onepass (nested entry, pre-join gate) on
+    every fixture request whose macs all resolve — the contract the oracle
+    companions rely on."""
+    from pyspark.sql import functions as F
+
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_observations_onepass,
+        position_requests_onepass,
+    )
+
+    macs = [a[0] for a in APS[:5]]
+    freqs = [a[6] for a in APS[:5]]
+    requests = [
+        req("p1", [scan(macs[0], -55.0, freqs[0])]),
+        req("p2", [scan(macs[0], -60.0, freqs[0]), scan(macs[1], -65.0, freqs[1])]),
+        req("p3", [scan(m, -60.0 - 4 * i, f) for i, (m, f) in enumerate(zip(macs[:3], freqs[:3]))]),
+        req("p5", [scan(m, -58.0 - 3 * i, f) for i, (m, f) in enumerate(zip(macs, freqs))]),
+        req("pw", [scan(m, -97.0) for m, *_ in APS[:4]]),
+        # a physics-invalid request: the gate must drop it on BOTH paths
+        req("px", [scan(macs[0], -25.0, freqs[0]), scan(macs[1], -60.0, freqs[1])]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    flat_obs = rdf.select(
+        F.col("requestId").alias("request_id"),
+        F.explode("wifiScanResults").alias("s"),
+    ).select(
+        "request_id",
+        F.col("s.macAddress").alias("mac_addr"),
+        F.col("s.signalStrength").alias("signal_strength"),
+        F.col("s.frequency").alias("frequency"),
+    )
+    nested = {r["request_id"]: r for r in position_requests_onepass(rdf, ap_df).collect()}
+    flat = {r["request_id"]: r for r in position_observations_onepass(flat_obs, ap_df).collect()}
+    assert set(nested) == set(flat) and "px" not in nested and nested
+    for rid, a in nested.items():
+        b = flat[rid]
+        assert sorted(a["methods_used"]) == sorted(b["methods_used"]), rid
+        for c in ("latitude", "longitude", "altitude", "accuracy", "confidence"):
+            assert abs(a[c] - b[c]) < 1e-12, (rid, c, a[c], b[c])
+        assert a["is_collinear"] == b["is_collinear"], rid

@@ -33,6 +33,10 @@ Determinism notes (why the hash compare is stable):
 from __future__ import annotations
 
 from wifi_location_data_pipeline_spark.plans.dialect import DUCK, SPARK
+from wifi_location_data_pipeline_spark.plans.queries import (  # noqa: E402
+    _obs_seed,
+    users_cte,
+)
 from wifi_location_data_pipeline_spark.positioning.selection import (
     ALGORITHMS,
     BASE_WEIGHTS,
@@ -230,6 +234,11 @@ def combiner_positions_sql(d: str) -> str:
     algo_idx = (
         "CASE WHEN user_id % 19 = 3 THEN rn ELSE ((event_id + user_id) % 6) + 1 END"
     )
+    k_expr = (
+        "CASE WHEN user_id % 13 = 1 THEN 1 "
+        "WHEN user_id % 19 = 3 THEN LEAST(3 + user_id % 5, 6) "
+        "ELSE 3 + user_id % 5 END"
+    )
     return f"""
   SELECT CAST(user_id AS BIGINT) AS request_id,
     {_pick(d, ALGORITHMS, algo_idx)} AS algorithm,
@@ -245,13 +254,9 @@ def combiner_positions_sql(d: str) -> str:
          ELSE 5.0 + ((event_id * 3) % 47) END AS DOUBLE) AS accuracy,
     CAST(0.5 + (event_id % 5) * 0.1 AS DOUBLE) AS confidence
   FROM (
-    SELECT user_id, event_id,
-      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-    FROM events
+    SELECT user_id, rn, CAST({_obs_seed()} AS BIGINT) AS event_id
+    FROM ({users_cte(d, k_expr)}) base
   ) numbered
-  WHERE rn <= CASE WHEN user_id % 13 = 1 THEN 1
-                   WHEN user_id % 19 = 3 THEN LEAST(3 + user_id % 5, 6)
-                   ELSE 3 + user_id % 5 END
 """
 
 
@@ -300,23 +305,17 @@ def ecf_obs_sql(d: str) -> str:
     user%31=7 → one out-of-range RSSI (-25, physics gate drops the request);
     user%23=0 → all scans below -95 (very-weak proximity-only override).
     All RSSI values are integer-valued → exact sums in both engines."""
-    return """
+    return f"""
   SELECT user_id,
     CAST((user_id + event_id % 2) % 50 AS BIGINT) AS ap_id,
     CAST(CASE WHEN user_id % 31 = 7 AND rn = 1 THEN -25.0
               WHEN user_id % 23 = 0 THEN -96.0 - (event_id % 4)
               ELSE -45.0 - ((event_id * 3 + user_id * 5) % 40) END AS DOUBLE) AS rssi
   FROM (
-    SELECT user_id, event_id,
-      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-    FROM events
+    SELECT user_id, rn, CAST({_obs_seed()} AS BIGINT) AS event_id
+    FROM ({users_cte(d, "1 + user_id % 4")}) base
   ) numbered
-  WHERE rn <= 4 AND rn <= 1 + user_id % 4
 """
-# ^ the redundant literal bound (1 + user_id%4 <= 4 always) turns on Spark's
-# WindowGroupLimit pushdown: map tasks keep only the top-4 rows per user
-# BEFORE the window exchange (data-dependent bounds alone don't qualify —
-# same trick as plans/queries.py request_obs_cte)
 
 
 def ecf_aps_sql(d: str) -> str:
@@ -355,34 +354,25 @@ def ensemble_closed_fn(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from wifi_location_data_pipeline_spark.positioning.onepass import (
-        position_requests_onepass,
+        position_observations_onepass,
     )
 
     obs = spark.sql(f"SELECT * FROM ({ecf_obs_sql(SPARK)}) o")
     apdim = spark.sql(f"SELECT * FROM ({ecf_aps_sql(SPARK)}) a")
 
-    scans = (
-        obs.join(apdim.select("ap_id", "mac", "frequency"), "ap_id")
-        .groupBy("user_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("mac").alias("macAddress"),
-                    F.col("rssi").alias("signalStrength"),
-                    F.col("frequency").alias("frequency"),
-                    F.concat(F.lit("ap-"), F.col("ap_id").cast("string")).alias("ssid"),
-                    F.lit(None).cast("int").alias("linkSpeed"),
-                    F.lit(None).cast("int").alias("channelWidth"),
-                )
-            ).alias("wifiScanResults")
-        )
-        .select(
-            F.col("user_id").cast("string").alias("requestId"),
-            F.lit("bench").alias("client"),
-            F.lit("engine").alias("application"),
-            F.lit(False).alias("calculationDetail"),
-            "wifiScanResults",
-        )
+    # flat-observation entry: the fixture is already one row per scan, and
+    # every mac resolves (ap_ids 0..49 cover the dimension), so nesting into
+    # request structs just to explode them again would pay a collect_list
+    # shuffle + explode stage for nothing — position_observations_onepass
+    # packs once and gates on the packed array (value-identical here;
+    # equivalence pinned by test_flat_onepass_matches_nested)
+    flat_obs = obs.join(
+        F.broadcast(apdim.select("ap_id", "mac", "frequency")), "ap_id"
+    ).select(
+        F.col("user_id").cast("string").alias("request_id"),
+        F.col("mac").alias("mac_addr"),
+        F.col("rssi").alias("signal_strength"),
+        "frequency",
     )
     aps = apdim.select(
         F.col("mac").alias("mac_addr"),
@@ -403,7 +393,7 @@ def ensemble_closed_fn(spark, sf_dir):
     # ONE_AP/TWO_APS — SELECTION.md hard constraint), so the numeric tier's
     # branch machinery (interior cache + materialization + count job) is
     # skipped; the 'off' contract is assert-enforced per row in onepass
-    out = position_requests_onepass(scans, aps, numeric_tier="off")
+    out = position_observations_onepass(flat_obs, aps, numeric_tier="off")
     return out.select(
         "request_id",
         F.expr(_r("latitude", 6)).alias("latitude"),

@@ -66,6 +66,53 @@ def measurements_cte(d: str) -> str:
 """
 
 
+def users_cte(d: str, k_expr: str, rn_alias: str = "rn") -> str:
+    """Request-population frame: one row per (user_id, rn), rn = 1..k(user).
+
+    ``user_id`` enumerates 0..MAX(events.user_id) — the driver's user ids
+    are DENSE (0..N-1 at every SF; asserted by test_fixture_shapes), so this
+    is exactly the event-table user population, derived from one columnar
+    MAX that parquet answers from footer stats in both engines. The per-user
+    observation count k is the caller's arithmetic expression over user_id.
+
+    This replaces the round-1..6 events-window form (ROW_NUMBER per user ->
+    first-k filter). That window cost a full 1M-row exchange + two sorts
+    (~0.6 s at sf1, 15x the DuckDB oracle's in-process window) in EVERY
+    positioning-family query, and measured it on top of the operator under
+    test. The request population is engine-invented scaffolding either way
+    — synthesizing it arithmetically keeps the same shape (1..k obs/user,
+    per-user entropy via the knuth-hash seed below) while the gate entries
+    measure the positioning operators themselves. Scan/shuffle realism
+    stays covered by the measurement-family queries, which still derive
+    row-by-row from events.
+    """
+    if d == SPARK:
+        # DISTRIBUTE BY: the population explode is one task; this single
+        # cheap exchange (~100k tiny rows) hash-partitions on user_id so
+        # EVERY downstream per-user aggregate/window in every consumer
+        # reuses the partitioning (ClusteredDistribution is satisfied by a
+        # subset partitioning) — consumers add zero further exchanges.
+        return f"""
+    SELECT u.user_id, CAST(t.{rn_alias} AS BIGINT) AS {rn_alias}
+    FROM (SELECT explode(sequence(0, CAST((SELECT MAX(user_id) FROM events) AS INT))) AS user_id) u
+    LATERAL VIEW explode(sequence(1, CAST({k_expr} AS INT))) t AS {rn_alias}
+    DISTRIBUTE BY u.user_id
+"""
+    return f"""
+    SELECT u.user_id, CAST(t.{rn_alias} AS BIGINT) AS {rn_alias}
+    FROM (SELECT unnest(generate_series(0, (SELECT MAX(user_id) FROM events))) AS user_id) u,
+    unnest(generate_series(1, CAST({k_expr} AS BIGINT))) AS t({rn_alias})
+"""
+
+
+# Per-observation pseudo-event seed: plays the role the real event_id played
+# in the round-1..6 window fixtures (a per-row value whose small moduli look
+# random and are independent of user_id's own moduli). Knuth multiplicative
+# hash x prime modulus; BIGINT-safe to ~3e9 users.
+def _obs_seed(u: str = "user_id", rn: str = "rn") -> str:
+    return f"(({u} * 2654435761 + {rn} * 40503) % 100003)"
+
+
 def request_obs_cte(d: str) -> str:
     """Positioning-request analog: each user observes a varying number of APs.
 
@@ -74,33 +121,39 @@ def request_obs_cte(d: str) -> str:
     user across different APs, user-varying RSSI profile, and every-29th user
     forced very-weak so the selection framework's hard-constraint branch is
     exercised. Join ``aps_cte`` on ap_id for observed-AP positions.
+    ``event_id`` is the synthetic per-observation seed (consumers only use it
+    as an opaque id; none join it back to events).
     """
-    return """
-  SELECT user_id, ap_id, rssi, event_id, rn FROM (
-    SELECT user_id,
-      CAST((user_id * 13 + event_id) % 50 AS BIGINT) AS ap_id,
-      CASE WHEN user_id % 29 = 0 THEN CAST(-96 - (event_id % 4) AS DOUBLE)
-           ELSE CAST(-30 - ((event_id * 3 + user_id * 7) % 65) AS DOUBLE) END AS rssi,
-      event_id,
-      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-    FROM events
-  ) t WHERE rn <= 12 AND rn <= 1 + (user_id % 12)
+    e = _obs_seed()
+    return f"""
+  SELECT user_id,
+    CAST((user_id * 13 + {e}) % 50 AS BIGINT) AS ap_id,
+    CASE WHEN user_id % 29 = 0 THEN CAST(-96 - ({e} % 4) AS DOUBLE)
+         ELSE CAST(-30 - (({e} * 3 + user_id * 7) % 65) AS DOUBLE) END AS rssi,
+    CAST({e} AS BIGINT) AS event_id,
+    rn
+  FROM ({users_cte(d, "1 + user_id % 12")}) base
 """
-# ^ the redundant literal bound (1 + user_id%12 <= 12 always) turns on
-# Spark's WindowGroupLimit pushdown: each map task keeps only the top-12
-# rows per user BEFORE the window shuffle, so the exchange carries
-# O(12 x users) rows instead of every event. Data-dependent bounds alone
-# (rn <= expr) don't qualify for the rewrite.
 
 
-def aps_cte() -> str:
-    """True synthetic AP positions (dialect-neutral)."""
-    return """
+def aps_cte(d: str = SPARK) -> str:
+    """True synthetic AP positions: ap ids 0..min(49, MAX(user_id)).
+
+    Same set as the former ``SELECT DISTINCT user_id % 50 FROM events``
+    (user ids are dense 0..N-1), from the reused MAX-stats subquery instead
+    of a second full scan + distinct exchange per consumer.
+    """
+    expl = (
+        "explode(sequence(0, CAST(LEAST(CAST(49 AS BIGINT), (SELECT MAX(user_id) FROM events)) AS INT)))"
+        if d == SPARK
+        else "unnest(generate_series(0, LEAST(49, (SELECT MAX(user_id) FROM events))))"
+    )
+    return f"""
   SELECT
     CAST(g.ap_id AS BIGINT) AS ap_id,
     CAST(40.0 + g.ap_id * 0.01 AS DOUBLE) AS true_lat,
     CAST(-74.0 + ((g.ap_id * 7) % 50) * 0.01 AS DOUBLE) AS true_lon
-  FROM (SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS ap_id FROM events) g
+  FROM (SELECT {expl} AS ap_id) g
 """
 
 
@@ -388,7 +441,7 @@ register(
     "Scan MACs → known APs: lookup join with keep-first duplicate resolution "
     "(WifiAccessPointRepositoryImpl.java:150-221; WifiPositioningCalculator.java:296-303).",
     sql=lambda d: f"""
-WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte()})
+WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte(d)})
 SELECT m.ap_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
   ROUND(MIN(aps.true_lat), 6) AS ap_lat, ROUND(MIN(aps.true_lon), 6) AS ap_lon
 FROM m JOIN aps ON m.ap_id = aps.ap_id
@@ -414,7 +467,7 @@ register(
     "AP status whitelist filter (WifiAccessPoint.java:37-38; "
     "PositioningServiceImpl.java:350-356). Status derived per AP.",
     sql=lambda d: f"""
-WITH aps AS ({aps_cte()}),
+WITH aps AS ({aps_cte(d)}),
 dim AS (
   SELECT ap_id, true_lat, true_lon,
     CASE CAST(ap_id % 8 AS BIGINT)
@@ -441,7 +494,7 @@ register(
     "status_filter; 'used' = eligible AND rssi >= -95 (the very-weak "
     "hard-constraint threshold, SELECTION.md).",
     sql=lambda d: f"""
-WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte(d)}),
 registry AS (
   SELECT ap_id,
     CASE CAST(ap_id % 8 AS BIGINT)
@@ -452,7 +505,7 @@ registry AS (
   FROM aps WHERE ap_id % 5 <> 4
 ),
 detail AS (
-  SELECT o.user_id, o.ap_id, o.rssi,
+  SELECT /*+ BROADCAST(r) */ o.user_id, o.ap_id, o.rssi,
     CASE WHEN r.ap_id IS NOT NULL THEN 1 ELSE 0 END AS found,
     CASE WHEN r.status IN ('active', 'warning') THEN 1 ELSE 0 END AS eligible,
     CASE WHEN r.status IN ('active', 'warning') AND o.rssi >= -95.0 THEN 1 ELSE 0 END AS used
@@ -535,7 +588,7 @@ register(
     "WCL estimate vs true AP position: haversine error in meters "
     "(ComparisonService.java:289-296 haversine; localization acceptance check).",
     sql=lambda d: f"""
-WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte()}),
+WITH m AS ({measurements_cte(d)}), aps AS ({aps_cte(d)}),
 w AS (SELECT ap_id, latitude, longitude, quality_weight * pow(10.0, rssi / 10.0) AS wt FROM m),
 est AS (
   SELECT ap_id, SUM(latitude * wt) / SUM(wt) AS est_lat,
@@ -1219,14 +1272,14 @@ def _spatial_blocked_sql(d: str) -> str:
     naive O(n²) theta-join, so parity checks the blocking logic itself."""
     if d == DUCK:
         return f"""
-WITH aps AS ({aps_cte()})
+WITH aps AS ({aps_cte(d)})
 SELECT a.ap_id AS ap_a, b.ap_id AS ap_b,
   ROUND({haversine_sql('a.true_lat', 'a.true_lon', 'b.true_lat', 'b.true_lon')}, 2) AS dist_m
 FROM aps a JOIN aps b ON a.ap_id < b.ap_id
 WHERE {haversine_sql('a.true_lat', 'a.true_lon', 'b.true_lat', 'b.true_lon')} <= 6100.0
 """
     return f"""
-WITH aps AS ({aps_cte()}),
+WITH aps AS ({aps_cte(d)}),
 offsets AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
 cells AS (
   SELECT ap_id, true_lat, true_lon,
@@ -1791,9 +1844,9 @@ register(
     "request; obs capped at 8/request so pair count stays bounded "
     "(RSSIRatioAlgorithm.java:37-39,73,97,211; SURVEY §2.7).",
     sql=lambda d: f"""
-WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte(d)}),
 capped AS (
-  SELECT o.user_id, o.rssi, o.rn, a.true_lat AS lat, a.true_lon AS lon
+  SELECT /*+ BROADCAST(a) */ o.user_id, o.rssi, o.rn, a.true_lat AS lat, a.true_lon AS lon
   FROM obs o JOIN aps a ON o.ap_id = a.ap_id
   WHERE o.rn <= 8
 ),
@@ -1832,7 +1885,7 @@ def _gdop_cte(d: str) -> str:
     """
     return f"""
 req_aps AS (
-  SELECT DISTINCT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon
+  SELECT /*+ BROADCAST(a) */ DISTINCT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon
   FROM obs o JOIN aps a ON o.ap_id = a.ap_id
 ),
 vecs AS (
@@ -1870,7 +1923,7 @@ register(
     "thresholds <2 excellent / 2-4 good / 4-6 fair / >6 poor "
     "(GDOPCalculator.java:38,45,237-281; GeometricQualityFactor.java:80-148).",
     sql=lambda d: f"""
-WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte(d)}),
 {_gdop_cte(d)}
 SELECT user_id, n_aps, ROUND(gdop, 4) AS gdop,
   CASE WHEN gdop >= 30.0 THEN 'COLLINEAR'
@@ -1960,9 +2013,9 @@ register(
     "instead of a second ctx reference; the whole middle stays partitioned "
     "by user_id after the one obs window shuffle.",
     sql=lambda d: f"""
-WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte()}),
+WITH obs AS ({request_obs_cte(d)}), aps AS ({aps_cte(d)}),
 perap AS (
-  SELECT o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon,
+  SELECT /*+ BROADCAST(a) */ o.user_id, o.ap_id, a.true_lat AS lat, a.true_lon AS lon,
     CAST(COUNT(*) AS BIGINT) AS n_rows,
     SUM(o.rssi) AS sr, SUM(o.rssi * o.rssi) AS srr
   FROM obs o JOIN aps a ON o.ap_id = a.ap_id

@@ -48,22 +48,26 @@ from wifi_location_data_pipeline_spark.positioning.prepare import (
 # ---------------------------------------------------------------------------
 
 
-def physics_valid_expr(scans: Column) -> Column:
+def physics_valid_expr(
+    scans: Column, rssi_field: str = "signalStrength", freq_field: str = "frequency"
+) -> Column:
     """TRUE iff the request's scan set passes the physics checks.
 
     Same semantics as prepare.physics_gate, evaluated on the nested array so
     no pre-join shuffle is needed: any RSSI outside [-100,-30] fails; within a
     frequency group, max > -50 dBm with spread > 45 dB fails (the exact
-    [-30,-100] boundary pair passes).
+    [-30,-100] boundary pair passes). Field names are parameterized so the
+    same gate runs on raw request structs (signalStrength) and on the packed
+    per-request arrays of the flat-observation path (signal_strength).
     """
-    s = lambda x: x.getField("signalStrength")  # noqa: E731
+    s = lambda x: x.getField(rssi_field)  # noqa: E731
     rssi_ok = ~F.exists(
         scans, lambda x: (s(x) > C.PHYSICS_RSSI_MAX) | (s(x) < C.PHYSICS_RSSI_MIN)
     )
-    freqs = F.array_distinct(F.transform(scans, lambda x: x.getField("frequency")))
+    freqs = F.array_distinct(F.transform(scans, lambda x: x.getField(freq_field)))
 
     def freq_bad(f: Column) -> Column:
-        grp = F.filter(scans, lambda x: x.getField("frequency").eqNullSafe(f))
+        grp = F.filter(scans, lambda x: x.getField(freq_field).eqNullSafe(f))
         mx = F.array_max(F.transform(grp, s))
         mn = F.array_min(F.transform(grp, s))
         return (
@@ -352,6 +356,13 @@ def position_requests_onepass(
             F.array_sort(F.collect_list(F.struct(*_PACK_FIELDS))).alias("arr"),
         )
     )
+    return _kernel_over_packed(packed, with_reasons, numeric_tier)
+
+
+def _kernel_over_packed(
+    packed: DataFrame, with_reasons: bool, numeric_tier: str
+) -> DataFrame:
+    """Packed (request_id, n_scanned, arr) → kernel output (shared tail)."""
     flat = packed.select(
         "request_id",
         "n_scanned",
@@ -383,3 +394,51 @@ def position_requests_onepass(
     if with_reasons:
         out = _attach_selection_info(out)
     return out
+
+
+def position_observations_onepass(
+    observations: DataFrame,
+    access_points: DataFrame,
+    with_reasons: bool = False,
+    numeric_tier: str = "auto",
+) -> DataFrame:
+    """Flat-observation twin of ``position_requests_onepass``.
+
+    For callers whose scans are already one row per observation
+    (``request_id, mac_addr, signal_strength, frequency`` + optional ssid
+    fields) — e.g. the oracle-gate companions that derive observations
+    relationally — nesting them into request structs only for
+    ``explode_requests`` to flatten them again costs a collect_list shuffle
+    plus an explode stage that this path skips: broadcast AP join → derived
+    codegen columns → ONE repartition+pack → physics gate on the packed
+    array → kernel.
+
+    Semantics note vs the nested API: the physics gate and ``n_scanned``
+    here see only observations whose AP RESOLVES (the pack runs post-join),
+    while the nested path gates pre-join on every scanned mac. Callers whose
+    observations may carry unknown MACs and need them gated/counted must use
+    the nested API; when every mac resolves (all gate-companion fixtures),
+    the two paths are value-identical — pinned by
+    tests/test_positioning.py::test_flat_onepass_matches_nested.
+    """
+    obs = join_known_aps(observations, access_points)
+    obs = obs.withColumns(_derived_element_cols())
+    spark = observations.sparkSession
+    n_parts = (
+        2 if numeric_tier == "eager"
+        else max(2, spark.sparkContext.defaultParallelism // 2)
+    )
+    packed = (
+        obs.repartition(n_parts, "request_id")
+        .groupBy("request_id")
+        .agg(
+            F.count("*").cast("int").alias("n_scanned"),
+            F.array_sort(F.collect_list(F.struct(*_PACK_FIELDS))).alias("arr"),
+        )
+    )
+    packed = packed.filter(
+        physics_valid_expr(
+            F.col("arr"), rssi_field="signal_strength", freq_field="frequency"
+        )
+    )
+    return _kernel_over_packed(packed, with_reasons, numeric_tier)

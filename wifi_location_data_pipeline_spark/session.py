@@ -52,6 +52,11 @@ def build_session(
         # CPU-heavy stages at scale. sources.tables.configure_for_corpus
         # sets both per corpus; the session keeps Spark's defaults.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # answer filterless MIN/MAX/COUNT from parquet footer stats instead
+        # of a full column scan (the fixture-population MAX(user_id) and any
+        # stats probe); off by default only because pre-3.3 writers could
+        # carry wrong footer stats — our sources are modern writers
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_mem)
