@@ -3063,34 +3063,42 @@ def _substring_spans_spark_fn(spark, sf_dir):
         .filter(F2.col("d0") != F2.col("d1"))
         .select("h")
     )
-    m = wins.join(shared, "h").select(
-        "doc_id", "p", (F2.col("p") + (W - 1)).alias("e")
+    m = wins.join(shared, "h").select("doc_id", "p")
+    # Islands math on the per-doc SORTED position array instead of the
+    # oracle's two window passes + two re-aggregations: every interval has
+    # the same width W, so with positions sorted ascending the running MAX
+    # of previous ends is simply prev_p + W - 1 — a window starts a new
+    # span iff its gap to the previous position is >= W. Fold the whole
+    # per-doc summary out of the gap array:
+    #   n_spans    = 1 + |{gaps >= W}|
+    #   dup_tokens = sum(within-span gaps) + n_spans * W
+    #     (each span covers p_last - p_first + W tokens, and p_last -
+    #      p_first telescopes into its < W gaps)
+    # One groupBy over the (already duplicate-only) matched windows — no
+    # doc-ordered sort-exchange, no span_id relation. The aggregate HOFs
+    # are interpreted, but they run on matched positions only.
+    ps = F2.sort_array(F2.collect_list("p"))
+    perdoc = m.groupBy("doc_id").agg(ps.alias("ps"))
+    gaps = F2.zip_with(
+        F2.slice(F2.col("ps"), 2, F2.greatest(F2.size("ps") - 1, F2.lit(0))),
+        F2.slice(F2.col("ps"), 1, F2.greatest(F2.size("ps") - 1, F2.lit(0))),
+        lambda a, b: a - b,
     )
-    prev = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
-        Window.unboundedPreceding, -1
+    n_spans = F2.lit(1).cast("long") + F2.aggregate(
+        gaps,
+        F2.lit(0).cast("long"),
+        lambda acc, g: acc + (g >= W).cast("long"),
     )
-    run = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
-        Window.unboundedPreceding, 0
+    within = F2.aggregate(
+        gaps,
+        F2.lit(0).cast("long"),
+        lambda acc, g: acc + F2.when(g < W, g).otherwise(F2.lit(0).cast("long")),
     )
-    spans = (
-        m.withColumn(
-            "new_span",
-            (F2.col("p") > F2.coalesce(F2.max("e").over(prev), F2.lit(-1))).cast(
-                "int"
-            ),
-        )
-        .withColumn("span_id", F2.sum("new_span").over(run))
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F2.min("p").alias("s"),
-            F2.max("e").alias("e2"),
-            F2.count("*").alias("nw"),
-        )
-    )
-    return spans.groupBy("doc_id").agg(
-        F2.count("*").cast("long").alias("n_spans"),
-        F2.sum(F2.col("e2") - F2.col("s") + 1).cast("long").alias("dup_tokens"),
-        F2.sum("nw").cast("long").alias("n_dup_windows"),
+    return perdoc.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        (within + n_spans * W).cast("long").alias("dup_tokens"),
+        F2.size("ps").cast("long").alias("n_dup_windows"),
     )
 
 

@@ -1873,6 +1873,17 @@ FROM interp GROUP BY user_id
 def _gdop_cte(d: str) -> str:
     """Per-request GDOP from AP geometry, 2x2 closed-form inverse.
 
+    Unit vectors are QUANTIZED to the 2^24 dyadic grid (FLOOR half-up, the
+    engine's shared rounding form) before the gram sums: each ux*uy product
+    then has <= 49 significant bits and each per-user sum of <= 12 such
+    terms is EXACT in double — bit-identical in both engines regardless of
+    their aggregation fold order. Without this, the float-noise of the sum
+    order (amplified by near-singular determinants on the near-collinear
+    fixtures) crosses ROUND's 1e-4 grain — the round-7 sf2 value gate
+    measured 31/30000 boundary flips. Physically the 6e-8 grid is far below
+    any geometric meaning; numerically it makes every downstream op (mult,
+    sub, div, sqrt, round) a deterministic function of exact inputs.
+
     H rows are unit vectors from the estimated position to each distinct AP;
     trace((H^T H)^-1) for the 2x2 case is (Sxx+Syy)/(Sxx*Syy - Sxy^2) — a
     pure SQL aggregate, no linear algebra library
@@ -1891,15 +1902,19 @@ req_aps AS (
 vecs AS (
   SELECT user_id,
     CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_aps,
-    (lon - AVG(lon) OVER (PARTITION BY user_id))
-      * cos(radians(AVG(lat) OVER (PARTITION BY user_id))) AS dx,
-    lat - AVG(lat) OVER (PARTITION BY user_id) AS dy
+    FLOOR(((lon - AVG(lon) OVER (PARTITION BY user_id))
+      * cos(radians(AVG(lat) OVER (PARTITION BY user_id)))) * 1048576.0 + 0.5)
+      / CAST(1048576.0 AS DOUBLE) AS dx,
+    FLOOR((lat - AVG(lat) OVER (PARTITION BY user_id)) * 1048576.0 + 0.5)
+      / CAST(1048576.0 AS DOUBLE) AS dy
   FROM req_aps
 ),
 units AS (
   SELECT user_id, n_aps,
-    dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS ux,
-    dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS uy
+    FLOOR((dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12)) * 16777216.0 + 0.5)
+      / CAST(16777216.0 AS DOUBLE) AS ux,
+    FLOOR((dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12)) * 16777216.0 + 0.5)
+      / CAST(16777216.0 AS DOUBLE) AS uy
   FROM vecs
 ),
 gram AS (
@@ -2023,15 +2038,19 @@ perap AS (
 ),
 vecs AS (
   SELECT user_id, n_rows, sr, srr,
-    (lon - AVG(lon) OVER (PARTITION BY user_id))
-      * cos(radians(AVG(lat) OVER (PARTITION BY user_id))) AS dx,
-    lat - AVG(lat) OVER (PARTITION BY user_id) AS dy
+    FLOOR(((lon - AVG(lon) OVER (PARTITION BY user_id))
+      * cos(radians(AVG(lat) OVER (PARTITION BY user_id)))) * 1048576.0 + 0.5)
+      / CAST(1048576.0 AS DOUBLE) AS dx,
+    FLOOR((lat - AVG(lat) OVER (PARTITION BY user_id)) * 1048576.0 + 0.5)
+      / CAST(1048576.0 AS DOUBLE) AS dy
   FROM perap
 ),
 units AS (
   SELECT user_id, n_rows, sr, srr,
-    dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS ux,
-    dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12) AS uy
+    FLOOR((dx / GREATEST(sqrt(dx * dx + dy * dy), 1e-12)) * 16777216.0 + 0.5)
+      / CAST(16777216.0 AS DOUBLE) AS ux,
+    FLOOR((dy / GREATEST(sqrt(dx * dx + dy * dy), 1e-12)) * 16777216.0 + 0.5)
+      / CAST(16777216.0 AS DOUBLE) AS uy
   FROM vecs
 ),
 byuser AS (
