@@ -1883,6 +1883,12 @@ def _gdop_cte(d: str) -> str:
     measured 31/30000 boundary flips. Physically the 6e-8 grid is far below
     any geometric meaning; numerically it makes every downstream op (mult,
     sub, div, sqrt, round) a deterministic function of exact inputs.
+    dx/dy are pre-quantized on the coarser 2^-20 grid for the same reason:
+    an AP at its request's exact centroid has a TRUE offset of zero, and
+    the raw float residue there is pure engine-order noise that the 1e-12
+    division floor amplifies into O(0.01) unit-vector differences —
+    quantization collapses it to an exact zero in both engines. True
+    nonzero offsets are >= 0.01/12 degree, four orders above the grid.
 
     H rows are unit vectors from the estimated position to each distinct AP;
     trace((H^T H)^-1) for the 2x2 case is (Sxx+Syy)/(Sxx*Syy - Sxy^2) — a
