@@ -1035,3 +1035,147 @@ def test_flat_onepass_matches_nested(spark, ap_df):
         for c in ("latitude", "longitude", "altitude", "accuracy", "confidence"):
             assert abs(a[c] - b[c]) < 1e-12, (rid, c, a[c], b[c])
         assert a["is_collinear"] == b["is_collinear"], rid
+
+
+def _numeric_group(aps, scans):
+    """(lat, lon, alt) AP tuples + (mac_idx, rssi) scans -> numeric-tier group
+    dict (the _trilat_arrays/_mle_batch contract; freq 2400 MHz, conf 0.8,
+    hacc 5.0 — the Java tests' createAP defaults)."""
+    import numpy as np
+
+    sel = [(aps[i], s) for i, s in scans]
+    return {
+        "rssi": np.array([s for _, s in sel], dtype=float),
+        "freq": np.full(len(sel), 2400.0),
+        "lat": np.array([a[0] for a, _ in sel], dtype=float),
+        "lon": np.array([a[1] for a, _ in sel], dtype=float),
+        "alt": np.array([a[2] for a, _ in sel], dtype=float),
+        "conf": np.full(len(sel), 0.8),
+    }
+
+
+def test_trilateration_vectors_from_reference():
+    """TrilaterationAlgorithmTest.java ported against the numeric-tier twin
+    (_trilat_arrays). shouldReturnNullWhenFewerThan3APsAvailable -> None;
+    shouldCalculatePositionWith3APsInTriangle -> non-zero position, altitude
+    ~10 +/- 5, confidence in (0.5, 0.85]; shouldCalculatePositionWithManyAPs
+    (3x3 grid, center strongest) -> confidence > 0.6; shouldHandleCollinearAPs
+    -> no crash, positive altitude/confidence when a position is returned."""
+    from wifi_location_data_pipeline_spark.positioning.numeric import _trilat_arrays
+
+    tri = [(1.0, 1.0, 10.0), (1.0, 2.0, 10.0), (2.0, 1.5, 10.0)]
+    assert _trilat_arrays(_numeric_group(tri, [(0, -65.0), (1, -70.0)])) is None
+
+    r = _trilat_arrays(_numeric_group(tri, [(0, -60.0), (1, -70.0), (2, -65.0)]))
+    assert r is not None
+    lat, lon, alt, acc, conf = r
+    assert lat != 0.0 and lon != 0.0
+    assert abs(alt - 10.0) < 5.0
+    assert acc > 0
+    assert 0.5 < conf <= 0.85
+
+    grid = [(1.0 + i * 0.5, 1.0 + j * 0.5, 10.0) for i in range(3) for j in range(3)]
+    strengths = [
+        -50.0 if k == 4 else (-80.0 if k % 2 == 0 else -65.0) for k in range(9)
+    ]
+    rg = _trilat_arrays(_numeric_group(grid, list(enumerate(strengths))))
+    assert rg is not None
+    assert rg[4] > 0.6  # confidence grows with AP count (ap_factor term)
+
+    coll = [(1.0, 1.0, 10.0), (1.0, 2.0, 10.0), (1.0, 3.0, 10.0)]
+    rc = _trilat_arrays(_numeric_group(coll, [(0, -75.0), (1, -60.0), (2, -80.0)]))
+    if rc is not None:  # the Java test accepts null OR a degraded position
+        assert rc[2] > 0 and rc[4] > 0
+
+
+def test_mle_vectors_from_reference():
+    """MaximumLikelihoodAlgorithmTest.java ported against the lockstep batch
+    twin (_mle_batch). The engine's MLE tier requires >= 4 resolved APs (the
+    selection matrix's FOUR_PLUS_APS hard constraint — base weight 0 below —
+    makes 3-AP MLE unreachable in the pipeline, so the twin returns None
+    where the Java class, called directly, still answers).
+    shouldImprovePositionEstimateWithLikelihoodIteration: APs on a diagonal
+    with the -50 dBm peak at AP2(2,2) -> position within 0.3 deg of (2,2);
+    shouldHandlePoorAPGeometry: 3x3 grid, center peak -> within 0.3 of
+    (1.5,1.5); confidence always a valid probability."""
+    from wifi_location_data_pipeline_spark.positioning.numeric import _mle_batch
+
+    line = [(1.0, 1.0, 10.0), (2.0, 2.0, 10.0), (3.0, 3.0, 10.0), (4.0, 4.0, 10.0)]
+    gline = _numeric_group(line, [(0, -75.0), (1, -50.0), (2, -70.0), (3, -80.0)])
+    tri3 = _numeric_group(line[:3], [(0, -70.0), (1, -65.0), (2, -60.0)])
+    grid = [(1.0 + i * 0.5, 1.0 + j * 0.5, 10.0) for i in range(3) for j in range(3)]
+    strengths = [
+        -50.0 if k == 4 else (-80.0 if k % 2 == 0 else -65.0) for k in range(9)
+    ]
+    ggrid = _numeric_group(grid, list(enumerate(strengths)))
+
+    rline, r3, rgrid = _mle_batch([gline, tri3, ggrid])
+    assert r3 is None  # < 4 APs: numeric tier unreachable by design
+
+    assert rline is not None
+    assert abs(rline[0] - 2.0) < 0.3 and abs(rline[1] - 2.0) < 0.3
+    assert 0.0 < rline[4] <= 1.0
+
+    assert rgrid is not None
+    assert abs(rgrid[0] - 1.5) < 0.3 and abs(rgrid[1] - 1.5) < 0.3
+    assert 0.0 < rgrid[4] <= 1.0
+
+
+def test_rssi_ratio_vectors_from_reference(spark):
+    """RSSIRatioAlgorithmTest.java ported against the row-wise rssi_ratio
+    twin. Two APs (1,1)/(1,2) at -65/-70 -> position between them, accuracy
+    > 0 (shouldCalculatePositionWithTwoAPs); -50/-80 ->
+    shouldHandleSignalStrengthVariations' literal assertion is on LATITUDE
+    (both APs sit at lat 1.0, so it pins lat == 1.0; the reference formula
+    P = (P1 + r*P2)/(1+r) with r = 10^((s1-s2)/20) actually interpolates
+    LONGITUDE toward the WEAKER AP — the same documented counter-intuitive
+    weighting the WCL vectors pin — so we additionally pin lon > 1.5, which
+    RSSIRatioAlgorithm.java:479-515 produces); -65/-62 strong
+    pair -> accuracy in [5,8] m and confidence in [0.7,0.85]
+    (shouldReturnExpectedAccuracyAndConfidenceForStrongSignals); -85/-90
+    weak pair -> accuracy > 8 and confidence < 0.7; a single matched AP
+    yields no row (shouldRequireMinimumAPs)."""
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.positioning.algorithms import rssi_ratio
+
+    def obs_df(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["request_id", "mac_addr", "signal_strength", "ap_lat", "ap_lon"],
+        )
+        pdf["ap_alt"] = 0.0
+        pdf["ap_haccuracy"] = 5.0
+        return spark.createDataFrame(pdf)
+
+    rows = []
+    for rid, (s1, s2) in {
+        "two": (-65.0, -70.0),
+        "strong_pull": (-50.0, -80.0),
+        "strong_pair": (-65.0, -62.0),
+        "weak_pair": (-85.0, -90.0),
+    }.items():
+        rows.append([rid, "0a:00:00:00:00:01", s1, 1.0, 1.0])
+        rows.append([rid, "0a:00:00:00:00:02", s2, 1.0, 2.0])
+    rows.append(["single", "0a:00:00:00:00:01", -65.0, 1.0, 1.0])
+    out = {r["request_id"]: r for r in rssi_ratio(obs_df(rows)).collect()}
+
+    assert "single" not in out  # requires >= 2 matched APs
+
+    two = out["two"]
+    assert 1.0 <= two["longitude"] <= 2.0 and two["accuracy"] > 0
+
+    pull = out["strong_pull"]
+    # the Java assertion verbatim (on latitude — vacuously pins lat == 1.0)
+    assert abs(pull["latitude"] - 1.0) < abs(pull["latitude"] - 2.0)
+    # the formula's actual longitude behavior: biased toward the WEAK AP2
+    assert pull["longitude"] > 1.5
+
+    sp = out["strong_pair"]
+    assert 5.0 <= sp["accuracy"] <= 8.0, sp["accuracy"]
+    assert 0.7 <= sp["confidence"] <= 0.85, sp["confidence"]
+    assert 0.9 <= sp["latitude"] <= 2.1 and 0.9 <= sp["longitude"] <= 2.1
+
+    wp = out["weak_pair"]
+    assert wp["accuracy"] > 8.0, wp["accuracy"]
+    assert wp["confidence"] < 0.7, wp["confidence"]
