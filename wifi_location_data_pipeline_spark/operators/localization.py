@@ -491,12 +491,21 @@ def localize_with_history(
     wifi_measurements layout) for the deterministic history split.
     """
     clean = measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
-    routing = tier_routing(measurements, cfg)
+    # three tier-id broadcasts filter the SAME routing aggregate — persist
+    # it (per-AP-sized, tiny) so the broadcast builds don't re-aggregate
+    # the measurements relation three times
+    routing = tier_routing(measurements, cfg).persist()
+    wcl_ids = routing.filter(F.col("tier") == "WCL").select("bssid")
+    mle_ids = routing.filter(F.col("tier") == "MLE").select("bssid")
     bayes_ids = routing.filter(F.col("tier") == "BAYESIAN").select("bssid")
 
-    rest_out = localize_all(measurements.join(bayes_ids, "bssid", "left_anti"), cfg)
+    # tier-id semi joins broadcast (the id lists are per-AP aggregates);
+    # callers that pre-partition `measurements` by bssid (the bench entry
+    # does) get every window/groupBy below exchange-free on top of it
+    bc = lambda ids: F.broadcast(ids)  # noqa: E731
+    wcl_out = wcl_localize(clean.join(bc(wcl_ids), "bssid", "left_semi"))
 
-    bayes = clean.join(bayes_ids, "bssid", "left_semi")
+    bayes = clean.join(bc(bayes_ids), "bssid", "left_semi")
     w = Window.partitionBy("bssid").orderBy("measurement_timestamp", "id")
     cnt = Window.partitionBy("bssid")
     split = bayes.withColumn("_rn", F.row_number().over(w)).withColumn(
@@ -504,8 +513,35 @@ def localize_with_history(
     )
     hist = split.filter(F.col("_rn") <= F.col("_n") / 2).drop("_rn", "_n")
     new = split.filter(F.col("_rn") > F.col("_n") / 2).drop("_rn", "_n")
-    bayes_out = bayesian_localize(new, wcl_prior_state(hist))
-    return rest_out.unionByName(bayes_out)
+
+    # MLE and BAYESIAN share _run_mle_packed (a missing prior degrades to
+    # plain MLE per row); packing both tiers into ONE relation runs the
+    # numeric tier in ONE mapInPandas pass instead of two — the round-6
+    # form paid a second full Python-pass floor for the Bayesian branch
+    prior = wcl_prior_state(hist).select(
+        "bssid",
+        F.col("latitude").alias("prior_lat"),
+        F.col("longitude").alias("prior_lon"),
+        F.col("p_var_m2").alias("prior_var"),
+    )
+    pack = lambda df: _capped(df, 2000).groupBy("bssid").agg(  # noqa: E731
+        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
+    )
+    mle_packed = pack(clean.join(bc(mle_ids), "bssid", "left_semi")).select(
+        "bssid",
+        "obs",
+        F.lit(None).cast("double").alias("prior_lat"),
+        F.lit(None).cast("double").alias("prior_lon"),
+        F.lit(None).cast("double").alias("prior_var"),
+    )
+    bayes_packed = pack(new).join(F.broadcast(prior), "bssid", "left")
+    packed = mle_packed.unionByName(bayes_packed.select(*mle_packed.columns))
+    spark = measurements.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    numeric_out = packed.repartition(n_parts).mapInPandas(
+        _run_mle_packed, AP_LOCATION_SCHEMA
+    )
+    return wcl_out.unionByName(numeric_out)
 
 
 def kalman_update(prior_state: DataFrame, new_estimates: DataFrame) -> DataFrame:

@@ -2219,13 +2219,11 @@ def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust combine (SURVEY.md §2.7/§3.2). Iterative numerics are not
     SQL-expressible -> rows-only driver check.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from wifi_location_data_pipeline_spark.positioning.pipeline import position_requests
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
+    from wifi_location_data_pipeline_spark.positioning.onepass import (
+        position_observations_onepass,
+    )
 
     def mac_of(col):
         h = F.md5(col.cast("string"))
@@ -2237,37 +2235,27 @@ def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    obs = events.select(
-        F.col("user_id").cast("string").alias("requestId"),
-        ((F.col("user_id") * 13 + F.col("event_id")) % 50).alias("ap_id"),
-        # spread must stay under the 45 dB physics gate (max rssi > -50 arms
-        # the check): range [-84, -45] → spread ≤ 39, always passes
-        (-45.0 - (F.col("event_id") % 40)).cast("double").alias("signalStrength"),
-        F.col("event_id"),
-    ).withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("requestId").orderBy(F.col("event_id"))
-        ),
-    ).filter(F.col("_rn") <= 20)
-
-    scans = obs.groupBy("requestId").agg(
-        F.collect_list(
-            F.struct(
-                mac_of(F.col("ap_id")).alias("macAddress"),
-                F.col("signalStrength"),
-                F.lit(2437).alias("frequency"),
-                F.concat(F.lit("ap-"), F.col("ap_id").cast("string")).alias("ssid"),
-                F.lit(None).cast("int").alias("linkSpeed"),
-                F.lit(None).cast("int").alias("channelWidth"),
-            )
-        ).alias("wifiScanResults")
+    # request population from the same window-free users_cte frame as the
+    # oracle companions (9..20 scans/user so every selection tier incl. the
+    # 4+-AP numeric path occurs), fed FLAT to position_observations_onepass:
+    # the round-1..6 form paid a 1M-row events window (first-20 per user)
+    # PLUS a collect_list nest that position_requests immediately
+    # re-exploded — neither touches the ensemble under test
+    e = _obs_seed()
+    obs = spark.sql(
+        f"""
+        SELECT CAST(user_id AS STRING) AS request_id,
+          CAST((user_id * 13 + {e}) % 50 AS BIGINT) AS ap_id,
+          CAST(-45.0 - ({e} % 40) AS DOUBLE) AS signal_strength
+        FROM ({users_cte(SPARK, "9 + user_id % 12")}) base
+        """
+        # rssi range [-84, -45]: spread <= 39 stays under the 45 dB physics
+        # gate (max rssi > -50 arms the check), every request passes
     ).select(
-        "requestId",
-        F.lit("bench").alias("client"),
-        F.lit("engine").alias("application"),
-        F.lit(False).alias("calculationDetail"),
-        "wifiScanResults",
+        "request_id",
+        mac_of(F.col("ap_id")).alias("mac_addr"),
+        "signal_strength",
+        F.lit(2437).cast("int").alias("frequency"),
     )
 
     ap_ids = spark.range(0, 50).select(F.col("id").alias("ap_id"))
@@ -2290,7 +2278,7 @@ def _positioning_ensemble_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("geohash"),
     )
 
-    out = position_requests(scans, aps)
+    out = position_observations_onepass(obs, aps, numeric_tier="auto")
     return out.select(
         "request_id",
         F.round("latitude", 6).alias("latitude"),
@@ -2500,9 +2488,14 @@ def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     # the tier router, the per-tier semi-joins, and the history split each
-    # re-scan the measurements relation (6+ consumers) — persist once
-    m = _derived_measurements_df(spark, sf_dir, cap_by_ap=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # re-scan the measurements relation (6+ consumers) — persist once,
+    # ALREADY hash-partitioned on bssid: every per-AP window/groupBy in
+    # localize_with_history then reuses the cached partitioning (tier-id
+    # joins broadcast), so the whole tiered plan adds zero data exchanges
+    m = (
+        _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
+        .repartition("bssid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m.count()
     out = localize_with_history(m)
