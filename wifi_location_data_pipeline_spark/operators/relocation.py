@@ -35,22 +35,24 @@ def relocation_by_time_split(measurements: DataFrame, gap_factor: float = 3.0, m
     halves = measurements.join(w_med, "bssid").withColumn(
         "_half", F.when(F.col("measurement_timestamp") <= F.col("_ts_med"), "old").otherwise("new")
     )
-    per_half = halves.groupBy("bssid", "_half").agg(
-        F.avg("latitude").alias("clat"),
-        F.avg("longitude").alias("clon"),
-        F.coalesce(F.stddev_samp("latitude"), F.lit(0.0)).alias("slat"),
-        F.coalesce(F.stddev_samp("longitude"), F.lit(0.0)).alias("slon"),
-        F.count("*").alias("n"),
+    # one conditional aggregation instead of a (bssid, _half) groupBy +
+    # old/new SELF-JOIN: the self-join recomputed the entire upstream
+    # (scan, planted columns, per-AP cap window) once per side
+    def half(cond_val, col):
+        return F.when(F.col("_half") == cond_val, F.col(col))
+
+    j = halves.groupBy("bssid").agg(
+        F.avg(half("old", "latitude")).alias("olat"),
+        F.avg(half("old", "longitude")).alias("olon"),
+        F.coalesce(F.stddev_samp(half("old", "latitude")), F.lit(0.0)).alias("oslat"),
+        F.coalesce(F.stddev_samp(half("old", "longitude")), F.lit(0.0)).alias("oslon"),
+        F.count(half("old", "latitude")).alias("on"),
+        F.avg(half("new", "latitude")).alias("nlat"),
+        F.avg(half("new", "longitude")).alias("nlon"),
+        F.coalesce(F.stddev_samp(half("new", "latitude")), F.lit(0.0)).alias("nslat"),
+        F.coalesce(F.stddev_samp(half("new", "longitude")), F.lit(0.0)).alias("nslon"),
+        F.count(half("new", "latitude")).alias("nn"),
     )
-    old = per_half.filter("_half = 'old'").select(
-        "bssid", F.col("clat").alias("olat"), F.col("clon").alias("olon"),
-        F.col("slat").alias("oslat"), F.col("slon").alias("oslon"), F.col("n").alias("on"),
-    )
-    new = per_half.filter("_half = 'new'").select(
-        "bssid", F.col("clat").alias("nlat"), F.col("clon").alias("nlon"),
-        F.col("slat").alias("nslat"), F.col("slon").alias("nslon"), F.col("n").alias("nn"),
-    )
-    j = old.join(new, "bssid")
     gap = haversine_m(F.col("olat"), F.col("olon"), F.col("nlat"), F.col("nlon"))
     spread = (
         F.greatest(F.col("oslat"), F.col("oslon"), F.col("nslat"), F.col("nslon"))

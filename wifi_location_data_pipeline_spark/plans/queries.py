@@ -2545,9 +2545,17 @@ def _relocation_dbscan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.01,
         ).otherwise(0.0),
     )
-    # cap rows per AP so the O(n^2) neighbor matrix stays bounded at any SF
+    # cap rows per AP so the O(n^2) neighbor matrix stays bounded at any SF;
+    # persist: the relation feeds BOTH the time-split candidate scan and the
+    # DBSCAN tier (un-persisted, the candidate subtree re-derived it)
+    from pyspark import StorageLevel
+
     w = Window.partitionBy("bssid").orderBy("event_id")
-    capped = planted.withColumn("_rn", F2.row_number().over(w)).filter(F2.col("_rn") <= 300)
+    capped = (
+        planted.withColumn("_rn", F2.row_number().over(w))
+        .filter(F2.col("_rn") <= 300)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     candidates = relocation_by_time_split(capped).filter("relocated").select("bssid")
     # already capped (deterministically, by event_id) above — skip the
     # operator's own defensive cap so the plan keeps a single window pass
