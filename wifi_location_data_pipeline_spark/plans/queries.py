@@ -2485,19 +2485,23 @@ def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         localize_with_history,
     )
 
-    from pyspark import StorageLevel
-
     # the tier router, the per-tier semi-joins, and the history split each
-    # re-scan the measurements relation (6+ consumers) — persist once,
+    # re-scan the measurements relation (6+ consumers) — materialize once,
     # ALREADY hash-partitioned on bssid: every per-AP window/groupBy in
     # localize_with_history then reuses the cached partitioning (tier-id
-    # joins broadcast), so the whole tiered plan adds zero data exchanges
+    # joins broadcast), so the whole tiered plan adds zero data exchanges.
+    # localCheckpoint (not persist+count): it also TRUNCATES the logical
+    # plan to a leaf, so the ~45 downstream DataFrame constructions analyze
+    # a tiny tree instead of re-analyzing the 15-op derivation each time —
+    # measured ~0.45 s of driver-side analysis at any SF (a per-batch-job
+    # constant). Deployment note: local checkpoints don't survive executor
+    # loss; a cluster job would use a reliable checkpoint dir or accept
+    # recompute-on-failure for a derived relation like this one.
     m = (
         _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
         .repartition("bssid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    m.count()
     out = localize_with_history(m)
     return out.select(
         "bssid",
