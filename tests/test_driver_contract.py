@@ -110,3 +110,22 @@ def test_service_plan_cache_reuse_is_value_stable(spark, sf_dir, monkeypatch):
     fresh = q.spark(spark, sf_dir)
     assert fresh is not cached_df
     assert rows(fresh) == first
+
+
+def test_fixture_shapes():
+    """The window-free request fixtures (plans.queries.users_cte) enumerate
+    user_id 0..MAX(user_id); that equals the event-table user population
+    exactly iff the driver's user ids are DENSE 0..N-1 — assert it at every
+    shipped SF so a corpus change that breaks the assumption fails loudly
+    here instead of silently shifting every positioning-family result."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx, nd, nn = con.execute(
+            "SELECT MAX(user_id), COUNT(DISTINCT user_id),"
+            " SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)"
+            f" FROM read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchone()
+        assert nn == 0, sf
+        assert nd == mx + 1, (sf, mx, nd)  # dense 0..N-1
