@@ -175,6 +175,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # transparency split: the suite total is compared against the DuckDB
+    # oracle suite, but the no-oracle entries (iterative numerics) have no
+    # denominator — record their share so the ratio self-explains
+    no_oracle = [n for n in timings if n not in entry_mod.oracle_sql()]
+    if no_oracle:
+        result["no_oracle_sec"] = round(sum(timings[n] for n in no_oracle), 3)
+        result["oracle_matched_sec"] = round(
+            result["value"] - result["no_oracle_sec"], 3
+        )
     if tainted:
         # queries whose window the canary flagged as degraded even after a
         # settle-and-retry — their recorded minima are upper bounds
@@ -239,6 +248,9 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
     }
+    if "oracle_matched_sec" in result:
+        summary["oracle_matched_sec"] = result["oracle_matched_sec"]
+        summary["no_oracle_sec"] = result["no_oracle_sec"]
     if isinstance(result.get("sf1"), dict) and "value" in result["sf1"]:
         summary["sf1_value"] = result["sf1"]["value"]
     print(json.dumps(summary))
