@@ -31,13 +31,13 @@ def main() -> None:
     # a right-sized heap collects incrementally and the suite is stable.
     # Console progress is OFF: its \r spam interleaved with stdout is what
     # truncated the round-3 bench capture (BENCH_r03.json parsed: null).
-    spark = build_session(
-        app_name="bench",
-        extra_conf={
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-            "spark.ui.showConsoleProgress": "false",
-        },
-    )
+    extra = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if os.environ.get("SPARK_GRAFT_AQE"):  # A/B hook for floor experiments
+        extra["spark.sql.adaptive.enabled"] = os.environ["SPARK_GRAFT_AQE"]
+    spark = build_session(app_name="bench", extra_conf=extra)
 
     qs = entry_mod.queries()
     only = os.environ.get("BENCH_QUERIES")
