@@ -491,21 +491,19 @@ def localize_with_history(
     wifi_measurements layout) for the deterministic history split.
     """
     clean = measurements.filter(~F.coalesce(F.col("is_global_outlier"), F.lit(False)))
-    # three tier-id broadcasts filter the SAME routing aggregate — persist
-    # it (per-AP-sized, tiny) so the broadcast builds don't re-aggregate
-    # the measurements relation three times
-    routing = tier_routing(measurements, cfg).persist()
-    wcl_ids = routing.filter(F.col("tier") == "WCL").select("bssid")
-    mle_ids = routing.filter(F.col("tier") == "MLE").select("bssid")
-    bayes_ids = routing.filter(F.col("tier") == "BAYESIAN").select("bssid")
+    # ONE broadcast tier-attach instead of three per-tier semi-joins: the
+    # inner join drops below-bootstrap bssids exactly like the semi joins
+    # did (routing excludes them), the identical broadcast subtree is
+    # reused across the three branches (ReuseExchange), and callers that
+    # pre-partition `measurements` by bssid (the bench entry does) get
+    # every window/groupBy below exchange-free on top of it
+    routing = tier_routing(measurements, cfg)
+    tiered = clean.join(
+        F.broadcast(routing.select("bssid", "tier")), "bssid", "inner"
+    )
+    wcl_out = wcl_localize(tiered.filter(F.col("tier") == "WCL").drop("tier"))
 
-    # tier-id semi joins broadcast (the id lists are per-AP aggregates);
-    # callers that pre-partition `measurements` by bssid (the bench entry
-    # does) get every window/groupBy below exchange-free on top of it
-    bc = lambda ids: F.broadcast(ids)  # noqa: E731
-    wcl_out = wcl_localize(clean.join(bc(wcl_ids), "bssid", "left_semi"))
-
-    bayes = clean.join(bc(bayes_ids), "bssid", "left_semi")
+    bayes = tiered.filter(F.col("tier") == "BAYESIAN").drop("tier")
     w = Window.partitionBy("bssid").orderBy("measurement_timestamp", "id")
     cnt = Window.partitionBy("bssid")
     split = bayes.withColumn("_rn", F.row_number().over(w)).withColumn(
@@ -527,7 +525,7 @@ def localize_with_history(
     pack = lambda df: _capped(df, 2000).groupBy("bssid").agg(  # noqa: E731
         F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
     )
-    mle_packed = pack(clean.join(bc(mle_ids), "bssid", "left_semi")).select(
+    mle_packed = pack(tiered.filter(F.col("tier") == "MLE").drop("tier")).select(
         "bssid",
         "obs",
         F.lit(None).cast("double").alias("prior_lat"),
