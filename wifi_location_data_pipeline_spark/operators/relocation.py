@@ -46,12 +46,15 @@ def relocation_by_time_split(measurements: DataFrame, gap_factor: float = 3.0, m
         F.avg(half("old", "longitude")).alias("olon"),
         F.coalesce(F.stddev_samp(half("old", "latitude")), F.lit(0.0)).alias("oslat"),
         F.coalesce(F.stddev_samp(half("old", "longitude")), F.lit(0.0)).alias("oslon"),
-        F.count(half("old", "latitude")).alias("on"),
+        # count ROWS per half (the pre-rework COUNT(*) semantics), not
+        # non-NULL latitudes — a NULL-coordinate row still counted toward
+        # the >= 5 sufficiency gate in the join formulation
+        F.count(F.when(F.col("_half") == "old", F.lit(1))).alias("on"),
         F.avg(half("new", "latitude")).alias("nlat"),
         F.avg(half("new", "longitude")).alias("nlon"),
         F.coalesce(F.stddev_samp(half("new", "latitude")), F.lit(0.0)).alias("nslat"),
         F.coalesce(F.stddev_samp(half("new", "longitude")), F.lit(0.0)).alias("nslon"),
-        F.count(half("new", "latitude")).alias("nn"),
+        F.count(F.when(F.col("_half") == "new", F.lit(1))).alias("nn"),
     )
     gap = haversine_m(F.col("olat"), F.col("olon"), F.col("nlat"), F.col("nlon"))
     spread = (

@@ -71,8 +71,10 @@ def users_cte(d: str, k_expr: str, rn_alias: str = "rn") -> str:
 
     ``user_id`` enumerates 0..MAX(events.user_id) — the driver's user ids
     are DENSE (0..N-1 at every SF; asserted by test_fixture_shapes), so this
-    is exactly the event-table user population, derived from one columnar
-    MAX that parquet answers from footer stats in both engines. The per-user
+    is exactly the event-table user population, derived from one
+    single-column MAX (DuckDB answers it from parquet footer stats; Spark's
+    V1 parquet reader scans the column — ~0.1 s, see the session config
+    note on aggregatePushdown). The per-user
     observation count k is the caller's arithmetic expression over user_id.
 
     This replaces the round-1..6 events-window form (ROW_NUMBER per user ->
@@ -92,9 +94,16 @@ def users_cte(d: str, k_expr: str, rn_alias: str = "rn") -> str:
         # EVERY downstream per-user aggregate/window in every consumer
         # reuses the partitioning (ClusteredDistribution is satisfied by a
         # subset partitioning) — consumers add zero further exchanges.
+        # sequence over BIGINT bounds so user_id comes out int64 like
+        # DuckDB's generate_series: the external driver's value hash
+        # includes the rendered column TYPE, so an int32/int64 split fails
+        # the gate even with identical values (the decimal-leak failure
+        # class; caught by round-7 code review). Typing the sequence — not
+        # CASTing the projection — keeps DISTRIBUTE BY on the same
+        # attribute consumers group on, so partitioning reuse survives.
         return f"""
     SELECT u.user_id, CAST(t.{rn_alias} AS BIGINT) AS {rn_alias}
-    FROM (SELECT explode(sequence(0, CAST((SELECT MAX(user_id) FROM events) AS INT))) AS user_id) u
+    FROM (SELECT explode(sequence(CAST(0 AS BIGINT), (SELECT MAX(user_id) FROM events))) AS user_id) u
     LATERAL VIEW explode(sequence(1, CAST({k_expr} AS INT))) t AS {rn_alias}
     DISTRIBUTE BY u.user_id
 """
@@ -2551,7 +2560,10 @@ def _relocation_dbscan_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cap rows per AP so the O(n^2) neighbor matrix stays bounded at any SF;
     # persist: the relation feeds BOTH the time-split candidate scan and the
-    # DBSCAN tier (un-persisted, the candidate subtree re-derived it)
+    # DBSCAN tier (un-persisted, the candidate subtree re-derived it).
+    # Per-invocation interior persist: the discarded DataFrame is reclaimed
+    # by Spark's ContextCleaner on driver GC, and the bench clearCache()s
+    # between attempts — same lifecycle note as the dedup bstats persist
     from pyspark import StorageLevel
 
     w = Window.partitionBy("bssid").orderBy("event_id")

@@ -421,6 +421,16 @@ def position_observations_onepass(
     the two paths are value-identical — pinned by
     tests/test_positioning.py::test_flat_onepass_matches_nested.
     """
+    from wifi_location_data_pipeline_spark.functions.identifiers import (
+        normalize_bssid,
+    )
+
+    # normalize like explode_requests does on the nested path — without
+    # this, an uppercase/dash-format mac that DOES exist in the dimension
+    # silently drops at the inner join instead of resolving
+    observations = observations.withColumn(
+        "mac_addr", normalize_bssid(F.col("mac_addr"))
+    )
     obs = join_known_aps(observations, access_points)
     obs = obs.withColumns(_derived_element_cols())
     spark = observations.sparkSession

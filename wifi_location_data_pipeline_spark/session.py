@@ -54,8 +54,12 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # answer filterless MIN/MAX/COUNT from parquet footer stats instead
         # of a full column scan (the fixture-population MAX(user_id) and any
-        # stats probe); off by default only because pre-3.3 writers could
-        # carry wrong footer stats — our sources are modern writers
+        # stats probe). NOTE: this only engages on the DSv2 parquet reader;
+        # the local suite reads parquet via the V1 source (parquet is in the
+        # default spark.sql.sources.useV1SourceList), where it is a no-op —
+        # verified by the absence of PushedAggregation in the MAX plan. The
+        # single-column MAX scan it would save costs ~0.1 s per query here;
+        # kept for deployments that run the DSv2 reader.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
