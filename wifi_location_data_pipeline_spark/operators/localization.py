@@ -390,17 +390,37 @@ def _capped(measurements: DataFrame, max_rows_per_ap: int) -> DataFrame:
     )
 
 
+def _pack_obs(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
+    """(bssid, obs array) — the lockstep kernel's packed input."""
+    return (
+        _capped(measurements, max_rows_per_ap)
+        .groupBy("bssid")
+        .agg(F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs"))
+    )
+
+
+def _prior_cols(prior_state: DataFrame) -> DataFrame:
+    """(bssid, prior_lat/lon/var) — the kernel's prior-column convention."""
+    return prior_state.select(
+        "bssid",
+        F.col("latitude").alias("prior_lat"),
+        F.col("longitude").alias("prior_lon"),
+        F.col("p_var_m2").alias("prior_var"),
+    )
+
+
+def _dispatch_numeric(packed: DataFrame) -> DataFrame:
+    """Repartition to kernel width and run the lockstep gradient ascent."""
+    spark = packed.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return packed.repartition(n_parts).mapInPandas(_run_mle_packed, AP_LOCATION_SCHEMA)
+
+
 def mle_localize(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
     """Tier-2/3 MLE: pack each AP's capped rows into one array row, then run
     the lockstep-batched gradient ascent in mapInPandas (one Python call per
     Arrow batch of APs instead of one per AP)."""
-    capped = _capped(measurements, max_rows_per_ap)
-    packed = capped.groupBy("bssid").agg(
-        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
-    )
-    spark = measurements.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    return packed.repartition(n_parts).mapInPandas(_run_mle_packed, AP_LOCATION_SCHEMA)
+    return _dispatch_numeric(_pack_obs(measurements, max_rows_per_ap))
 
 
 def mle_localize_grouped(measurements: DataFrame, max_rows_per_ap: int = 2000) -> DataFrame:
@@ -423,20 +443,10 @@ def bayesian_localize(
 
     prior_state: (bssid, latitude, longitude, p_var_m2) — the kalman_update
     state convention."""
-    capped = _capped(measurements, max_rows_per_ap)
-    packed = capped.groupBy("bssid").agg(
-        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
+    packed = _pack_obs(measurements, max_rows_per_ap).join(
+        F.broadcast(_prior_cols(prior_state)), "bssid", "left"
     )
-    prior = prior_state.select(
-        "bssid",
-        F.col("latitude").alias("prior_lat"),
-        F.col("longitude").alias("prior_lon"),
-        F.col("p_var_m2").alias("prior_var"),
-    )
-    packed = packed.join(F.broadcast(prior), "bssid", "left")
-    spark = measurements.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    return packed.repartition(n_parts).mapInPandas(_run_mle_packed, AP_LOCATION_SCHEMA)
+    return _dispatch_numeric(packed)
 
 
 def wcl_prior_state(history: DataFrame) -> DataFrame:
@@ -516,30 +526,17 @@ def localize_with_history(
     # plain MLE per row); packing both tiers into ONE relation runs the
     # numeric tier in ONE mapInPandas pass instead of two — the round-6
     # form paid a second full Python-pass floor for the Bayesian branch
-    prior = wcl_prior_state(hist).select(
-        "bssid",
-        F.col("latitude").alias("prior_lat"),
-        F.col("longitude").alias("prior_lon"),
-        F.col("p_var_m2").alias("prior_var"),
-    )
-    pack = lambda df: _capped(df, 2000).groupBy("bssid").agg(  # noqa: E731
-        F.collect_list(F.struct(*_MLE_PACK_COLS)).alias("obs")
-    )
-    mle_packed = pack(tiered.filter(F.col("tier") == "MLE").drop("tier")).select(
+    prior = _prior_cols(wcl_prior_state(hist))
+    mle_packed = _pack_obs(tiered.filter(F.col("tier") == "MLE").drop("tier")).select(
         "bssid",
         "obs",
         F.lit(None).cast("double").alias("prior_lat"),
         F.lit(None).cast("double").alias("prior_lon"),
         F.lit(None).cast("double").alias("prior_var"),
     )
-    bayes_packed = pack(new).join(F.broadcast(prior), "bssid", "left")
+    bayes_packed = _pack_obs(new).join(F.broadcast(prior), "bssid", "left")
     packed = mle_packed.unionByName(bayes_packed.select(*mle_packed.columns))
-    spark = measurements.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    numeric_out = packed.repartition(n_parts).mapInPandas(
-        _run_mle_packed, AP_LOCATION_SCHEMA
-    )
-    return wcl_out.unionByName(numeric_out)
+    return wcl_out.unionByName(_dispatch_numeric(packed))
 
 
 def kalman_update(prior_state: DataFrame, new_estimates: DataFrame) -> DataFrame:
