@@ -239,3 +239,283 @@ def test_wav_codec_property_random_signals():
         assert f[3] == pytest.approx(np.sqrt(np.mean(x * x))), case
         assert f[4] == pytest.approx(np.abs(x).max()), case
         assert f[7] == pytest.approx(n / rate), case
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: hand-assembled encoder (test-side, stdlib+numpy) so the
+# decoder is verified against independently computed ground truth — same
+# strategy as _make_png. The encoder emits its OWN Huffman tables (every
+# used symbol at code length 8), so no Annex K transcription is involved.
+# ---------------------------------------------------------------------------
+
+
+def _dct_basis():
+    import numpy as np
+
+    u = np.arange(8)
+    A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def align(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _category(v):
+    t, a = 0, abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+def _encode_blocks(planes_blocks, q, restart_cols=0):
+    """Entropy-encode per-MCU block lists; returns (dc_syms, ac_syms, body).
+
+    planes_blocks: list of MCUs, each MCU a list of (comp_idx, coeff8x8).
+    """
+    import numpy as np
+
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    # first pass: gather used symbols
+    dc_syms, ac_syms = set(), set()
+    ncomp = 1 + max(ci for mcu in planes_blocks for ci, _ in mcu)
+    pred = [0] * ncomp
+    tokens = []
+    n_mcu = 0
+    for mcu in planes_blocks:
+        if restart_cols and n_mcu and n_mcu % restart_cols == 0:
+            tokens.append(("RST", n_mcu // restart_cols - 1))
+            pred = [0] * ncomp
+        for ci, blk in mcu:
+            z = blk.flatten()[zz].astype(int)
+            diff = int(z[0]) - pred[ci]
+            pred[ci] = int(z[0])
+            t = _category(diff)
+            dc_syms.add(t)
+            tokens.append(("DC", t, diff))
+            run = 0
+            last_nz = max([k for k in range(1, 64) if z[k]] or [0])
+            for k in range(1, 64):
+                if k > last_nz:
+                    ac_syms.add(0x00)
+                    tokens.append(("AC", 0x00, 0))
+                    break
+                if z[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ac_syms.add(0xF0)
+                    tokens.append(("AC", 0xF0, 0))
+                    run -= 16
+                s = _category(int(z[k]))
+                ac_syms.add((run << 4) | s)
+                tokens.append(("AC", (run << 4) | s, int(z[k])))
+                run = 0
+        n_mcu += 1
+
+    def table(symbols):
+        syms = sorted(symbols)
+        counts = [0] * 16
+        counts[7] = len(syms)  # every symbol at code length 8
+        codes = {s: (8, i) for i, s in enumerate(syms)}
+        return counts, bytes(syms), codes
+
+    dc_counts, dc_list, dc_codes = table(dc_syms)
+    ac_counts, ac_list, ac_codes = table(ac_syms)
+    bw = _BitWriter()
+    for tok in tokens:
+        if tok[0] == "RST":
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + (tok[1] % 8)])
+            continue
+        kind, sym, val = tok
+        ln, code = (dc_codes if kind == "DC" else ac_codes)[sym]
+        bw.put(code, ln)
+        t = sym & 15 if kind == "AC" else sym
+        if t:
+            bits = val if val >= 0 else val + (1 << t) - 1
+            bw.put(bits, t)
+    bw.align()
+    return (dc_counts, dc_list), (ac_counts, ac_list), bytes(bw.out)
+
+
+def _make_jpeg(pixels, subsample=False, q_val=16, restart_rows=False):
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a real
+    baseline JPEG. Returns (payload, reference_pixels) where the reference
+    is the independently computed decode (quantize -> dequantize -> IDCT
+    -> [upsample/color-convert] -> round/clip) this encoder implies."""
+    import struct
+
+    import numpy as np
+
+    A = _dct_basis()
+    px = np.asarray(pixels, dtype=np.float64)
+    color = px.ndim == 3
+    h, w = px.shape[:2]
+    q = np.full(64, q_val, dtype=int)
+    q[0] = max(1, q_val // 2)
+
+    if color:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+    else:
+        comps = [px]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def plane_pad(p, ch, cv):
+        # box-average downsample to the component grid, pad to MCU multiple
+        if (ch, cv) != (hmax, vmax):
+            fy, fx = vmax // cv, hmax // ch
+            py = ((h + fy - 1) // fy) * fy
+            pxw = ((w + fx - 1) // fx) * fx
+            pp = np.pad(p, ((0, py - h), (0, pxw - w)), mode="edge")
+            p = pp.reshape(py // fy, fy, pxw // fx, fx).mean(axis=(1, 3))
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    padded = [plane_pad(c, s[0], s[1]) for c, s in zip(comps, samp)]
+    zzq = np.empty((8, 8))
+    zzq.flat[[
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]] = q
+    mcus, recon = [], [np.zeros_like(p) for p in padded]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu = []
+            for ci, (p, (ch, cv)) in enumerate(zip(padded, samp)):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round((A @ blk @ A.T) / zzq)
+                        mcu.append((ci, coef))
+                        recon[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                            A.T @ (coef * zzq) @ A + 128.0
+                        )
+            mcus.append(mcu)
+
+    restart = mcux if restart_rows else 0
+    (dc_counts, dc_list), (ac_counts, ac_list), body = _encode_blocks(
+        mcus, q, restart_cols=restart
+    )
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in q)
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (ch, cv) in enumerate(samp):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_counts) + dc_list
+    dht += bytes([0x10]) + bytes(ac_counts) + ac_list
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body + b"\xff\xd9"
+
+    # independent reference reconstruction at full resolution
+    full = []
+    for p, (ch, cv) in zip(recon, samp):
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if color:
+        yy, cbb, crr = full[0], full[1] - 128.0, full[2] - 128.0
+        ref = np.stack(
+            [yy + 1.402 * crr, yy - 0.344136 * cbb - 0.714136 * crr, yy + 1.772 * cbb],
+            axis=2,
+        )
+    else:
+        ref = full[0][:, :, None]
+    return bytes(out), np.clip(np.round(ref), 0, 255)
+
+
+def _assert_jpeg_features(pixels, **kw):
+    import numpy as np
+
+    payload, ref = _make_jpeg(pixels, **kw)
+    feats = decode_payload("jpeg", "image", payload)
+    h, w = np.asarray(pixels).shape[:2]
+    hdiff = np.abs(np.diff(ref, axis=1)).mean() if w > 1 else 0.0
+    expect = [
+        float(w), float(h), float(ref.shape[2]),
+        float(ref.mean()), float(ref.std()),
+        float(ref.min()), float(ref.max()), float(hdiff),
+    ]
+    assert feats == pytest.approx(expect, abs=1e-9), (feats, expect)
+    # a JPEG at this quantization must stay near the source image
+    assert abs(feats[3] - np.asarray(pixels, dtype=float).mean()) < 8.0
+
+
+def test_jpeg_grayscale_decode_matches_reference():
+    """Baseline grayscale SOF0, non-multiple-of-8 dims (padding + crop)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 24), dtype=np.uint8)
+    _assert_jpeg_features(img)
+
+
+def test_jpeg_color_420_with_restart_markers():
+    """3-component 4:2:0 with DRI/RSTn every MCU row: exercises chroma
+    upsampling, YCbCr->RGB, byte stuffing, and restart resync."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    _assert_jpeg_features(img, subsample=True, restart_rows=True)
+
+
+def test_jpeg_color_444_smooth_gradient():
+    import numpy as np
+
+    x = np.linspace(0, 255, 32)
+    img = np.stack(np.meshgrid(x, np.linspace(40, 200, 16))[0:2] + [np.full((16, 32), 99.0)], axis=2
+    ).astype(np.uint8)
+    _assert_jpeg_features(img, q_val=8)
+
+
+def test_jpeg_progressive_rejected():
+    import struct
+
+    payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        decode_payload("jpeg", "image", payload)

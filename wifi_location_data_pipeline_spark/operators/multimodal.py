@@ -2,12 +2,16 @@
 decoded / feature-extracted via Arrow-batched ``mapInPandas``.
 
 The container has no codec LIBRARIES (PIL/librosa/pyav probed absent every
-round), but two formats decode for REAL with the stdlib alone: PNG (zlib
-inflate + chunk parse + full scanline unfilter) and 16-bit PCM WAV (the
-``wave`` module) — exact pixel/sample statistics, verified against
-ground-truth fixtures in tests/test_multimodal.py. Compressed formats that
-genuinely need external codecs (jpeg/mp4/...) raise ``NotImplementedError``;
-the "synthetic" format remains the deterministic oracle-checkable path the
+round), but three formats decode for REAL with the stdlib (+NumPy) alone:
+PNG (zlib inflate + chunk parse + full scanline unfilter), baseline JPEG
+(SOF0 marker parse, canonical Huffman entropy decode with byte stuffing and
+restart markers, dequantize + exact float IDCT, 4:2:x chroma upsampling,
+JFIF YCbCr->RGB), and 16-bit PCM WAV (the ``wave`` module) — exact
+pixel/sample statistics, verified against ground-truth fixtures (the JPEG
+tests hand-assemble real bitstreams and compare against an independently
+computed reconstruction). Formats that genuinely need external codecs
+(mp4/..., progressive/arithmetic JPEG) raise ``NotImplementedError``; the
+"synthetic" format remains the deterministic oracle-checkable path the
 registry queries use. Swapping in PIL/pyav later only changes the body of
 ``decode_payload``.
 
@@ -172,6 +176,222 @@ def _decode_png(payload: bytes) -> list[float]:
     ]
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_lut(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (JPEG Annex C): {(length, code) -> symbol}."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _BitReader:
+    """JPEG entropy-segment bit reader: honors 0xFF00 byte stuffing and
+    stops (byte-aligned) at any real marker so the MCU loop can consume
+    RSTn markers itself."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:  # real marker: unread and signal end of segment
+                    self.pos -= 1
+                    raise StopIteration
+            self.bits, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, lut: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self.bits = self.nbits = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError("JPEG restart marker missing/mismatched")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Real baseline JPEG (SOF0) decode with the stdlib + NumPy only:
+    marker parse (DQT/DHT/SOF0/SOS/DRI), canonical Huffman entropy decode
+    with byte-stuffing and restart markers, dequantize + zigzag, exact
+    float IDCT as an 8x8 basis-matrix product, 2x chroma upsampling
+    (sample replication) and JFIF YCbCr->RGB. Grayscale and 3-component
+    images with sampling factors 1 or 2 (4:4:4 / 4:2:2 / 4:2:0) — the
+    shapes training corpora actually carry. Progressive (SOF2) and
+    arithmetic coding raise: they genuinely need a fuller codec.
+
+    Returns the same feature shape as _decode_png. Entropy decode runs in
+    per-bit Python — fixture-scale honest; a deployment swaps the body for
+    PIL/libjpeg without touching the Spark plumbing (same note as PNG)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = 0
+    restart = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qt[tq] = list(seg[s + 1 : s + 65])
+                s += 65
+        elif m == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                counts = list(seg[s + 1 : s + 17])
+                n = sum(counts)
+                lut = _huff_lut(counts, seg[s + 17 : s + 17 + n])
+                (hdc if tc == 0 else hac)[th] = lut
+                s += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15, seg[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif m in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"JPEG SOF{m - 0xC0} unsupported (baseline only)")
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(j for j, c in enumerate(comps) if c[0] == cid)
+                scan.append((ci, tabs >> 4, tabs & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or not scan:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64) for c in comps
+    ]
+    # exact float IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    u = np.arange(8)
+    A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    A[0] *= 1 / np.sqrt(2)
+
+    br = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_n and mcu_n % restart == 0:
+                br.align_and_expect_rst(mcu_n // restart - 1)
+                pred = [0] * len(comps)
+            for ci, tdc, tac in scan:
+                _cid, ch, cv, tq = comps[ci]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        z = np.zeros(64)
+                        t = br.decode_huff(hdc[tdc])
+                        pred[ci] += _extend(br.receive(t), t)
+                        z[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_huff(hac[tac])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rs != 0xF0:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            z[k] = _extend(br.receive(s), s) * q[k]
+                            k += 1
+                        blk = np.zeros((8, 8))
+                        blk.flat[_ZIGZAG] = z
+                        px = A.T @ blk @ A + 128.0
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_n += 1
+
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c[2], axis=0), hmax // c[1], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        px = full[0][:, :, None]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        px = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    px = np.clip(np.round(px), 0, 255)
+    nch = px.shape[2]
+    hdiff = np.abs(np.diff(px, axis=1)).mean() if w > 1 else 0.0
+    return [
+        float(w), float(h), float(nch),
+        float(px.mean()), float(px.std()),
+        float(px.min()), float(px.max()), float(hdiff),
+    ]
+
+
 def _decode_wav(payload: bytes) -> list[float]:
     """Real WAV/PCM decode with the stdlib ``wave`` module. Returns
     [channels, sample_rate, n_frames, rms, peak, zero_crossing_rate,
@@ -205,14 +425,17 @@ def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
 
     Real format paths (stdlib codecs, no external libraries):
     - ``png``  → zlib/struct decode with full filter unrolling (_decode_png)
+    - ``jpeg`` → baseline SOF0 Huffman + exact float IDCT (_decode_jpeg)
     - ``wav``  → ``wave`` module PCM decode (_decode_wav)
     - ``synthetic`` → deterministic content-hash fake (the oracle-checkable
       path the registry queries use)
-    Other formats (mp4/jpeg/...) raise until their codec libraries are
+    Other formats (mp4/...) raise until their codec libraries are
     available; the surrounding Spark plumbing does not change when they are.
     """
     if fmt == "png":
         return _decode_png(payload)
+    if fmt in ("jpeg", "jpg"):
+        return _decode_jpeg(payload)
     if fmt == "wav":
         return _decode_wav(payload)
     if fmt != "synthetic":
