@@ -1179,3 +1179,69 @@ def test_rssi_ratio_vectors_from_reference(spark):
     wp = out["weak_pair"]
     assert wp["accuracy"] > 8.0, wp["accuracy"]
     assert wp["confidence"] < 0.7, wp["confidence"]
+
+
+def test_proximity_vectors_from_reference(spark):
+    """ProximityDetectionAlgorithmTest.java ported against the row-wise
+    proximity twin. Strongest-signal pick copies the winning AP's exact
+    coordinates/altitude (shouldFindAPWithStrongestSignal); confidence =
+    clamp((rssi+90)/60, 0, 0.85) reproduces every range vector: -65 dBm ->
+    [0.4, 0.5] with accuracy = the AP's 12 m, -85 dBm -> < 0.2 with 35 m,
+    -89 -> (0, 0.2), -35 -> (0.8, 0.85] (the clamp), and -40 > -80
+    ordering. Semantics note: the Java CLASS returns null when the
+    strongest scan's AP is unknown; the SERVICE drops unknown scans before
+    any algorithm runs (WifiPositioningCalculator.filterValidScans), which
+    is the pipeline behavior our twin implements — pinned here as
+    strongest-KNOWN-AP wins."""
+    from wifi_location_data_pipeline_spark.positioning.algorithms import proximity
+    from wifi_location_data_pipeline_spark.positioning.prepare import (
+        explode_requests,
+        join_known_aps,
+    )
+
+    ap_rows = [
+        {"mac_addr": m, "version": "1", "latitude": la, "longitude": lo,
+         "altitude": al, "horizontal_accuracy": ha, "vertical_accuracy": 4.0,
+         "confidence": 0.8, "ssid": "t", "frequency": 2412, "vendor": None,
+         "status": "active", "geohash": None}
+        for m, la, lo, al, ha in [
+            ("0a:00:00:00:00:01", 1.0, 1.0, 10.0, 12.0),
+            ("0a:00:00:00:00:02", 2.0, 2.0, 20.0, 5.0),
+            ("0a:00:00:00:00:03", 3.0, 3.0, 30.0, 35.0),
+        ]
+    ]
+    aps = spark.createDataFrame(ap_rows, WIFI_ACCESS_POINTS_SCHEMA)
+    requests = [
+        req("strongest", [scan("0a:00:00:00:00:01", -70.0),
+                          scan("0a:00:00:00:00:02", -60.0),
+                          scan("0a:00:00:00:00:03", -80.0)]),
+        req("strong_single", [scan("0a:00:00:00:00:01", -65.0)]),
+        req("weak_single", [scan("0a:00:00:00:00:03", -85.0)]),
+        req("very_weak", [scan("0a:00:00:00:00:01", -89.0)]),
+        req("very_strong", [scan("0a:00:00:00:00:01", -35.0)]),
+        req("unknown_strongest", [scan("0a:00:00:00:00:01", -70.0),
+                                  scan("ff:ff:00:00:00:01", -60.0)]),
+        req("all_unknown", [scan("ff:ff:00:00:00:01", -60.0)]),
+    ]
+    rdf = spark.createDataFrame(requests, POSITIONING_REQUEST_SCHEMA)
+    obs = join_known_aps(explode_requests(rdf), aps)
+    out = {r["request_id"]: r for r in proximity(obs).collect()}
+
+    s = out["strongest"]
+    assert (s["latitude"], s["longitude"], s["altitude"]) == (2.0, 2.0, 20.0)
+
+    st = out["strong_single"]
+    assert 10.0 <= st["accuracy"] <= 15.0 and 0.4 <= st["confidence"] <= 0.5
+    assert (st["latitude"], st["longitude"]) == (1.0, 1.0)
+
+    wk = out["weak_single"]
+    assert 30.0 <= wk["accuracy"] <= 40.0 and 0.0 < wk["confidence"] < 0.2
+
+    assert 0.0 < out["very_weak"]["confidence"] < 0.2
+    assert 0.8 < out["very_strong"]["confidence"] <= 0.85
+    assert out["very_strong"]["confidence"] > out["weak_single"]["confidence"]
+
+    # pipeline semantics: unknown scans drop pre-algorithm, strongest KNOWN wins
+    u = out["unknown_strongest"]
+    assert (u["latitude"], u["longitude"]) == (1.0, 1.0)
+    assert "all_unknown" not in out
