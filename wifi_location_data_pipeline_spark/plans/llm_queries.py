@@ -2949,6 +2949,16 @@ def _substring_spans_sql(d: str) -> str:
     of previous span ends — plain consecutive-position islands would
     double-count partially-overlapping windows).
 
+    Window-hash definition (token-digest rolling form): each token is
+    md5-hashed ONCE to a 16-hex-char digest; a window's hash is the md5 of
+    the concatenation of its {SUBSTR_WIN} token digests (a fixed
+    16*{SUBSTR_WIN}-char string), truncated to 60 bits. Collision-
+    equivalent to hashing the joined window text, but the per-window work
+    is O(1) token hashing amortized + one fixed-width md5 instead of an
+    O(W) string build — the kernel shares token digests across all windows
+    they appear in. Both dialects use this same definition, so values
+    match bit-for-bit.
+
     Scale shape: the window relation is built array-native per document
     (one slice+md5 per window, no token explode) and carries ~(tokens)
     rows of (60-bit hash, doc_id, pos) into one GROUP BY for the shared
@@ -2958,11 +2968,14 @@ def _substring_spans_sql(d: str) -> str:
         return None  # the Spark side is the Arrow-kernel spark_fn below
     W = SUBSTR_WIN
     wins = f"""
-  SELECT doc_id, unnest(generate_series(1, len(w) - {W - 1})) AS p,
-    unnest([{hex_to_bigint(d, f"substr(md5(list_aggregate(w[i:i+{W - 1}], 'string_agg', ' ')), 1, 15)")}
-            FOR i IN generate_series(1, len(w) - {W - 1})]) AS h
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
-  WHERE len(w) >= {W}"""
+  SELECT doc_id, unnest(generate_series(1, n - {W - 1})) AS p,
+    unnest([{hex_to_bigint(d, f"substr(md5(list_aggregate(dg[i:i+{W - 1}], 'string_agg', '')), 1, 15)")}
+            FOR i IN generate_series(1, n - {W - 1})]) AS h
+  FROM (
+    SELECT doc_id, list_transform(w, t -> substr(md5(t), 1, 16)) AS dg, len(w) AS n
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+    WHERE len(w) >= {W}
+  ) u"""
     return f"""
 WITH wins AS ({wins}),
 shared AS (SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -3000,8 +3013,11 @@ def _substring_spans_spark_fn(spark, sf_dir):
     SQL references the wins CTE twice — shared-set build and match — and
     Spark re-inlines WITH references, doubling the slice+md5 window build;
     the known re-expansion cost this module documents). Windows come from
-    the same Arrow pattern as the shingle kernels: hashlib md5 at C speed
-    over stride-1 token windows, positions carried alongside."""
+    the same Arrow pattern as the shingle kernels, in the token-digest
+    rolling form: each DISTINCT token is md5'd once (memoized across the
+    batch — corpora repeat tokens heavily), the per-doc digest string is
+    one contiguous buffer, and each stride-1 window hash is md5 over a
+    fixed-width slice of that buffer — no O(W) per-window string join."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
     from pyspark.sql import functions as F2
@@ -3019,6 +3035,12 @@ def _substring_spans_spark_fn(spark, sf_dir):
     import pandas as pd
 
     def to_wins(batches):
+        md5 = hashlib.md5
+        # per-task token-digest memo; bounded so a pathological vocabulary
+        # can't grow executor memory (past the cap we just recompute)
+        memo: dict = {}
+        CAP = 2_000_000
+        WB = 16 * W  # window = W token digests x 16 hex chars each
         for pdf in batches:
             ids_all = pdf["doc_id"].to_numpy(np.int64)
             if len(ids_all) == 0:
@@ -3031,9 +3053,18 @@ def _substring_spans_spark_fn(spark, sf_dir):
                 nw = len(w) - W + 1
                 if nw < 1:
                     continue
+                parts = []
+                for t in w:
+                    hh = memo.get(t)
+                    if hh is None:
+                        hh = md5(t.encode()).hexdigest()[:16].encode()
+                        if len(memo) < CAP:
+                            memo[t] = hh
+                    parts.append(hh)
+                buf = b"".join(parts)
                 digests.append(
                     b"".join(
-                        hashlib.md5(" ".join(w[p : p + W]).encode()).digest()[:8]
+                        md5(buf[16 * p : 16 * p + WB]).digest()[:8]
                         for p in range(nw)
                     )
                 )
