@@ -129,3 +129,34 @@ def test_fixture_shapes():
         ).fetchone()
         assert nn == 0, sf
         assert nd == mx + 1, (sf, mx, nd)  # dense 0..N-1
+
+
+def test_events_footer_max_matches_scan_max():
+    """plans.queries._fold_events_stats folds `(SELECT MAX(user_id) FROM
+    events)` into a literal read from the parquet footer min/max stats (the
+    same stats DuckDB answers the scalar from). Assert footer-max == true
+    scan-max at every shipped SF so a corpus writer that ever emitted
+    truncated/absent stats would fail here instead of silently shifting the
+    request-population size."""
+    import duckdb
+
+    from wifi_location_data_pipeline_spark.plans.queries import (
+        _events_max_user_id,
+        _fold_events_stats,
+    )
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        (true_max,) = con.execute(
+            f"SELECT MAX(user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert _events_max_user_id(sf_dir) == true_max, sf
+        folded = _fold_events_stats(
+            sf_dir, "SELECT (SELECT MAX(user_id) FROM events) AS m"
+        )
+        assert folded == f"SELECT CAST({true_max} AS BIGINT) AS m", sf
+    # a corpus dir without events.parquet keeps the subquery untouched
+    assert _fold_events_stats(
+        "/nonexistent", "SELECT (SELECT MAX(user_id) FROM events) AS m"
+    ) == "SELECT (SELECT MAX(user_id) FROM events) AS m"

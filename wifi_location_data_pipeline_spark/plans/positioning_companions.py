@@ -37,6 +37,9 @@ from wifi_location_data_pipeline_spark.plans.queries import (  # noqa: E402
     _obs_seed,
     users_cte,
 )
+from wifi_location_data_pipeline_spark.plans.queries import (
+    _fold_events_stats as _fold,
+)
 from wifi_location_data_pipeline_spark.positioning.selection import (
     ALGORITHMS,
     BASE_WEIGHTS,
@@ -270,7 +273,7 @@ def combiner_robust_fn(spark, sf_dir):
 
     from wifi_location_data_pipeline_spark.positioning.combiner import combine_positions
 
-    pos = spark.sql(f"SELECT * FROM ({combiner_positions_sql(SPARK)})")
+    pos = spark.sql(_fold(sf_dir, f"SELECT * FROM ({combiner_positions_sql(SPARK)})"))
     out = combine_positions(pos)
     return out.select(
         "request_id",
@@ -357,8 +360,8 @@ def ensemble_closed_fn(spark, sf_dir):
         position_observations_onepass,
     )
 
-    obs = spark.sql(f"SELECT * FROM ({ecf_obs_sql(SPARK)}) o")
-    apdim = spark.sql(f"SELECT * FROM ({ecf_aps_sql(SPARK)}) a")
+    obs = spark.sql(_fold(sf_dir, f"SELECT * FROM ({ecf_obs_sql(SPARK)}) o"))
+    apdim = spark.sql(_fold(sf_dir, f"SELECT * FROM ({ecf_aps_sql(SPARK)}) a"))
 
     # flat-observation entry: the fixture is already one row per scan, and
     # every mac resolves (ap_ids 0..49 cover the dimension), so nesting into
@@ -680,7 +683,7 @@ def selection_reasons_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    ctx = spark.sql(f"SELECT * FROM ({selreason_ctx_sql(SPARK)}) c")
+    ctx = spark.sql(_fold(sf_dir, f"SELECT * FROM ({selreason_ctx_sql(SPARK)}) c"))
     out = select_algorithms_with_reasons(ctx)
     return out.select(
         "request_id",

@@ -225,7 +225,7 @@ class QueryDef:
         if self.spark_fn is not None:
             df = self.spark_fn(spark, sf_dir)
         else:
-            df = spark.sql(self.sql(SPARK))
+            df = spark.sql(_fold_events_stats(sf_dir, self.sql(SPARK)))
         if use_cache:
             # evict superseded entries for the same (app, query, sf_dir):
             # each in-place corpus regen changes the fingerprint, and without
@@ -244,6 +244,60 @@ class QueryDef:
 QUERIES: dict[str, QueryDef] = {}
 # (applicationId, query, sf_dir, corpus_fp) → (analyzed DataFrame, re-arm hooks)
 _PLAN_CACHE: dict[tuple, tuple[DataFrame, list]] = {}
+
+
+# The positioning-family fixtures size their synthetic request population by
+# `(SELECT MAX(user_id) FROM events)`. DuckDB answers that scalar from the
+# parquet footer min/max stats in ~0 ms; Spark's V1 parquet reader runs a
+# two-stage scan-the-column job for it, and because scalar subqueries execute
+# before the main plan, EVERY positioning query paid that job (x2 when
+# aps_cte repeats the pattern) — pure per-query floor at small SFs. Read the
+# same footer stats pyarrow-side once per corpus and fold the literal into
+# the Spark SQL text. Exactness guard: parquet column statistics for an
+# int64 column written by any conforming writer are exact (no truncation);
+# tests/test_fixture_shapes.py asserts footer-max == scan-max per corpus.
+# Falls back to the original subquery if stats are absent.
+_EVENTS_MAXUID_SQL = "(SELECT MAX(user_id) FROM events)"
+_EVENTS_MAXUID_CACHE: dict[tuple, int | None] = {}
+
+
+def _events_max_user_id(sf_dir: str) -> int | None:
+    key = (sf_dir, _corpus_fingerprint(sf_dir))
+    if key in _EVENTS_MAXUID_CACHE:
+        return _EVENTS_MAXUID_CACHE[key]
+    mx: int | None = None
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        paths = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            idx = names.index("user_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # stats missing: keep the subquery
+                mx = st.max if mx is None else max(mx, st.max)
+    except Exception:
+        mx = None
+    _EVENTS_MAXUID_CACHE.clear()  # one corpus at a time; drop stale regens
+    _EVENTS_MAXUID_CACHE[key] = mx
+    return mx
+
+
+def _fold_events_stats(sf_dir: str, sql_text: str) -> str:
+    if _EVENTS_MAXUID_SQL not in sql_text:
+        return sql_text
+    mx = _events_max_user_id(sf_dir)
+    if mx is None:
+        return sql_text
+    return sql_text.replace(_EVENTS_MAXUID_SQL, f"CAST({int(mx)} AS BIGINT)")
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
@@ -2003,7 +2057,9 @@ _SEL_DIST_W = {
 }
 
 
-def _sel_mult_case(klass_col: str, table: dict[str, tuple[float, ...]]) -> str:
+def _sel_mult_case(
+    klass_col: str, table: dict[str, tuple[float, ...]], algo_col: str = "algorithm"
+) -> str:
     """Nested CASE: multiplier as a function of (context class, algorithm)."""
     outer = []
     for klass, mults in table.items():
@@ -2013,7 +2069,7 @@ def _sel_mult_case(klass_col: str, table: dict[str, tuple[float, ...]]) -> str:
         inner = " ".join(
             f"WHEN '{a}' THEN CAST({m} AS DOUBLE)" for a, m in zip(_SEL_ALGOS, mults)
         )
-        outer.append(f"WHEN '{klass}' THEN CASE algorithm {inner} END")
+        outer.append(f"WHEN '{klass}' THEN CASE {algo_col} {inner} END")
     return f"CASE {klass_col} {' '.join(outer)} END"
 
 
@@ -2024,6 +2080,229 @@ def _sel_algo_lateral(d: str) -> str:
     if d == SPARK:
         return f"FROM ctx c LATERAL VIEW explode(array({vals})) t AS algorithm"
     return f"FROM ctx c, unnest([{vals}]) AS t(algorithm)"
+
+
+def _selection_matrix_spark_sql(mx: int) -> str:
+    """Zero-shuffle lambda-scoped formulation of selection_matrix for Spark.
+
+    The round-2..7 window form was already one-shuffle (DISTRIBUTE BY +
+    broadcast, windows riding the partitioning), yet measured 8.3x the
+    in-process oracle at sf1 — a structural floor twin (same job skeleton,
+    trivial math) measured 0.41 s, so no window-form tuning could reach the
+    <=3x target. The request population is synthetic arithmetic
+    (users_cte docstring), so the best Spark plan derives each user's
+    observation set, signal stats, GDOP gram, context classes, weight
+    vector, and adaptive top-K inside ONE projection over a parallel
+    range() scan — ZERO exchanges, zero scalar-subquery jobs, one stage.
+
+    Why one giant nested-lambda expression instead of a CTE chain: a first
+    cut chained ten projection levels (obs -> sig -> cent -> units -> gram
+    -> gdop -> ctx -> sel), and the optimizer inlined every multiply-
+    referenced alias through the chain — the 16 KB analyzed plan exploded
+    to a 900 KB optimized plan (fan-outs multiply across levels:
+    ctx references gdop 5x, gdop references the gram 8x, the gram
+    references the unit-vector arrays 3x, ...), 10 s of optimization and
+    ~50 s of interpreted re-evaluation. Lambda variables are runtime
+    bindings the optimizer never substitutes, so every multi-use value
+    here lives in one: a let(bind, v -> body) spelled as
+    aggregate(array(0), bind, (v, i) -> v, v -> body). The optimized plan
+    stays the size of the source text and every quantity is computed once
+    per user at runtime.
+
+    Value parity with the DuckDB oracle (the window form, unchanged):
+    integer RSSI sums are exact in double, unit-vector grams ride the
+    dyadic 2^-20 / 2^-24 grids (see the gdop_geometry plan note), and the
+    AP lat/lon decimals keep the oracle's exact-DECIMAL-then-CAST text, so
+    per-user fold order vs the oracle's group order cannot flip any FLOOR.
+    """
+    lim = min(49, mx)
+    algos = ", ".join(f"'{a}'" for a in _SEL_ALGOS)
+
+    def let(bind: str, var: str, body: str, i: str) -> str:
+        return f"aggregate(array(0), {bind}, ({var}, {i}) -> {var}, {var} -> {body})"
+
+    def rssi(e: str) -> str:
+        return (
+            f"CASE WHEN user_id % 29 = 0 THEN CAST(-96 - ({e} % 4) AS DOUBLE) "
+            f"ELSE CAST(-30 - (({e} * 3 + user_id * 7) % 65) AS DOUBLE) END"
+        )
+
+    def lat(x: str) -> str:
+        return f"CAST(40.0 + {x} * 0.01 AS DOUBLE)"
+
+    def lon(x: str) -> str:
+        return f"CAST(-74.0 + (({x} * 7) % 50) * 0.01 AS DOUBLE)"
+
+    # centroid scalars hoisted once per user: cc.at / cc.on are the AVG
+    # lat/lon over distinct APs, cc.cl the longitude-scale cosine
+    cent_scalars = (
+        "named_struct('at', c.la / size(acc.aps), 'on', c.lo / size(acc.aps),"
+        " 'cl', cos(radians(c.la / size(acc.aps))))"
+    )
+    # per-AP unit vector: dx/dy bound once per element, the norm once, the
+    # quantized components once — the whole chain is evaluated exactly once
+    # per distinct AP at runtime
+    dxy_bind = (
+        f"named_struct('dx', FLOOR((({lon('x2')} - cc.on) * cc.cl) * 1048576.0 + 0.5)"
+        " / CAST(1048576.0 AS DOUBLE),"
+        f" 'dy', FLOOR(({lat('x2')} - cc.at) * 1048576.0 + 0.5)"
+        " / CAST(1048576.0 AS DOUBLE))"
+    )
+    u_bind = (
+        "named_struct("
+        "'ux', FLOOR((d0.dx / GREATEST(sqrt(d0.dx * d0.dx + d0.dy * d0.dy), 1e-12))"
+        " * 16777216.0 + 0.5) / CAST(16777216.0 AS DOUBLE),"
+        " 'uy', FLOOR((d0.dy / GREATEST(sqrt(d0.dx * d0.dx + d0.dy * d0.dy), 1e-12))"
+        " * 16777216.0 + 0.5) / CAST(16777216.0 AS DOUBLE))"
+    )
+    us_elem = let(dxy_bind, "d0", u_bind, "j0")
+    # us bound once; the three gram sums are then alloc-free double folds
+    gram_bind = let(
+        f"named_struct('a', transform(acc.aps, x2 -> {us_elem}))",
+        "usv",
+        "named_struct("
+        "'xx', aggregate(usv.a, CAST(0 AS DOUBLE), (t0, u1) -> t0 + u1.ux * u1.ux),"
+        " 'xy', aggregate(usv.a, CAST(0 AS DOUBLE), (t1, u2) -> t1 + u2.ux * u2.uy),"
+        " 'yy', aggregate(usv.a, CAST(0 AS DOUBLE), (t2, u3) -> t2 + u3.uy * u3.uy))",
+        "j1",
+    )
+
+    gdop_expr = (
+        "CASE WHEN g.xx * g.yy - g.xy * g.xy < 1e-9 THEN 30.0 "
+        "ELSE LEAST(sqrt((g.xx + g.yy) / (g.xx * g.yy - g.xy * g.xy)), 30.0) END"
+    )
+    sd_expr = (
+        "sqrt(GREATEST(0.0, (acc.q - acc.n * (acc.s / acc.n) * (acc.s / acc.n))"
+        " / GREATEST(acc.n - 1.0, 1.0)))"
+    )
+    classes_bind = """named_struct(
+      'sq', CASE WHEN z1.av > -70.0 THEN 'STRONG_SIGNAL'
+                 WHEN z1.av > -85.0 THEN 'MEDIUM_SIGNAL'
+                 WHEN z1.av > -95.0 THEN 'WEAK_SIGNAL'
+                 ELSE 'VERY_WEAK_SIGNAL' END,
+      'sdist', CASE WHEN z1.sd > 10.0 THEN 'SIGNAL_OUTLIERS'
+                    WHEN z1.sd > 3.0 THEN 'MIXED_SIGNALS'
+                    ELSE 'UNIFORM_SIGNALS' END,
+      'ac', CASE WHEN size(acc.aps) = 1 THEN 'SINGLE_AP'
+                 WHEN size(acc.aps) = 2 THEN 'TWO_APS'
+                 WHEN size(acc.aps) = 3 THEN 'THREE_APS'
+                 ELSE 'FOUR_PLUS_APS' END,
+      'gq', CASE WHEN z1.gd >= 30.0 THEN 'COLLINEAR'
+                 WHEN z1.gd < 2.0 THEN 'EXCELLENT_GDOP'
+                 WHEN z1.gd < 4.0 THEN 'GOOD_GDOP'
+                 WHEN z1.gd < 6.0 THEN 'FAIR_GDOP'
+                 ELSE 'POOR_GDOP' END)"""
+    weight_expr = (
+        f"({_sel_mult_case('z2.ac', _SEL_BASE_W, 'a')})"
+        f" * ({_sel_mult_case('z2.sq', _SEL_SIG_W, 'a')})"
+        f" * ({_sel_mult_case('z2.gq', _SEL_GEO_W, 'a')})"
+        f" * ({_sel_mult_case('z2.sdist', _SEL_DIST_W, 'a')})"
+    )
+    sorted_bind = f"""array_sort(
+      filter(
+        transform(array({algos}), a -> named_struct('algorithm', a, 'weight', {weight_expr})),
+        w -> (z2.sq <> 'VERY_WEAK_SIGNAL' AND w.weight > 0.0)
+          OR (z2.sq = 'VERY_WEAK_SIGNAL' AND w.algorithm = 'proximity')),
+      (l, r) -> CASE WHEN l.weight > r.weight THEN -1
+                     WHEN l.weight < r.weight THEN 1
+                     WHEN l.algorithm < r.algorithm THEN -1
+                     WHEN l.algorithm > r.algorithm THEN 1 ELSE 0 END)"""
+    # ranks attach via transform's 0-based index; the adaptive-K cutoff and
+    # the rank-1 fallback filter run inside the same lambda scope
+    final_body = """filter(
+      transform(srt, (w2, i5) -> named_struct(
+        'algorithm', w2.algorithm,
+        'weight', CASE WHEN z2.sq = 'VERY_WEAK_SIGNAL' THEN CAST(0.5 AS DOUBLE)
+                       ELSE w2.weight END,
+        'rank', CAST(i5 + 1 AS BIGINT))),
+      r -> z2.sq = 'VERY_WEAK_SIGNAL'
+        OR (r.weight >= 0.4 AND r.rank <= CASE WHEN srt[0].weight > 0.8
+            THEN CAST(2 AS BIGINT) ELSE CAST(3 AS BIGINT) END)
+        OR r.rank = CAST(1 AS BIGINT))"""
+    empty = (
+        "CAST(array() AS ARRAY<STRUCT<algorithm: STRING, weight: DOUBLE,"
+        " rank: BIGINT>>)"
+    )
+
+    finish = f"""CASE WHEN acc.n = CAST(0 AS BIGINT) THEN {empty} ELSE {
+        let(
+            "aggregate(acc.aps,"
+            " named_struct('la', CAST(0 AS DOUBLE), 'lo', CAST(0 AS DOUBLE)),"
+            f" (c0, x1) -> named_struct('la', c0.la + {lat('x1')},"
+            f" 'lo', c0.lo + {lon('x1')}))",
+            "c",
+            let(
+                cent_scalars,
+                "cc",
+                let(
+                    gram_bind,
+                    "g",
+                    let(
+                        f"named_struct('gd', {gdop_expr}, 'av', acc.s / acc.n, 'sd', {sd_expr})",
+                        "z1",
+                        let(
+                            classes_bind,
+                            "z2",
+                            let(sorted_bind, "srt", final_body, "i4"),
+                            "i3",
+                        ),
+                        "i2",
+                    ),
+                    "i1",
+                ),
+                "ic",
+            ),
+            "i0",
+        )
+    } END"""
+
+    # kept observations bound once as q0.es; stats are then one native
+    # size(), two alloc-free scalar folds over a pre-computed rssi array,
+    # and one native array_distinct — no per-observation struct allocation
+    es_expr = (
+        "filter("
+        "transform(sequence(CAST(1 AS BIGINT), CAST(1 + user_id % 12 AS BIGINT)),"
+        " rn -> (user_id * 2654435761 + rn * 40503) % 100003),"
+        f" e0 -> (user_id * 13 + e0) % 50 <= {lim})"
+    )
+    acc_bind = (
+        "named_struct("
+        "'n', CAST(size(q0.es) AS BIGINT),"
+        " 's', aggregate(q0.rs, CAST(0 AS DOUBLE), (a0, r0) -> a0 + r0),"
+        " 'q', aggregate(q0.rs, CAST(0 AS DOUBLE), (a1, r1) -> a1 + r1 * r1),"
+        " 'aps', array_distinct(transform(q0.es, e1 -> (user_id * 13 + e1) % 50)))"
+    )
+
+    res_expr = let(
+        f"named_struct('es', {es_expr})",
+        "p0",
+        let(
+            f"named_struct('es', p0.es, 'rs', transform(p0.es, e2 -> {rssi('e2')}))",
+            "q0",
+            let(acc_bind, "acc", finish, "ia"),
+            "iq",
+        ),
+        "ip",
+    )
+
+    return f"""
+SELECT user_id, s.algorithm AS algorithm, s.weight AS weight, s.rank AS rank
+FROM (
+  SELECT user_id,
+    {res_expr} AS res
+  FROM (SELECT id AS user_id FROM range(0, {mx + 1}))
+) LATERAL VIEW explode(res) t AS s
+"""
+
+
+def _selection_matrix_spark_fn(spark, sf_dir):
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    mx = _events_max_user_id(sf_dir)
+    if mx is None:  # stats-less corpus: one bounded 1-row scalar job
+        mx = spark.sql("SELECT MAX(user_id) FROM events").collect()[0][0]
+    return spark.sql(_selection_matrix_spark_sql(int(mx)))
 
 
 register(
@@ -2135,6 +2414,7 @@ WHERE very_weak
    OR (weight >= 0.4 AND rn <= CASE WHEN max_w > 0.8 THEN 2 ELSE 3 END)
    OR rn = 1
 """,
+    spark_fn=_selection_matrix_spark_fn,
 )
 
 register(
