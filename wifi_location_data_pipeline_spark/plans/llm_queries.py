@@ -1977,19 +1977,28 @@ def _ann_ivf_spark_fn(spark, sf_dir):
     DuckDB oracle keeps that independent formulation."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
 
-    cent_rows = (
-        emb.select("label", F2.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F2.avg(F2.col("x").cast("double")).alias("cx"))
-        .collect()
-    )
+    # AQE off for this one bounded collect: the |labels| x |dims| grid is
+    # 640 rows, and AQE's materialize-then-replan split turns the tiny
+    # two-stage agg into two scheduled jobs (~0.15 s of pure job floor).
+    # (A union folding the 8-query collect into the same job was measured
+    # slower — it re-scans the exploded elements twice inside one stage.)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cent_rows = (
+            emb.select("label", F2.posexplode("embedding").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F2.avg(F2.col("x").cast("double")).alias("cx"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
     labels = sorted({r.label for r in cent_rows})
     dims = 1 + max(r.dim for r in cent_rows)
     C = np.zeros((len(labels), dims), dtype=np.float64)
@@ -2038,22 +2047,48 @@ def _ann_ivf_spark_fn(spark, sf_dir):
             if out:
                 yield pd.concat(out)
 
-    scored = emb.mapInPandas(
+    # only the probed inverted lists reach the Python kernel: the label
+    # IN-filter runs JVM-side (and reaches the parquet scan as a pushed
+    # filter), so unprobed lists are never Arrow-transferred
+    probed = emb.filter(F2.col("label").isin([int(x) for x in set(q_lab)]))
+    scored = probed.mapInPandas(
         score, "query_id long, neighbor_id long, probed_list int, cos_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F2.col("cos_sim").desc(), F2.col("neighbor_id")
+    # Final top-3 as a bounded driver merge instead of a window: the kernel
+    # already caps output at 8 rows per (query, partition), so the collect
+    # is <= 8 queries x 8 rows x #partitions regardless of corpus size —
+    # the classic distributed top-k merge. The former row_number window
+    # shuffled ~64 result rows through a full AQE exchange+sort stage pair
+    # (+0.3 s of pure stage floor at every scale; the r7->r8 drift item).
+    part = sorted(
+        scored.collect(),
+        key=lambda r: (r.query_id, -r.cos_sim, r.neighbor_id),
     )
-    return (
-        scored.withColumn("rank", F2.row_number().over(w))
-        .filter(F2.col("rank") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "probed_list",
-            F2.round("cos_sim", 4).alias("cos_sim"),
-            F2.col("rank").cast("long").alias("rank"),
+    rows, last_q, rk = [], None, 0
+    for r in part:
+        rk = rk + 1 if r.query_id == last_q else 1
+        last_q = r.query_id
+        if rk <= 3:
+            rows.append((r.query_id, r.neighbor_id, r.probed_list, r.cos_sim, rk))
+    # Emit through a VALUES LocalRelation, not createDataFrame: the
+    # RDD-backed local DataFrame scheduled two more jobs (~0.3 s) just to
+    # project 24 rows. repr() round-trips doubles exactly, and the HALF_UP
+    # rounding stays Spark-side so it matches the oracle's ROUND.
+    if not rows:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,"
+            " CAST(NULL AS INT) AS probed_list, CAST(NULL AS DOUBLE) AS cos_sim,"
+            " CAST(NULL AS BIGINT) AS rank WHERE false"
         )
+    vals = ", ".join(
+        f"({q}, {n}, {int(p)}, CAST('{c!r}' AS DOUBLE), {k})" for q, n, p, c, k in rows
+    )
+    return spark.sql(
+        "SELECT CAST(query_id AS BIGINT) AS query_id,"
+        " CAST(neighbor_id AS BIGINT) AS neighbor_id,"
+        " CAST(probed_list AS INT) AS probed_list,"
+        " ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank"
+        f" FROM (VALUES {vals}) AS t(query_id, neighbor_id, probed_list, cos_sim, rank)"
     )
 
 
