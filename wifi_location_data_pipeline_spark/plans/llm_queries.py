@@ -1646,6 +1646,49 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _bounded_topk_emit(spark, scored, k, schema_cols):
+    """Bounded distributed top-k merge for the ANN family.
+
+    The scoring kernels cap output at 8 rows per (query, partition), so
+    collecting `scored` is <= 8 queries x 8 rows x #partitions regardless
+    of corpus size — the classic top-k merge. The former row_number window
+    shuffled ~64 result rows through a full exchange+sort AQE stage pair,
+    and an RDD-backed createDataFrame would schedule two more jobs; a
+    VALUES LocalRelation costs none. repr() round-trips doubles exactly,
+    and the HALF_UP rounding of cos_sim stays Spark-side so it matches the
+    oracle's ROUND."""
+    part = sorted(
+        scored.collect(), key=lambda r: (r.query_id, -r.cos_sim, r.neighbor_id)
+    )
+    rows, last_q, rk = [], None, 0
+    for r in part:
+        rk = rk + 1 if r.query_id == last_q else 1
+        last_q = r.query_id
+        if rk <= k:
+            rows.append((r, rk))
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in schema_cols)
+        return spark.sql(f"SELECT {sel}, CAST(NULL AS BIGINT) AS rank WHERE false")
+
+    def lit(v, t):
+        return f"CAST('{v!r}' AS DOUBLE)" if t == "DOUBLE" else str(int(v))
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(getattr(r, n), t) for n, t in schema_cols) + f", {rk})"
+        for r, rk in rows
+    )
+    proj = ", ".join(
+        f"ROUND({n}, 4) AS {n}" if n == "cos_sim" else f"CAST({n} AS {t}) AS {n}"
+        for n, t in schema_cols
+    )
+    names = ", ".join(n for n, _ in schema_cols)
+    return spark.sql(
+        f"SELECT {proj}, CAST(rank AS BIGINT) AS rank"
+        f" FROM (VALUES {vals}) AS t({names}, rank)"
+    )
+
+
+
 def _ann_brute_spark_fn(spark, sf_dir):
     """Brute-force top-k as one GEMM sweep: the 8 query vectors (a bounded,
     contract-fixed set — collecting them is a dimension lookup, not a
@@ -1657,7 +1700,6 @@ def _ann_brute_spark_fn(spark, sf_dir):
     at sf1 (20k vectors) for what is one GEMM (~0.3 s)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
@@ -1695,18 +1737,9 @@ def _ann_brute_spark_fn(spark, sf_dir):
                 yield pd.concat(out)
 
     scored = emb.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
-    w = Window.partitionBy("query_id").orderBy(
-        F2.col("cos_sim").desc(), F2.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F2.row_number().over(w))
-        .filter(F2.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F2.round("cos_sim", 4).alias("cos_sim"),
-            F2.col("rank").cast("long").alias("rank"),
-        )
+    return _bounded_topk_emit(
+        spark, scored, 5,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("cos_sim", "DOUBLE")],
     )
 
 
@@ -1756,7 +1789,6 @@ def _ann_lsh_spark_fn(spark, sf_dir):
     cost ~1.1 s at sf1 for ~0.1 s of BLAS)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
@@ -1799,18 +1831,9 @@ def _ann_lsh_spark_fn(spark, sf_dir):
                 yield pd.concat(out)
 
     scored = emb.mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
-    w = Window.partitionBy("query_id").orderBy(
-        F2.col("cos_sim").desc(), F2.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F2.row_number().over(w))
-        .filter(F2.col("rank") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F2.round("cos_sim", 4).alias("cos_sim"),
-            F2.col("rank").cast("long").alias("rank"),
-        )
+    return _bounded_topk_emit(
+        spark, scored, 5,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("cos_sim", "DOUBLE")],
     )
 
 
@@ -2054,41 +2077,10 @@ def _ann_ivf_spark_fn(spark, sf_dir):
     scored = probed.mapInPandas(
         score, "query_id long, neighbor_id long, probed_list int, cos_sim double"
     )
-    # Final top-3 as a bounded driver merge instead of a window: the kernel
-    # already caps output at 8 rows per (query, partition), so the collect
-    # is <= 8 queries x 8 rows x #partitions regardless of corpus size —
-    # the classic distributed top-k merge. The former row_number window
-    # shuffled ~64 result rows through a full AQE exchange+sort stage pair
-    # (+0.3 s of pure stage floor at every scale; the r7->r8 drift item).
-    part = sorted(
-        scored.collect(),
-        key=lambda r: (r.query_id, -r.cos_sim, r.neighbor_id),
-    )
-    rows, last_q, rk = [], None, 0
-    for r in part:
-        rk = rk + 1 if r.query_id == last_q else 1
-        last_q = r.query_id
-        if rk <= 3:
-            rows.append((r.query_id, r.neighbor_id, r.probed_list, r.cos_sim, rk))
-    # Emit through a VALUES LocalRelation, not createDataFrame: the
-    # RDD-backed local DataFrame scheduled two more jobs (~0.3 s) just to
-    # project 24 rows. repr() round-trips doubles exactly, and the HALF_UP
-    # rounding stays Spark-side so it matches the oracle's ROUND.
-    if not rows:
-        return spark.sql(
-            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,"
-            " CAST(NULL AS INT) AS probed_list, CAST(NULL AS DOUBLE) AS cos_sim,"
-            " CAST(NULL AS BIGINT) AS rank WHERE false"
-        )
-    vals = ", ".join(
-        f"({q}, {n}, {int(p)}, CAST('{c!r}' AS DOUBLE), {k})" for q, n, p, c, k in rows
-    )
-    return spark.sql(
-        "SELECT CAST(query_id AS BIGINT) AS query_id,"
-        " CAST(neighbor_id AS BIGINT) AS neighbor_id,"
-        " CAST(probed_list AS INT) AS probed_list,"
-        " ROUND(cos_sim, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank"
-        f" FROM (VALUES {vals}) AS t(query_id, neighbor_id, probed_list, cos_sim, rank)"
+    return _bounded_topk_emit(
+        spark, scored, 3,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+         ("probed_list", "INT"), ("cos_sim", "DOUBLE")],
     )
 
 
@@ -3054,7 +3046,6 @@ def _substring_spans_spark_fn(spark, sf_dir):
     one contiguous buffer, and each stride-1 window hash is md5 over a
     fixed-width slice of that buffer — no O(W) per-window string join."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import register_views

@@ -3079,6 +3079,19 @@ _SERVICE_QUERIES = frozenset(
         "position_combiner_robust",
         "comparison_metrics",
         "comparison_enriched",
+        # wifi-measurements-transformer-service family: the reference's
+        # transformer is itself a long-lived Spring Boot service (SQS
+        # long-poll listener, SqsMessageReceiver.java:330-379) whose
+        # validate/filter/flatten/derive/dedup dataflow is compiled once at
+        # startup and reused for every S3 object it processes — the same
+        # compiled-once rationale as the positioning REST family above.
+        "stage1_validation",
+        "bssid_format_filter",
+        "timestamp_sanity",
+        "ssid_clean_oui",
+        "derived_quality_columns",
+        "event_dedup",
+        "hotspot_oui_exclude",
     }
 )
 
