@@ -50,8 +50,10 @@ def test_decode_media_roundtrip(media):
 
 
 def test_decode_payload_stub_gates_unsupported_formats():
+    # mp4 now parses as a container (see the mp4 tests below); formats with
+    # no stdlib path at all still gate behind NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_payload("mp4", "video", b"\x00\x00\x00\x18ftypmp42")
+        decode_payload("webm", "video", b"\x1a\x45\xdf\xa3")
 
 
 def _make_png(pixels, ctype=2, filters=None):
@@ -519,3 +521,137 @@ def test_jpeg_progressive_rejected():
     payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(NotImplementedError):
         decode_payload("jpeg", "image", payload)
+
+
+def test_jpeg_fill_bytes_before_marker_tolerated():
+    """B.1.1.2: any number of 0xFF fill bytes may pad before a marker id —
+    the parser must skip them, not misparse the segment length."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    payload, ref = _make_jpeg(img)
+    # inject fill bytes before the DQT marker id (after SOI)
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    assert padded[2:4] != payload[2:4]
+    feats = decode_payload("jpeg", "image", padded)
+    assert feats == decode_payload("jpeg", "image", payload)
+
+
+def test_jpeg_truncated_entropy_raises_value_error():
+    """A marker interrupting the entropy stream mid-MCU must surface as a
+    ValueError — NOT StopIteration, which PEP 479 would convert into an
+    opaque RuntimeError inside the mapInPandas decode generator."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    payload, _ = _make_jpeg(img)
+    # cut the entropy segment short: drop the last 12 bytes before EOI and
+    # splice EOI directly after a partial MCU
+    truncated = payload[:-14] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_payload("jpeg", "image", truncated)
+
+
+def test_jpeg_invalid_ac_symbol_rejected():
+    """AC run/size symbols with size 0 other than EOB (0x00) and ZRL (0xF0)
+    are invalid in baseline JPEG and must be rejected, not masked as EOB."""
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _BitReader,
+        _huff_lut,
+    )
+
+    # single-code table mapping the shortest code to symbol 0x10 (run=1,size=0)
+    lut = _huff_lut([1] + [0] * 15, bytes([0x10]))
+    br = _BitReader(b"\x00\x00", 0)
+    sym = br.decode_huff(lut)
+    assert sym == 0x10  # the table itself decodes; the MCU loop must reject
+
+
+# ---------------------------------------------------------------------------
+# mp4 container parser (ISO BMFF metadata walk, no codec decode)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _make_mp4(sample_sizes, timescale=1000, duration=4500, n_audio_tracks=0,
+              mvhd_v1=False, largesize_mdat=False):
+    import struct
+
+    if mvhd_v1:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        ) + b"\x00" * 80
+    else:
+        mvhd = b"\x00" * 4 + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration
+        ) + b"\x00" * 80
+
+    def trak(handler, sizes):
+        if sizes and len(set(sizes)) == 1:
+            stsz = b"\x00" * 4 + struct.pack(">II", sizes[0], len(sizes))
+        else:
+            stsz = b"\x00" * 4 + struct.pack(">II", 0, len(sizes))
+            stsz += struct.pack(f">{len(sizes)}I", *sizes)
+        stbl = _box(b"stsz", stsz)
+        minf = _box(b"stbl", stbl)
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        mdia = _box(b"mdia", hdlr + _box(b"minf", minf))
+        return _box(b"trak", mdia)
+
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + trak(b"vide", sample_sizes)
+                + b"".join(trak(b"soun", [64] * 4) for _ in range(n_audio_tracks)))
+    mdat_body = bytes(sum(sample_sizes) % 251 for _ in range(sum(sample_sizes)))
+    mdat = _box(b"mdat", mdat_body, largesize=largesize_mdat)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + mdat
+
+
+def test_mp4_container_metadata_walk():
+    sizes = [120, 340, 90, 510]
+    payload = _make_mp4(sizes, timescale=1000, duration=4500)
+    dur_s, n_trk, n_vid, n_smp, mean_b, max_b, mdat_b, ts = decode_payload(
+        "mp4", "video", payload
+    )
+    assert dur_s == 4.5
+    assert n_trk == 1 and n_vid == 1
+    assert n_smp == len(sizes)
+    assert mean_b == sum(sizes) / len(sizes)
+    assert max_b == max(sizes)
+    assert mdat_b == sum(sizes)
+    assert ts == 1000
+
+
+def test_mp4_v1_mvhd_fixed_stsz_multi_track_largesize():
+    payload = _make_mp4([256] * 10, timescale=90_000, duration=90_000 * 3,
+                        n_audio_tracks=2, mvhd_v1=True, largesize_mdat=True)
+    dur_s, n_trk, n_vid, n_smp, mean_b, max_b, mdat_b, ts = decode_payload(
+        "mp4", "video", payload
+    )
+    assert dur_s == 3.0
+    assert n_trk == 3 and n_vid == 1
+    assert n_smp == 10 + 2 * 4  # fixed-size video stsz + two audio tracks
+    assert max_b == 256 and ts == 90_000
+
+
+def test_mp4_corrupt_rejected():
+    with pytest.raises(ValueError):
+        decode_payload("mp4", "video", b"\x00\x00")  # too short
+    with pytest.raises(ValueError):
+        # ftyp only, no moov
+        decode_payload("mp4", "video", _box(b"ftyp", b"isom"))
+    with pytest.raises(ValueError):
+        # box overruns its container
+        import struct
+
+        bad = struct.pack(">I", 4096) + b"moov" + b"\x00" * 8
+        decode_payload("mp4", "video", bad)

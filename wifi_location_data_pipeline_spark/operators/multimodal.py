@@ -9,10 +9,12 @@ restart markers, dequantize + exact float IDCT, 4:2:x chroma upsampling,
 JFIF YCbCr->RGB), and 16-bit PCM WAV (the ``wave`` module) — exact
 pixel/sample statistics, verified against ground-truth fixtures (the JPEG
 tests hand-assemble real bitstreams and compare against an independently
-computed reconstruction). Formats that genuinely need external codecs
-(mp4/..., progressive/arithmetic JPEG) raise ``NotImplementedError``; the
-"synthetic" format remains the deterministic oracle-checkable path the
-registry queries use. Swapping in PIL/pyav later only changes the body of
+computed reconstruction). mp4 parses as an ISO BMFF CONTAINER walk
+(duration/track/sample-size stats, no codec decode). What still raises
+``NotImplementedError`` genuinely needs external codecs: the sample DATA
+inside mp4 (h264/aac) and progressive/arithmetic JPEG. The "synthetic"
+format remains the deterministic oracle-checkable path the registry
+queries use. Swapping in PIL/pyav later only changes the body of
 ``decode_payload``.
 
 Scale design:
@@ -196,6 +198,14 @@ def _huff_lut(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
     return lut
 
 
+class _TruncatedEntropyStream(ValueError):
+    """A real marker interrupted the entropy segment mid-MCU (truncated or
+    corrupt JPEG). A dedicated ValueError, NOT StopIteration: decode runs
+    inside mapInPandas generators, where PEP 479 would otherwise surface a
+    raised StopIteration as an opaque 'generator raised StopIteration'
+    RuntimeError instead of a decode error."""
+
+
 class _BitReader:
     """JPEG entropy-segment bit reader: honors 0xFF00 byte stuffing and
     stops (byte-aligned) at any real marker so the MCU loop can consume
@@ -212,9 +222,11 @@ class _BitReader:
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
-                else:  # real marker: unread and signal end of segment
+                else:  # real marker: unread and report the truncation
                     self.pos -= 1
-                    raise StopIteration
+                    raise _TruncatedEntropyStream(
+                        "unexpected marker in JPEG entropy segment"
+                    )
             self.bits, self.nbits = b, 8
         self.nbits -= 1
         return (self.bits >> self.nbits) & 1
@@ -275,6 +287,9 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # spec-legal 0xFF fill bytes may pad before the marker id (B.1.1.2)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
@@ -354,9 +369,15 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                             rs = br.decode_huff(hac[tac])
                             r, s = rs >> 4, rs & 15
                             if s == 0:
-                                if rs != 0xF0:
+                                if rs == 0x00:
                                     break  # EOB
-                                k += 16
+                                if rs != 0xF0:
+                                    # runs 0x10..0xE0 with size 0 are invalid
+                                    # in baseline JPEG: reject, don't mask as EOB
+                                    raise ValueError(
+                                        f"invalid baseline JPEG AC symbol 0x{rs:02X}"
+                                    )
+                                k += 16  # ZRL
                                 continue
                             k += r
                             z[k] = _extend(br.receive(s), s) * q[k]
@@ -420,6 +441,98 @@ def _decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+
+def _parse_mp4(payload: bytes) -> list[float]:
+    """ISO BMFF (mp4/mov) CONTAINER parse with the stdlib only: walks the
+    box tree (ftyp / moov / mvhd / trak / mdia / hdlr / stbl / stsz /
+    stz2-free sample tables / mdat, 32- and 64-bit box sizes) and returns
+    duration, track, and sample-size statistics WITHOUT any codec decode —
+    the metadata path a training-data manifest pipeline needs from video
+    assets. The sample DATA itself (h264/h265/aac) still genuinely needs
+    external codec libraries; this closes the container half of the gap
+    the same way the PNG/JPEG/WAV work closed the image/audio half.
+
+    Returns [duration_s, n_tracks, n_video_tracks, n_samples,
+    mean_sample_bytes, max_sample_bytes, mdat_bytes, timescale]
+    (FEATURE_DIM = 8, same contract as the other decoders)."""
+    import struct
+
+    if len(payload) < 8:
+        raise ValueError("not an mp4 payload (too short)")
+    stats = {
+        "timescale": 0,
+        "duration": 0,
+        "n_tracks": 0,
+        "n_video": 0,
+        "sizes": [],
+        "mdat": 0,
+        "saw_moov": False,
+    }
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    raise ValueError("mp4 largesize box truncated")
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            end = pos + size
+            if size < 8 or end > hi:
+                raise ValueError(f"mp4 box {typ!r} overruns its container")
+            if typ in _MP4_CONTAINERS:
+                if typ == b"moov":
+                    stats["saw_moov"] = True
+                if typ == b"trak":
+                    stats["n_tracks"] += 1
+                walk(body, end, depth + 1)
+            elif typ == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[body + 20 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[body + 12 : body + 20])
+                stats["timescale"], stats["duration"] = ts, dur
+            elif typ == b"hdlr":
+                if payload[body + 8 : body + 12] == b"vide":
+                    stats["n_video"] += 1
+            elif typ == b"stsz":
+                fixed, count = struct.unpack(">II", payload[body + 4 : body + 12])
+                if fixed:
+                    stats["sizes"].extend([fixed] * count)
+                else:
+                    tbl = payload[body + 12 : body + 12 + 4 * count]
+                    if len(tbl) < 4 * count:
+                        raise ValueError("mp4 stsz table truncated")
+                    stats["sizes"].extend(struct.unpack(f">{count}I", tbl))
+            elif typ == b"mdat":
+                stats["mdat"] += end - body
+            pos = end
+
+    walk(0, len(payload))
+    if not stats["saw_moov"]:
+        raise ValueError("mp4 missing moov box")
+    sizes = stats["sizes"]
+    ts = stats["timescale"]
+    return [
+        stats["duration"] / ts if ts else 0.0,
+        float(stats["n_tracks"]),
+        float(stats["n_video"]),
+        float(len(sizes)),
+        float(sum(sizes)) / len(sizes) if sizes else 0.0,
+        float(max(sizes)) if sizes else 0.0,
+        float(stats["mdat"]),
+        float(ts),
+    ]
+
+
 def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
     """Byte-level decode to a FEATURE_DIM feature vector.
 
@@ -427,10 +540,13 @@ def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
     - ``png``  → zlib/struct decode with full filter unrolling (_decode_png)
     - ``jpeg`` → baseline SOF0 Huffman + exact float IDCT (_decode_jpeg)
     - ``wav``  → ``wave`` module PCM decode (_decode_wav)
+    - ``mp4``  → ISO BMFF container metadata walk (_parse_mp4): duration /
+      track / sample-size stats without codec decode
     - ``synthetic`` → deterministic content-hash fake (the oracle-checkable
       path the registry queries use)
-    Other formats (mp4/...) raise until their codec libraries are
-    available; the surrounding Spark plumbing does not change when they are.
+    Codec-bound payloads inside known containers (h264 frames, progressive
+    JPEG) raise until their codec libraries are available; the surrounding
+    Spark plumbing does not change when they are.
     """
     if fmt == "png":
         return _decode_png(payload)
@@ -438,6 +554,8 @@ def decode_payload(fmt: str, media_type: str, payload: bytes) -> list[float]:
         return _decode_jpeg(payload)
     if fmt == "wav":
         return _decode_wav(payload)
+    if fmt in ("mp4", "mov", "m4a"):
+        return _parse_mp4(payload)
     if fmt != "synthetic":
         raise NotImplementedError(
             f"no codec for format={fmt!r} in this environment; "
