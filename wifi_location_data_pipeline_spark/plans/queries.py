@@ -3016,20 +3016,29 @@ _TAIL = (
     # is the same shape one segmentation level down
     "text_quality_score",  # array-native text projection class stays
     # covered by in-window text_token_stats + gopher_rule_filters
-    # rotated out round 4 (trivial single-expression queries; unit/parity
-    # coverage): ssid/oui cleanup is exercised by the transform e2e tests,
-    # the semi-join and status filter run inside every in-window ensemble
-    # query, timestamp sanity is two range predicates, event dedup is
-    # keep-one-per-key like dedup_exact, quality columns are consumed by
-    # tiered_localization, per-group top-N is the same window pattern as
-    # ann_cosine_topk/selection:
-    "ssid_clean_oui",
-    "known_ap_semi_join",
-    "status_filter",
-    "timestamp_sanity",
-    "event_dedup",
-    "derived_quality_columns",
-    "per_group_topn",
+    # ROUND-8 STANDING ROTATION (VERDICT r07 #8): each round the ~12
+    # oldest-certified tail entries swap back INTO the driver window and an
+    # equal count of multi-round-green window entries park here, so driver
+    # certification stays fresh instead of one-shot. Rotated IN for r8:
+    # the r4/r5 parked set (ssid_clean_oui, known_ap_semi_join,
+    # status_filter, timestamp_sanity, event_dedup, derived_quality_columns,
+    # per_group_topn, bssid_format_filter, ap_quality_metrics,
+    # comparison_metrics, strongest_signal_pick, weighted_centroid —
+    # last driver-certified r3/r4, the stalest certs in the registry).
+    # Rotated OUT for r8 (driver-green r7 and earlier, untouched in r8,
+    # parity-pytest + test-vector covered):
+    "comparison_enriched",
+    "log_distance_model",
+    "mad_outlier_flags",
+    "comparison_scenarios",
+    "dml_update_delete_flow",
+    "session_window_agg",
+    "hypertable_rollup",
+    "lof_closed_form",
+    "rssi_ratio_positions",
+    "gdop_geometry",
+    "dbscan_closed_form",
+    "relocation_time_split",
     # rotated out round 6 (driver-green rounds 2-5; see block comment):
     "per_ap_stats",
     "stage1_validation",
@@ -3038,12 +3047,6 @@ _TAIL = (
     "hotspot_oui_exclude",
     "text_language_id",
     "signal_context_classes",
-    # rotated out round 5 (driver-green rounds 1-4; see block comment):
-    "bssid_format_filter",
-    "ap_quality_metrics",
-    "comparison_metrics",
-    "strongest_signal_pick",
-    "weighted_centroid",
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
