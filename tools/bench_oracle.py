@@ -31,7 +31,7 @@ TABLES = (
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--attempts", type=int, default=int(os.environ.get("BENCH_ATTEMPTS", "2")))
+    ap.add_argument("--attempts", type=int, default=int(os.environ.get("BENCH_ATTEMPTS", "3")))
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod

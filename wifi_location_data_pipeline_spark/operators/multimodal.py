@@ -441,6 +441,47 @@ def _decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+def synthesize_mp4_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic minimal-but-valid ISO BMFF container derived from
+    (doc_id, n_chars): ftyp + moov(mvhd + video trak with per-sample stsz
+    [+ doc_id%2 audio traks with fixed-size stsz]) + mdat. The closed-form
+    stats (duration = n_chars*40/1000 s, sample sizes
+    (n_chars*(i+3)) % 241 + 16 for i in 0..n_chars%7+1, audio samples
+    4x64 B per audio trak) are what the multimodal_mp4_stats oracle
+    predicts arithmetically — building REAL container bytes here and
+    re-deriving the stats through _parse_mp4 value-checks the parser
+    end-to-end through Spark."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    timescale, duration = 1000, n_chars * 40
+    mvhd = b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80
+
+    def trak(handler: bytes, sizes: list[int]) -> bytes:
+        if sizes and len(set(sizes)) == 1:
+            stsz = b"\x00" * 4 + struct.pack(">II", sizes[0], len(sizes))
+        else:
+            stsz = b"\x00" * 4 + struct.pack(">II", 0, len(sizes))
+            stsz += struct.pack(f">{len(sizes)}I", *sizes)
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        return box(
+            b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", box(b"stsz", stsz))))
+        )
+
+    k = n_chars % 7 + 2
+    vsizes = [(n_chars * (i + 3)) % 241 + 16 for i in range(k)]
+    traks = trak(b"vide", vsizes)
+    n_audio = doc_id % 2
+    for _ in range(n_audio):
+        traks += trak(b"soun", [64] * 4)
+    moov = box(b"moov", box(b"mvhd", mvhd) + traks)
+    total = sum(vsizes) + 64 * 4 * n_audio
+    mdat = box(b"mdat", bytes([(doc_id + i) % 251 for i in range(total)]))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + mdat
+
+
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
 
 

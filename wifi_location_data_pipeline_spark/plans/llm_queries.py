@@ -1940,6 +1940,89 @@ FROM idx
 )
 
 
+def _mp4_stats_fn(spark, sf_dir):
+    """Round-trips REAL ISO BMFF bytes through Spark: one mapInPandas pass
+    builds a deterministic mp4 container per video document
+    (synthesize_mp4_payload) and immediately re-derives its stats through
+    the box-walk parser (_parse_mp4). The DuckDB oracle predicts the same
+    stats in closed form from (doc_id, n_chars), so any parser/builder
+    drift (box sizes, stsz table layout, mvhd duration units) fails the
+    value gate — the container parser is value-checked end-to-end, not
+    just fixture-tested."""
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _parse_mp4,
+        synthesize_mp4_payload,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 2")
+        .select("doc_id", "n_chars")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = [
+                _parse_mp4(synthesize_mp4_payload(int(d), int(n)))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "duration_s": [f[0] for f in feats],
+                    "n_tracks": [int(f[1]) for f in feats],
+                    "n_video_tracks": [int(f[2]) for f in feats],
+                    "n_samples": [int(f[3]) for f in feats],
+                    "mean_sample_bytes": [f[4] for f in feats],
+                    "max_sample_bytes": [int(f[5]) for f in feats],
+                    "mdat_bytes": [int(f[6]) for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, duration_s double, n_tracks long, n_video_tracks long,"
+        " n_samples long, mean_sample_bytes double, max_sample_bytes long,"
+        " mdat_bytes long",
+    )
+
+
+register(
+    "multimodal_mp4_stats",
+    "mp4 container statistics through the REAL ISO BMFF parser: a "
+    "deterministic minimal-but-valid mp4 (ftyp/moov/mvhd/trak/hdlr/stbl/"
+    "stsz/mdat) is built per video document and its duration/track/"
+    "sample-size stats re-derived by the stdlib box walk; the oracle "
+    "predicts the identical stats arithmetically, value-checking the "
+    "container parser end-to-end (no codec decode — the sample-data half "
+    "genuinely needs external codec libraries).",
+    sql=lambda d: """
+WITH media AS (
+  SELECT doc_id, n_chars, doc_id % 2 AS n_audio,
+    [ (n_chars * (i + 3)) % 241 + 16 FOR i IN generate_series(0, n_chars % 7 + 1) ] AS vs
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+  CAST(n_chars * 40 AS DOUBLE) / CAST(1000 AS DOUBLE) AS duration_s,
+  CAST(1 + n_audio AS BIGINT) AS n_tracks,
+  CAST(1 AS BIGINT) AS n_video_tracks,
+  CAST(len(vs) + 4 * n_audio AS BIGINT) AS n_samples,
+  CAST(list_sum(vs) + 64 * 4 * n_audio AS DOUBLE)
+    / CAST(len(vs) + 4 * n_audio AS DOUBLE) AS mean_sample_bytes,
+  CAST(GREATEST(list_max(vs), CASE WHEN n_audio > 0 THEN 64 ELSE 0 END) AS BIGINT)
+    AS max_sample_bytes,
+  CAST(list_sum(vs) + 64 * 4 * n_audio AS BIGINT) AS mdat_bytes
+FROM media
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_mp4_stats_fn,
+)
+
+
 def _ann_ivf_duck_sql(d: str) -> str | None:
     if d == "spark":
         return None

@@ -3039,6 +3039,9 @@ _TAIL = (
     "gdop_geometry",
     "dbscan_closed_form",
     "relocation_time_split",
+    "selection_reasons",  # r8: slot freed for multimodal_mp4_stats (new);
+    # reason-annotated selection stays pinned by the 480-combo pytest +
+    # AlgorithmSelector test vectors and the in-window selection_matrix
     # rotated out round 6 (driver-green rounds 2-5; see block comment):
     "per_ap_stats",
     "stage1_validation",
