@@ -515,12 +515,379 @@ def test_jpeg_color_444_smooth_gradient():
     _assert_jpeg_features(img, q_val=8)
 
 
-def test_jpeg_progressive_rejected():
+def _image_coefficients(pixels, subsample=False, q_val=16):
+    """Quantized zigzag coefficient store + independent reference decode for
+    a grayscale/RGB image — the shared front half of the baseline and
+    progressive test encoders."""
+    import numpy as np
+
+    A = _dct_basis()
+    zz = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    px = np.asarray(pixels, dtype=np.float64)
+    color = px.ndim == 3
+    h, w = px.shape[:2]
+    q = np.full(64, q_val, dtype=int)
+    q[0] = max(1, q_val // 2)
+    if color:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        comps = [px]
+        samp = [(1, 1)]
+    hmax = max(s0 for s0, _ in samp)
+    vmax = max(s1 for _, s1 in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def plane_pad(p, ch, cv):
+        if (ch, cv) != (hmax, vmax):
+            fy, fx = vmax // cv, hmax // ch
+            py = ((h + fy - 1) // fy) * fy
+            pxw = ((w + fx - 1) // fx) * fx
+            pp = np.pad(p, ((0, py - h), (0, pxw - w)), mode="edge")
+            p = pp.reshape(py // fy, fy, pxw // fx, fx).mean(axis=(1, 3))
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    padded = [plane_pad(c, s0, s1) for c, (s0, s1) in zip(comps, samp)]
+    zzq = np.empty(64)
+    zzq[zz] = q  # natural-order quant from the zigzag table
+    zzq = zzq.reshape(8, 8)
+    coefs, recon = [], []
+    for p, (ch, cv) in zip(padded, samp):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        cz = np.zeros((nby, nbx, 64), dtype=int)
+        rc = np.zeros_like(p)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round((A @ blk @ A.T) / zzq)
+                cz[by, bx] = coef.flatten()[zz].astype(int)
+                rc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    A.T @ (coef * zzq) @ A + 128.0
+                )
+        coefs.append(cz)
+        recon.append(rc)
+    full = []
+    for rc, (ch, cv) in zip(recon, samp):
+        rc = np.repeat(np.repeat(rc, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(rc[:h, :w])
+    if color:
+        yy, cbb, crr = full[0], full[1] - 128.0, full[2] - 128.0
+        ref = np.stack(
+            [yy + 1.402 * crr, yy - 0.344136 * cbb - 0.714136 * crr, yy + 1.772 * cbb],
+            axis=2,
+        )
+    else:
+        ref = full[0][:, :, None]
+    return q, samp, (h, w, hmax, vmax, mcux, mcuy), coefs, np.clip(np.round(ref), 0, 255)
+
+
+class _ProgWriter(_BitWriter):
+    """Per-scan symbol writer: gathers symbols first, then encodes with an
+    8-bit flat Huffman table (same table() scheme as the baseline encoder)."""
+
+
+def _prog_scan_tokens_to_bytes(tokens, need_dc, need_ac):
+    dc_syms = sorted({t[1] for t in tokens if t[0] == "DC"})
+    ac_syms = sorted({t[1] for t in tokens if t[0] == "AC"})
+
+    def table(syms):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        return counts, bytes(syms), {s: (8, i) for i, s in enumerate(syms)}
+
+    dhts = b""
+    dc_codes = ac_codes = None
     import struct
 
-    payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(NotImplementedError):
-        decode_payload("jpeg", "image", payload)
+    if need_dc and dc_syms:
+        c, lst, dc_codes = table(dc_syms)
+        dhts += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(lst)) + bytes([0x00]) + bytes(c) + lst
+    if need_ac and ac_syms:
+        c, lst, ac_codes = table(ac_syms)
+        dhts += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(lst)) + bytes([0x10]) + bytes(c) + lst
+    bw = _BitWriter()
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "RAW":
+            bw.put(tok[1], 1)
+            continue
+        _, sym, nbits, bits = tok
+        codes = dc_codes if kind == "DC" else ac_codes
+        ln, code = codes[sym]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(bits, nbits)
+    bw.align()
+    return dhts, bytes(bw.out)
+
+
+def _make_progressive_jpeg(
+    pixels, subsample=False, q_val=16, al_dc=0, al_ac=0, bands=((1, 5), (6, 63))
+):
+    """Encode a REAL progressive (SOF2) JPEG: interleaved DC-first scan,
+    per-component AC band scans with EOB runs (spectral selection), and —
+    when al_dc/al_ac > 0 — successive-approximation refinement scans
+    (raw-bit DC refine; AC refine with buffered correction bits per ITU
+    T.81 G.1.2.3). Returns (payload, reference_pixels) with the same
+    independent reference decode as the baseline encoder."""
+    import struct
+
+    q, samp, (h, w, hmax, vmax, mcux, mcuy), coefs, ref = _image_coefficients(
+        pixels, subsample, q_val
+    )
+    ncomp = len(samp)
+
+    def comp_grid(ci):
+        ch, cv = samp[ci]
+        cbx = ((w * ch + hmax - 1) // hmax + 7) // 8
+        cby = ((h * cv + vmax - 1) // vmax + 7) // 8
+        return cby, cbx
+
+    scans = []  # (scan_comps, ss, se, ah, al, tokens, need_dc, need_ac)
+
+    # --- DC first scan: interleaved, point transform = arithmetic shift
+    toks = []
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        v = int(coefs[ci][my * cv + by, mx * ch + bx, 0]) >> al_dc
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = _category(diff)
+                        bits = diff if diff >= 0 else diff + (1 << t) - 1
+                        toks.append(("DC", t, t, bits))
+    scans.append((list(range(ncomp)), 0, 0, 0, al_dc, toks, True, False))
+
+    # --- AC first scans: per component, per band, with EOB runs
+    def pt_ac(v, al):
+        return (v >> al) if v >= 0 else -((-v) >> al)
+
+    for ci in range(ncomp):
+        cby, cbx = comp_grid(ci)
+        for ss, se in bands:
+            toks = []
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    toks.append(("AC", r << 4, r, eobrun - (1 << r)))
+                    eobrun = 0
+
+            for by in range(cby):
+                for bx in range(cbx):
+                    z = coefs[ci][by, bx]
+                    run = 0
+                    wrote = False
+                    for k in range(ss, se + 1):
+                        v = pt_ac(int(z[k]), al_ac)
+                        if v == 0:
+                            run += 1
+                            continue
+                        flush_eob()
+                        while run > 15:
+                            toks.append(("AC", 0xF0, 0, 0))
+                            run -= 16
+                        t = _category(v)
+                        bits = v if v >= 0 else v + (1 << t) - 1
+                        toks.append(("AC", (run << 4) | t, t, bits))
+                        run = 0
+                        wrote = True
+                    if run > 0 or not wrote:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+            scans.append(([ci], ss, se, 0, al_ac, toks, False, True))
+
+    # --- DC refinement scans: one raw bit per block, interleaved
+    for al in range(al_dc - 1, -1, -1):
+        toks = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    ch, cv = samp[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bit = (int(coefs[ci][my * cv + by, mx * ch + bx, 0]) >> al) & 1
+                            toks.append(("RAW", bit))
+        scans.append((list(range(ncomp)), 0, 0, al + 1, al, toks, False, False))
+
+    # --- AC refinement scans (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine)
+    for al in range(al_ac - 1, -1, -1):
+        for ci in range(ncomp):
+            cby, cbx = comp_grid(ci)
+            for ss, se in bands:
+                toks = []
+                eobrun = 0
+                be_bits: list[int] = []  # correction bits buffered across EOB blocks
+
+                def flush_eob_refine():
+                    nonlocal eobrun
+                    if eobrun or be_bits:
+                        r = max(eobrun, 1).bit_length() - 1 if eobrun else 0
+                        if eobrun:
+                            r = eobrun.bit_length() - 1
+                            toks.append(("AC", r << 4, r, eobrun - (1 << r)))
+                        for b in be_bits:
+                            toks.append(("RAW", b))
+                        be_bits.clear()
+                        eobrun = 0
+
+                for by in range(cby):
+                    for bx in range(cbx):
+                        z = coefs[ci][by, bx]
+                        absv = [pt_ac(abs(int(z[k])), al) for k in range(64)]
+                        eob = 0
+                        for k in range(ss, se + 1):
+                            if absv[k] == 1:
+                                eob = k
+                        run = 0
+                        br_bits: list[int] = []  # this block's pending corrections
+                        for k in range(ss, se + 1):
+                            t = absv[k]
+                            if t == 0:
+                                run += 1
+                                continue
+                            # ZRLs are emitted on REACHING any nonzero coef
+                            # (history included) so buffered correction bits
+                            # stay in positional order — unless the run can
+                            # fold into the EOB (k > eob)
+                            while run > 15 and k <= eob:
+                                flush_eob_refine()
+                                toks.append(("AC", 0xF0, 0, 0))
+                                toks.extend(("RAW", b) for b in br_bits)
+                                br_bits.clear()
+                                run -= 16
+                            if t > 1:  # history coefficient: correction bit
+                                br_bits.append(t & 1)
+                                continue
+                            # newly nonzero (+-1 at this bit position)
+                            flush_eob_refine()
+                            toks.append(("AC", (run << 4) | 1, 0, 0))
+                            toks.append(("RAW", 1 if int(z[k]) > 0 else 0))
+                            toks.extend(("RAW", b) for b in br_bits)
+                            br_bits.clear()
+                            run = 0
+                        if run > 0 or br_bits:
+                            eobrun += 1
+                            be_bits.extend(br_bits)
+                            if eobrun == 0x7FFF:
+                                flush_eob_refine()
+                flush_eob_refine()
+                scans.append(([ci], ss, se, al + 1, al, toks, False, True))
+
+    # --- assemble the stream
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (ch, cv) in enumerate(samp):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for scan_comps, ss, se, ah, al, toks, need_dc, need_ac in scans:
+        dhts, body = _prog_scan_tokens_to_bytes(toks, need_dc, need_ac)
+        out += dhts
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += body
+    out += b"\xff\xd9"
+    return bytes(out), ref
+
+
+def _assert_progressive_features(pixels, **kw):
+    import numpy as np
+
+    payload, ref = _make_progressive_jpeg(pixels, **kw)
+    feats = decode_payload("jpeg", "image", payload)
+    h, w = np.asarray(pixels).shape[:2]
+    assert feats[0] == float(w) and feats[1] == float(h)
+    expect = [
+        float(w), float(h), float(ref.shape[2]),
+        float(ref.mean()), float(ref.std()),
+        float(ref.min()), float(ref.max()),
+        float(np.abs(np.diff(ref, axis=1)).mean()) if w > 1 else 0.0,
+    ]
+    assert feats == pytest.approx(expect, abs=1e-9), (feats, expect)
+
+
+def test_jpeg_progressive_spectral_selection_grayscale():
+    """SOF2 with spectral selection only (DC scan + two AC band scans with
+    EOB runs), non-multiple-of-8 dims."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(21, 26), dtype=np.uint8)
+    _assert_progressive_features(img)
+
+
+def test_jpeg_progressive_spectral_selection_color_420():
+    """3-component 4:2:0 progressive: interleaved DC scan + per-component
+    non-interleaved AC band scans over each component's OWN block grid."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    _assert_progressive_features(img, subsample=True)
+
+
+def test_jpeg_progressive_successive_approximation_grayscale():
+    """Full successive approximation: DC first at Al=1 + raw-bit DC refine,
+    AC first at Al=1 + AC refinement scan with buffered correction bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    _assert_progressive_features(img, al_dc=1, al_ac=1)
+
+
+def test_jpeg_progressive_successive_approximation_color():
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(17, 18, 3), dtype=np.uint8)
+    _assert_progressive_features(img, al_dc=2, al_ac=1)
+
+
+def test_jpeg_progressive_smooth_gradient_heavy_eobruns():
+    """A smooth gradient quantizes to long EOB runs across blocks —
+    exercises multi-block EOBRUN encode/decode and refinement of runs."""
+    import numpy as np
+
+    x = np.linspace(0, 255, 40)
+    img = np.tile(x, (24, 1)).astype(np.uint8)
+    _assert_progressive_features(img, al_ac=1, al_dc=1, q_val=24)
+
+
+def test_jpeg_unsupported_sof_rejected():
+    import struct
+
+    # SOF3 (lossless) and SOF9 (arithmetic) must still raise
+    for sof in (0xC3, 0xC9):
+        payload = (
+            b"\xff\xd8" + bytes([0xFF, sof]) + struct.pack(">H", 11)
+            + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+        with pytest.raises(NotImplementedError):
+            decode_payload("jpeg", "image", payload)
 
 
 def test_jpeg_fill_bytes_before_marker_tolerated():
@@ -655,3 +1022,34 @@ def test_mp4_corrupt_rejected():
 
         bad = struct.pack(">I", 4096) + b"moov" + b"\x00" * 8
         decode_payload("mp4", "video", bad)
+
+
+def test_jpeg_progressive_property_random_images():
+    """Seeded property sweep: random images across sizes, color/grayscale,
+    subsampling, quant strengths, band splits, and successive-approximation
+    depths — decode must match the independent reference exactly for every
+    combination (the EOBRUN / correction-bit protocol corners are
+    data-dependent, so breadth matters more than single fixtures)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260815)
+    nrg = np.random.default_rng(20260815)
+    for case in range(30):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 30)
+        color = rng.random() < 0.5
+        size = (h, w, 3) if color else (h, w)
+        img = nrg.integers(0, 256, size=size, dtype=np.uint8)
+        kw = dict(
+            subsample=color and rng.random() < 0.5,
+            q_val=rng.choice([8, 16, 28]),
+            al_dc=rng.randint(0, 2),
+            al_ac=rng.randint(0, 2),
+            bands=rng.choice([((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 9), (10, 63))]),
+        )
+        try:
+            _assert_progressive_features(img, **kw)
+        except AssertionError as e:
+            raise AssertionError(f"case {case}: {size} {kw}") from e
