@@ -1107,21 +1107,48 @@ WHERE NOT EXISTS (SELECT 1 FROM hotspot_aps h WHERE h.ap_id = u.ap_id)
 # operators/{hotspot,relocation,localization}.py hold the DataFrame forms)
 # ---------------------------------------------------------------------------
 
-register(
-    "hotspot_behavioral",
-    "Behavioral mobile-hotspot detection (FRAMEWORK:55-69): per-AP mean "
-    "distance from its own centroid (spatial churn) + hotspot-style SSID "
-    "names ('AndroidAP', 'iPhone'); flagged BSSIDs are DELETE candidates "
-    "(SCHEMA.md:139-143; operators/hotspot.py).",
-    sql=lambda d: f"""
-WITH m AS ({measurements_cte(d)}),
-named AS (
+def _hotspot_behavioral_sql(d: str) -> str:
+    """Spark plan note (r8): the join form references `named` twice, and
+    Spark 4.1 re-inlines multiply-referenced CTEs — two full events scans
+    plus a centroid re-join shuffle. The Spark branch computes the
+    centroid via window functions over ONE scan and one exchange; the
+    per-AP re-aggregation reuses the window's hash partitioning. DuckDB
+    keeps the join form (its CTEs materialize). Values agree: the same
+    AVG/MAX terms group by the same key, and ROUND at 0.01 m sits far
+    above any summation-order noise in the centroid."""
+    named = f"""
   SELECT ap_id, latitude, longitude,
     CASE WHEN ap_id % 13 = 0 THEN concat('AndroidAP-', CAST(ap_id AS STRING))
          WHEN ap_id % 13 = 5 THEN concat('iPhone ', CAST(ap_id AS STRING))
          ELSE concat('net-', CAST(ap_id AS STRING)) END AS ssid
   FROM m
+"""
+    if d == SPARK:
+        return f"""
+WITH m AS ({measurements_cte(d)}),
+named AS ({named}),
+w AS (
+  SELECT ap_id, latitude, longitude,
+    AVG(latitude) OVER (PARTITION BY ap_id) AS clat,
+    AVG(longitude) OVER (PARTITION BY ap_id) AS clon,
+    MAX(CASE WHEN ssid LIKE 'AndroidAP%' OR ssid LIKE 'iPhone%' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY ap_id) AS ssid_hit
+  FROM named
 ),
+spread AS (
+  SELECT ap_id,
+    AVG({haversine_sql('latitude', 'longitude', 'clat', 'clon')}) AS mean_dist_m,
+    MAX(ssid_hit) AS ssid_hit
+  FROM w GROUP BY ap_id
+)
+SELECT ap_id, ROUND(mean_dist_m, 2) AS mean_dist_m,
+  CAST(ssid_hit AS BIGINT) AS ssid_hit,
+  (mean_dist_m > 100.0 OR ssid_hit = 1) AS is_hotspot
+FROM spread
+"""
+    return f"""
+WITH m AS ({measurements_cte(d)}),
+named AS ({named}),
 cent AS (
   SELECT ap_id, AVG(latitude) AS clat, AVG(longitude) AS clon,
     MAX(CASE WHEN ssid LIKE 'AndroidAP%' OR ssid LIKE 'iPhone%' THEN 1 ELSE 0 END) AS ssid_hit
@@ -1138,7 +1165,17 @@ SELECT ap_id, ROUND(mean_dist_m, 2) AS mean_dist_m,
   CAST(ssid_hit AS BIGINT) AS ssid_hit,
   (mean_dist_m > 100.0 OR ssid_hit = 1) AS is_hotspot
 FROM spread
-""",
+"""
+
+
+register(
+    "hotspot_behavioral",
+    "Behavioral mobile-hotspot detection (FRAMEWORK:55-69): per-AP mean "
+    "distance from its own centroid (spatial churn) + hotspot-style SSID "
+    "names ('AndroidAP', 'iPhone'); flagged BSSIDs are DELETE candidates "
+    "(SCHEMA.md:139-143; operators/hotspot.py). Spark side is the "
+    "one-scan window form (see _hotspot_behavioral_sql plan note).",
+    sql=_hotspot_behavioral_sql,
 )
 
 register(
