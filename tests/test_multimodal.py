@@ -977,7 +977,8 @@ def _make_mp4(sample_sizes, timescale=1000, duration=4500, n_audio_tracks=0,
     moov = _box(b"moov", _box(b"mvhd", mvhd)
                 + trak(b"vide", sample_sizes)
                 + b"".join(trak(b"soun", [64] * 4) for _ in range(n_audio_tracks)))
-    mdat_body = bytes(sum(sample_sizes) % 251 for _ in range(sum(sample_sizes)))
+    total = sum(sample_sizes) + 64 * 4 * n_audio_tracks
+    mdat_body = bytes(total % 251 for _ in range(total))
     mdat = _box(b"mdat", mdat_body, largesize=largesize_mdat)
     ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     return ftyp + moov + mdat
@@ -1053,3 +1054,35 @@ def test_jpeg_progressive_property_random_images():
             _assert_progressive_features(img, **kw)
         except AssertionError as e:
             raise AssertionError(f"case {case}: {size} {kw}") from e
+
+
+def test_mp4_property_random_containers():
+    """Seeded property sweep over random container shapes: track counts,
+    per-sample vs fixed stsz, 64-bit mdat sizes, v0/v1 mvhd — the box walk
+    must recover the exact stats for every combination."""
+    import random
+
+    rng = random.Random(20260815)
+    for case in range(25):
+        k = rng.randint(1, 40)
+        sizes = [rng.randint(1, 5000) for _ in range(k)]
+        if rng.random() < 0.3:
+            sizes = [sizes[0]] * k  # fixed-size stsz arm
+        ts = rng.choice([600, 1000, 90_000])
+        dur = rng.randint(0, 10 * ts)
+        n_audio = rng.randint(0, 3)
+        payload = _make_mp4(
+            sizes, timescale=ts, duration=dur, n_audio_tracks=n_audio,
+            mvhd_v1=rng.random() < 0.5, largesize_mdat=rng.random() < 0.3,
+        )
+        dur_s, n_trk, n_vid, n_smp, mean_b, max_b, mdat_b, tsc = decode_payload(
+            "mp4", "video", payload
+        )
+        all_sizes = sizes + [64] * (4 * n_audio)
+        assert dur_s == dur / ts, case
+        assert n_trk == 1 + n_audio and n_vid == 1, case
+        assert n_smp == len(all_sizes), case
+        assert mean_b == sum(all_sizes) / len(all_sizes), case
+        assert max_b == max(all_sizes), case
+        assert mdat_b == sum(all_sizes), case
+        assert tsc == ts, case
