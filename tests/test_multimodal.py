@@ -1,5 +1,9 @@
 """Multimodal plumbing: synthesis, Arrow-batched decode, frame sampling
-(operators/multimodal.py). Codecs are stubbed; the Spark plumbing is real."""
+(operators/multimodal.py). PNG, baseline+progressive JPEG, 16-bit WAV and
+the mp4 container decode for REAL with the stdlib (+NumPy); this module
+hand-assembles ground-truth bitstreams (including full progressive and
+ISO BMFF encoders) and verifies exact statistics. Only the "synthetic"
+format remains a deterministic content-hash stand-in."""
 
 import pytest
 from pyspark.sql import functions as F
