@@ -7,7 +7,7 @@ per Spark query (steady-state, one-off JIT excluded), so the oracle side
 must exclude its own first-run overhead (catalog binding, buffer warmup)
 the same way.
 
-Usage: python tools/bench_oracle.py [--sf-dir /root/testdata/sf0.1] [--attempts 2]
+Usage: python tools/bench_oracle.py [--sf-dir /root/testdata/sf0.1] [--attempts 3]
 """
 
 from __future__ import annotations
