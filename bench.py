@@ -53,7 +53,7 @@ def main() -> None:
             "relocation_dbscan", "lof_outliers", "dbscan_closed_form",
             "codec_roundtrip",
             "multimodal_decode", "multimodal_frame_sample", "multimodal_mp4_stats",
-            "dedup_embedding_cosine",
+            "ivf_kmeans_train", "dedup_embedding_cosine",
         ]
         names = [n for n in python_tier if n in qs] + [
             n for n in qs if n not in python_tier

@@ -2177,6 +2177,167 @@ register(
     spark_fn=_ann_ivf_spark_fn,
 )
 
+def _ivf_kmeans_duck_sql(d: str) -> str | None:
+    """Two unrolled Lloyd iterations in plain SQL (the DuckDB oracle for
+    the iterative trainer — iteration count is a fixed contract, so the
+    'iterative' algorithm IS SQL-expressible by unrolling)."""
+    if d == "spark":
+        return None
+    dist = (
+        "list_sum([ (v.e[i] - {c}[i]) * (v.e[i] - {c}[i])"
+        " FOR i IN generate_series(1, len(v.e)) ])"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 10),
+d1 AS (
+  SELECT v.vec_id, c0.cid, {dist.format(c='c0.c')} AS d
+  FROM v CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d1) t WHERE rn = 1
+),
+n1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n1 FROM a1 GROUP BY cid),
+upd AS (
+  SELECT a1.cid, dim.i AS dim,
+    FLOOR(AVG(v.e[dim.i]) * 1048576.0 + 0.5) / CAST(1048576.0 AS DOUBLE) AS cq
+  FROM a1 JOIN v USING (vec_id), generate_series(1, 64) AS dim(i)
+  GROUP BY a1.cid, dim.i
+),
+c1 AS (
+  SELECT cid, list(cq ORDER BY dim) AS c,
+    sqrt(list_sum([ x * x FOR x IN list(cq ORDER BY dim) ])) AS norm
+  FROM upd GROUP BY cid
+),
+d2 AS (
+  SELECT v.vec_id, c1.cid, {dist.format(c='c1.c')} AS d
+  FROM v CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d2) t WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n2, SUM(d) AS inertia
+  FROM a2 GROUP BY cid
+)
+SELECT c1.cid AS cluster_id, n1.n1 AS n1,
+  COALESCE(m2.n2, CAST(0 AS BIGINT)) AS n2,
+  ROUND(c1.norm, 6) AS centroid_norm,
+  ROUND(COALESCE(m2.inertia, CAST(0 AS DOUBLE)), 2) AS inertia
+FROM c1 JOIN n1 USING (cid) LEFT JOIN m2 USING (cid)
+"""
+
+
+def _ivf_kmeans_spark_fn(spark, sf_dir):
+    """IVF coarse-quantizer TRAINING as two deterministic Lloyd iterations
+    (the ann_ivf_probe companion: probe uses label lists; this trains
+    k=10 centroids from data). Iteration count is a fixed contract, so
+    the oracle unrolls the same two steps in SQL — an ITERATIVE algorithm
+    with a full value check, not a rows-only demo.
+
+    Plan shape (the 1000-executor shape): init = one bounded 10-row
+    collect (deterministic seed vectors, the standard fixed-init used to
+    make distributed k-means reproducible); each iteration is ONE
+    mapInPandas GEMM sweep emitting per-partition partial sums
+    (<= partitions x k rows — the map-side-combine shape), merged on the
+    driver. Cross-engine exactness: iter-1 distances compare exact inputs
+    (argmin ties break by centroid id identically); the UPDATED centroids
+    are quantized to the 2^-20 dyadic grid in BOTH engines (the GDOP
+    discipline) so iter-2 runs on bit-identical centroids; n1/n2 are
+    exact integers; norm/inertia round far above GEMM-vs-fold
+    accumulation noise."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = sorted(
+        emb.filter(F2.col("vec_id") < 10).collect(), key=lambda r: r.vec_id
+    )
+    C0 = np.array([r.embedding for r in init], dtype=np.float64)
+    k, dims = C0.shape
+
+    def sweep(C, want_inertia):
+        cn = (C * C).sum(axis=1)
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(list(pdf["embedding"]), dtype=np.float64)
+                d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cn[None, :]
+                a = np.argmin(d, axis=1)  # ties -> lowest cid, like ORDER BY d, cid
+                rows = {"cid": [], "n": [], "s": [], "inertia": []}
+                for c in np.unique(a):
+                    m = a == c
+                    rows["cid"].append(int(c))
+                    rows["n"].append(int(m.sum()))
+                    rows["s"].append(V[m].sum(axis=0).tolist())
+                    rows["inertia"].append(float(d[m, c].sum()))
+                yield pd.DataFrame(rows)
+
+        return emb.mapInPandas(
+            kernel, "cid long, n long, s array<double>, inertia double"
+        ).collect()  # bounded: <= partitions x k rows by construction
+
+    # iteration 1: assignment counts + per-cluster vector sums
+    p1 = sweep(C0, want_inertia=False)
+    n1 = np.zeros(k, dtype=np.int64)
+    S = np.zeros((k, dims), dtype=np.float64)
+    for r in p1:
+        n1[r.cid] += r.n
+        S[r.cid] += np.array(r.s)
+    live = [c for c in range(k) if n1[c] > 0]
+    # dyadic-grid centroid update: both engines then run iter 2 on
+    # bit-identical centroids (the GDOP rounding discipline)
+    C1 = np.floor((S[live] / n1[live][:, None]) * 1048576.0 + 0.5) / 1048576.0
+    norms = np.sqrt((C1 * C1).sum(axis=1))
+
+    # iteration 2: counts + within-cluster inertia against quantized C1
+    p2 = sweep(C1, want_inertia=True)
+    n2 = np.zeros(len(live), dtype=np.int64)
+    inertia = np.zeros(len(live), dtype=np.float64)
+    for r in p2:
+        n2[r.cid] += r.n
+        inertia[r.cid] += r.inertia
+
+    vals = ", ".join(
+        f"({int(live[i])}, {int(n1[live[i]])}, {int(n2[i])},"
+        f" CAST('{float(norms[i])!r}' AS DOUBLE), CAST('{float(inertia[i])!r}' AS DOUBLE))"
+        for i in range(len(live))
+    )
+    return spark.sql(
+        "SELECT CAST(cluster_id AS BIGINT) AS cluster_id,"
+        " CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,"
+        " ROUND(centroid_norm, 6) AS centroid_norm, ROUND(inertia, 2) AS inertia"
+        f" FROM (VALUES {vals}) AS t(cluster_id, n1, n2, centroid_norm, inertia)"
+    )
+
+
+register(
+    "ivf_kmeans_train",
+    "IVF coarse-quantizer training: two deterministic Lloyd iterations "
+    "(fixed seed vectors, k=10) — per-iteration GEMM assignment sweeps "
+    "emitting bounded per-partition partial sums, dyadic-quantized "
+    "centroid update so both engines run iteration 2 on bit-identical "
+    "centroids. The oracle unrolls the same two steps in SQL, giving an "
+    "ITERATIVE algorithm a full value check (cluster sizes per iteration, "
+    "centroid norms, within-cluster inertia). Companion to ann_ivf_probe "
+    "(train the lists; probe searches them).",
+    sql=_ivf_kmeans_duck_sql,
+    spark_fn=_ivf_kmeans_spark_fn,
+)
+
+
 def _label_centroids_sql(d: str) -> str:
     """Spark plan (r5 restructure): the round-4 shape exploded the member
     vectors TWICE and re-joined them against the per-(label,dim) centroid

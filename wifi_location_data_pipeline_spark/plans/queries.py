@@ -3079,6 +3079,9 @@ _TAIL = (
     "selection_reasons",  # r8: slot freed for multimodal_mp4_stats (new);
     # reason-annotated selection stays pinned by the 480-combo pytest +
     # AlgorithmSelector test vectors and the in-window selection_matrix
+    "spatial_blocked_pairs",  # r8: slot freed for ivf_kmeans_train (new);
+    # r7-certified; the 3x3 cell-blocking claim stays pinned by the plan
+    # audit (no-cartesian gate) + parity pytest
     # rotated out round 6 (driver-green rounds 2-5; see block comment):
     "per_ap_stats",
     "stage1_validation",
