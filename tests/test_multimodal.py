@@ -1090,3 +1090,36 @@ def test_mp4_property_random_containers():
         assert max_b == max(all_sizes), case
         assert mdat_b == sum(all_sizes), case
         assert tsc == ts, case
+
+
+def test_wav_synthesized_square_wave_closed_form():
+    """synthesize_wav_payload -> _decode_wav must reproduce the closed-form
+    statistics the multimodal_wav_stats oracle predicts, BIT-FOR-BIT: the
+    square wave's samples are dyadic rationals, so RMS/peak/ZCR/DC have
+    exact arithmetic forms in (doc_id, n_chars). Seeded sweep over random
+    keys, mono and stereo arms both exercised."""
+    import random
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        synthesize_wav_payload,
+    )
+
+    rng = random.Random(20260815)
+    for case in range(200):
+        doc_id = rng.randrange(0, 10**7)
+        n_chars = rng.randrange(0, 10**5)
+        nch = doc_id % 2 + 1
+        nf = n_chars % 400 + 50
+        amp = (doc_id * 7 + 13) % 30000 + 1000
+        p = n_chars % 9 + 3
+        nb, r = nf // p, nf % p
+        cnt_plus = p * ((nb + 1) // 2) + (r if nb % 2 == 0 else 0)
+        got = decode_payload("wav", "audio", synthesize_wav_payload(doc_id, n_chars))
+        want = [
+            float(nch), 8000.0, float(nf),
+            amp / 32768.0, amp / 32768.0,
+            float((nf - 1) // p) / float(nf * nch - 1),
+            float((2 * cnt_plus - nf) * nch) * (amp / 32768.0) / float(nf * nch),
+            float(nf) / 8000.0,
+        ]
+        assert got == want, (case, doc_id, n_chars, got, want)

@@ -576,6 +576,45 @@ def _decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+def synthesize_wav_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic 16-bit PCM WAV derived from (doc_id, n_chars): a
+    square wave whose amplitude, block period, channel count and frame
+    count are arithmetic functions of the keys, so every audio statistic
+    ``_decode_wav`` computes (RMS, peak, zero-crossing rate, DC offset,
+    duration) has an EXACT closed form the DuckDB oracle predicts:
+
+    - nch   = doc_id % 2 + 1 (mono/stereo; both channels carry the same
+      sample, so interleaving doubles counts without changing signs)
+    - nf    = n_chars % 400 + 50 frames at 8 kHz
+    - amp   = (doc_id * 7 + 13) % 30000 + 1000 (int16-safe, never 0)
+    - sign of frame i = + iff (i // p) % 2 == 0, p = n_chars % 9 + 3
+
+    Exactness argument (why the oracle can match bit-for-bit): every
+    sample is ±amp/2^15, a dyadic rational; partial sums in np.mean are
+    integer multiples of it with numerators < 2^46, so the sums are
+    exact and the final single IEEE division/sqrt is identical in both
+    engines. See multimodal_wav_stats in plans/llm_queries.py."""
+    import io
+    import struct
+    import wave
+
+    nch = doc_id % 2 + 1
+    nf = n_chars % 400 + 50
+    amp = (doc_id * 7 + 13) % 30000 + 1000
+    p = n_chars % 9 + 3
+    frames = bytearray()
+    for i in range(nf):
+        s = amp if (i // p) % 2 == 0 else -amp
+        frames += struct.pack("<h", s) * nch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
 def synthesize_mp4_payload(doc_id: int, n_chars: int) -> bytes:
     """Deterministic minimal-but-valid ISO BMFF container derived from
     (doc_id, n_chars): ftyp + moov(mvhd + video trak with per-sample stsz

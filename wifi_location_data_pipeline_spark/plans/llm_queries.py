@@ -2023,6 +2023,101 @@ FROM media
 )
 
 
+def _wav_stats_fn(spark, sf_dir):
+    """Round-trips REAL RIFF/WAVE bytes through Spark: one mapInPandas
+    pass builds a deterministic 16-bit PCM square wave per audio document
+    (synthesize_wav_payload) and immediately re-derives its audio
+    features through the stdlib ``wave`` decode path (_decode_wav) — the
+    audio twin of multimodal_mp4_stats. The DuckDB oracle predicts RMS /
+    peak / zero-crossing rate / DC offset / duration in closed form from
+    (doc_id, n_chars): every sample is a dyadic rational ±amp/2^15 whose
+    partial sums stay exact (numerators < 2^46), so the decoded NumPy
+    statistics match the SQL arithmetic bit-for-bit — the WAV decoder is
+    value-checked end-to-end through Spark, not just fixture-tested."""
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        synthesize_wav_payload,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 1")
+        .select("doc_id", "n_chars")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = [
+                _decode_wav(synthesize_wav_payload(int(d), int(n)))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "channels": [int(f[0]) for f in feats],
+                    "sample_rate": [int(f[1]) for f in feats],
+                    "n_frames": [int(f[2]) for f in feats],
+                    "rms": [f[3] for f in feats],
+                    "peak_amp": [f[4] for f in feats],
+                    "zero_cross_rate": [f[5] for f in feats],
+                    "dc_offset": [f[6] for f in feats],
+                    "duration_s": [f[7] for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, channels long, sample_rate long, n_frames long,"
+        " rms double, peak_amp double, zero_cross_rate double,"
+        " dc_offset double, duration_s double",
+    )
+
+
+register(
+    "multimodal_wav_stats",
+    "WAV audio feature extraction through the REAL stdlib PCM decoder: a "
+    "deterministic 16-bit square wave is synthesized per audio document "
+    "and its RMS / peak / zero-crossing rate / DC offset re-derived from "
+    "the decoded samples; the oracle predicts the identical statistics "
+    "arithmetically (dyadic-rational samples keep every sum exact), "
+    "value-checking the audio decode end-to-end — the audio twin of "
+    "multimodal_mp4_stats.",
+    sql=lambda d: """
+WITH a AS (
+  SELECT doc_id,
+    doc_id % 2 + 1 AS nch,
+    n_chars % 400 + 50 AS nf,
+    (doc_id * 7 + 13) % 30000 + 1000 AS amp,
+    n_chars % 9 + 3 AS p
+  FROM documents WHERE doc_id % 3 = 1
+),
+b AS (SELECT *, nf // p AS nb, nf % p AS r FROM a),
+c AS (
+  SELECT *,
+    p * ((nb + 1) // 2) + CASE WHEN nb % 2 = 0 THEN r ELSE 0 END AS cnt_plus
+  FROM b
+)
+SELECT doc_id AS media_id,
+  CAST(nch AS BIGINT) AS channels,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(nf AS BIGINT) AS n_frames,
+  CAST(amp AS DOUBLE) / 32768.0 AS rms,
+  CAST(amp AS DOUBLE) / 32768.0 AS peak_amp,
+  CAST((nf - 1) // p AS DOUBLE) / CAST(nf * nch - 1 AS DOUBLE) AS zero_cross_rate,
+  CAST((2 * cnt_plus - nf) * nch AS DOUBLE) * (CAST(amp AS DOUBLE) / 32768.0)
+    / CAST(nf * nch AS DOUBLE) AS dc_offset,
+  CAST(nf AS DOUBLE) / 8000.0 AS duration_s
+FROM c
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_wav_stats_fn,
+)
+
+
 def _ann_ivf_duck_sql(d: str) -> str | None:
     if d == "spark":
         return None

@@ -3090,6 +3090,20 @@ _TAIL = (
     "hotspot_oui_exclude",
     "text_language_id",
     "signal_context_classes",
+    # r8 continuation: slots freed for the NEW value-checked queries
+    # (multimodal_wav_stats / multimodal_png_stats / embedding_pq_train /
+    # bm25_topk). Parked entries are the most-certified in the registry
+    # (driver-green rounds 1-7 straight) with independent pytest cover:
+    "hotspot_behavioral",  # behavioral rule thresholds pinned by
+    # tests/test_hotspot.py; same groupBy-classify shape as in-window
+    # relocation/ap_quality families
+    "kalman_update_step",  # innovation/gain algebra pinned by the
+    # streaming state tests + reference KalmanFilterPositionEstimatorTest
+    # vectors; the streaming twin stays exercised every round
+    "text_token_stats",  # array-native text projection class stays
+    # covered in-window by gopher_rule_filters + the new bm25_topk
+    "quality_stratified_sample",  # per-stratum sampling plan; same
+    # window+filter shape as in-window mixture_sampling_plan
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
