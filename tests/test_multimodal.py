@@ -1123,3 +1123,34 @@ def test_wav_synthesized_square_wave_closed_form():
             float(nf) / 8000.0,
         ]
         assert got == want, (case, doc_id, n_chars, got, want)
+
+
+def test_png_synthesized_all_filters_round_trip():
+    """synthesize_png_payload forward-filters scanlines with type y % 5 and
+    cycles all four supported color types, so decoding a handful of keys
+    exercises every unfilter branch; the decoded pixels must equal the
+    closed-form lattice the multimodal_png_stats oracle unnests."""
+    import random
+
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _PNG_NCH_BY_RESIDUE,
+        _png_pixels,
+        synthesize_png_payload,
+    )
+
+    rng = random.Random(20260815)
+    for case in range(120):
+        doc_id = rng.randrange(0, 10**7)
+        n_chars = rng.randrange(0, 10**5)
+        px = _png_pixels(synthesize_png_payload(doc_id, n_chars)).astype(np.int64)
+        h, w, nch = px.shape
+        assert (h, w, nch) == (
+            doc_id % 8 + 3, n_chars % 12 + 4, _PNG_NCH_BY_RESIDUE[doc_id % 4]
+        ), case
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(nch), indexing="ij"
+        )
+        want = (doc_id % 251 + 3 * yy + 5 * xx + 11 * cc) % 256
+        assert (px == want).all(), (case, doc_id, n_chars)

@@ -100,13 +100,12 @@ def synthesize_media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_png(payload: bytes) -> list[float]:
+def _png_pixels(payload: bytes):
     """Real PNG decode with the stdlib only (zlib inflate + struct chunk
     parse + scanline unfilter, filters 0-4 per the PNG spec §9). Supports
     8-bit depth, color types 0/2/4/6, non-interlaced — the shapes real
-    pipelines emit for training images. Returns
-    [width, height, channels, mean, std, min, max, mean |horizontal diff|]
-    over the decoded pixels (all in 0-255 space except dims).
+    pipelines emit for training images. Returns the decoded pixel array
+    as np.uint8 of shape (h, w, channels).
 
     The unfilter runs in per-byte Python — fine for the narrow-map decode
     of test-sized fixtures; a production deployment swaps this body for a
@@ -172,13 +171,95 @@ def _decode_png(payload: bytes) -> list[float]:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = line
         prev = line
-    px = out.reshape(h, w, nch).astype(np.float64)
+    return out.reshape(h, w, nch)
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """PNG feature vector via ``_png_pixels``: [width, height, channels,
+    mean, std, min, max, mean |horizontal diff|] over the decoded pixels
+    (all in 0-255 space except dims)."""
+    import numpy as np
+
+    px = _png_pixels(payload).astype(np.float64)
+    h, w, nch = px.shape
     hdiff = np.abs(np.diff(px, axis=1)).mean() if w > 1 else 0.0
     return [
         float(w), float(h), float(nch),
         float(px.mean()), float(px.std()),
         float(px.min()), float(px.max()), float(hdiff),
     ]
+
+
+_PNG_CTYPE_BY_RESIDUE = (0, 2, 4, 6)  # gray, RGB, gray+alpha, RGBA
+_PNG_NCH_BY_RESIDUE = (1, 3, 2, 4)
+
+
+def synthesize_png_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic minimal-but-valid PNG derived from (doc_id, n_chars):
+    pixel value v(y, x, c) = (doc_id % 251 + 3y + 5x + 11c) % 256 over a
+    (doc_id % 8 + 3) x (n_chars % 12 + 4) image whose color type cycles
+    through gray / RGB / gray+alpha / RGBA with doc_id % 4, and whose
+    scanlines are FORWARD-FILTERED with filter type y % 5 — so one corpus
+    pass exercises every unfilter branch (None/Sub/Up/Average/Paeth) of
+    ``_png_pixels``. All statistics of the decoded pixels are integers
+    with exact closed forms in (doc_id, n_chars); see
+    multimodal_png_stats in plans/llm_queries.py."""
+    import struct
+    import zlib
+
+    w = n_chars % 12 + 4
+    h = doc_id % 8 + 3
+    res = doc_id % 4
+    ctype = _PNG_CTYPE_BY_RESIDUE[res]
+    nch = _PNG_NCH_BY_RESIDUE[res]
+    base = doc_id % 251
+    stride = w * nch
+
+    def v(y: int, x: int, c: int) -> int:
+        return (base + 3 * y + 5 * x + 11 * c) % 256
+
+    raw_rows = [
+        bytes(v(y, x, c) for x in range(w) for c in range(nch)) for y in range(h)
+    ]
+    flt = bytearray()
+    zero = bytes(stride)
+    for y in range(h):
+        f = y % 5
+        cur, up = raw_rows[y], raw_rows[y - 1] if y > 0 else zero
+        flt.append(f)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = up[i]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                c0 = up[i - nch] if i >= nch else 0
+                pp = a + b - c0
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c0)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+            flt.append((cur[i] - pred) & 0xFF)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(flt)))
+        + chunk(b"IEND", b"")
+    )
 
 
 _ZIGZAG = [

@@ -2118,6 +2118,113 @@ FROM c
 )
 
 
+def _png_stats_fn(spark, sf_dir):
+    """Round-trips REAL PNG bytes through Spark: one mapInPandas pass
+    synthesizes a deterministic PNG per image document — scanlines
+    forward-filtered with filter type y % 5, so the corpus exercises
+    every unfilter branch (None/Sub/Up/Average/Paeth) and all four
+    supported color types — and immediately re-derives pixel statistics
+    through the stdlib zlib+struct decode path (_png_pixels). All emitted
+    statistics are INTEGERS (sums, squares, min/max, |horizontal diff|
+    sums), so the DuckDB oracle predicts them exactly by unnesting the
+    same (doc_id % 251 + 3y + 5x + 11c) % 256 pixel formula — the PNG
+    decoder (inflate, chunk walk, all five filters) is value-checked
+    end-to-end through Spark, the image twin of multimodal_wav_stats /
+    multimodal_mp4_stats."""
+    import numpy as np
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+        synthesize_png_payload,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")
+        .select("doc_id", "n_chars")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "n_px": [], "px_sum": [], "px_sq_sum": [], "px_min": [],
+                "px_max": [], "hdiff_sum": [],
+            }
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                px = _png_pixels(synthesize_png_payload(int(d), int(n)))
+                p = px.astype(np.int64)
+                h, w, nch = p.shape
+                rows["media_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(nch)
+                rows["n_px"].append(h * w * nch)
+                rows["px_sum"].append(int(p.sum()))
+                rows["px_sq_sum"].append(int((p * p).sum()))
+                rows["px_min"].append(int(p.min()))
+                rows["px_max"].append(int(p.max()))
+                rows["hdiff_sum"].append(int(np.abs(np.diff(p, axis=1)).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, channels long, n_px long,"
+        " px_sum long, px_sq_sum long, px_min long, px_max long, hdiff_sum long",
+    )
+
+
+register(
+    "multimodal_png_stats",
+    "PNG pixel statistics through the REAL stdlib decoder: deterministic "
+    "PNGs (every scanline filter type, all four color types) synthesized "
+    "per image document, decoded back via zlib inflate + full unfilter, "
+    "integer pixel stats re-derived; the oracle unnests the same pixel "
+    "formula and must agree exactly — value-checking inflate, chunk walk "
+    "and all five PNG filters end-to-end through Spark.",
+    sql=lambda d: """
+WITH img AS (
+  SELECT doc_id, n_chars % 12 + 4 AS w, doc_id % 8 + 3 AS h,
+    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS nch,
+    doc_id % 251 AS base
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT doc_id, w, h, nch,
+    (base + 3 * y.i + 5 * x.i + 11 * c.i) % 256 AS v,
+    CASE WHEN x.i < w - 1
+         THEN ABS((base + 3 * y.i + 5 * (x.i + 1) + 11 * c.i) % 256
+                  - (base + 3 * y.i + 5 * x.i + 11 * c.i) % 256)
+         ELSE 0 END AS hd
+  -- DuckDB's generate_series cannot take lateral column bounds; the
+  -- dimensions are residue-bounded constants (h<=10, w<=15, nch<=4), so
+  -- fixed ranges + WHERE filters enumerate the same lattice
+  FROM img,
+    generate_series(0, 9) AS y(i),
+    generate_series(0, 14) AS x(i),
+    generate_series(0, 3) AS c(i)
+  WHERE y.i < h AND x.i < w AND c.i < nch
+)
+SELECT doc_id AS media_id,
+  CAST(MIN(w) AS BIGINT) AS width,
+  CAST(MIN(h) AS BIGINT) AS height,
+  CAST(MIN(nch) AS BIGINT) AS channels,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(v) AS BIGINT) AS px_sum,
+  CAST(SUM(v * v) AS BIGINT) AS px_sq_sum,
+  CAST(MIN(v) AS BIGINT) AS px_min,
+  CAST(MAX(v) AS BIGINT) AS px_max,
+  CAST(SUM(hd) AS BIGINT) AS hdiff_sum
+FROM px GROUP BY doc_id
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_png_stats_fn,
+)
+
+
 def _ann_ivf_duck_sql(d: str) -> str | None:
     if d == "spark":
         return None
