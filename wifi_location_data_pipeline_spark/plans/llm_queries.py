@@ -3300,6 +3300,93 @@ register(
 )
 
 
+_BM25_TERMS = ("spark", "join", "window", "vector")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_sql(d: str) -> str:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+    practical-scoring variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)))
+    for a fixed conjunctive query over the documents corpus — the
+    relevance-ranking primitive a training-data pipeline uses for
+    quality-by-retrieval and targeted corpus slicing.
+
+    Plan shape: per-doc term frequencies are array-native HOF counts over
+    ONE tokenization (no token explode, no posting-list shuffle); the
+    corpus statistics (N, avgdl, one df per term) fold into a SINGLE
+    one-row aggregate that broadcast-joins back over the scan; the top-k
+    is a TakeOrdered(k), never a full sort. At 100 TB the only shuffle is
+    the one-row stats aggregate — the scan-side scoring is embarrassingly
+    parallel. Determinism: scores round on the 1e-6 grid AFTER a cutoff
+    ordered by (raw score, doc_id); ln/div are single IEEE ops over
+    integer-exact tf/df/dl inputs, the same discipline as
+    mixture_sampling_plan's pow() weights."""
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_TOPK
+    if d == "spark":
+        tf = "CAST(size(filter(w, x -> x = '{t}')) AS BIGINT)"
+        ln = "ln"
+    else:
+        tf = "CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT)"
+        ln = "ln"
+    tfs = ",\n    ".join(
+        tf.format(t=t) + f" AS tf_{t}" for t in _BM25_TERMS
+    )
+    dfs = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    # per-term BM25 contribution; norm is let-bound by the surrounding
+    # projection so it evaluates once per doc in both engines
+    contrib = " + ".join(
+        f"{ln}(CAST(1 AS DOUBLE) + (CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f" / (CAST(tf_{t} AS DOUBLE) + CAST({k1!r} AS DOUBLE) * norm)"
+        for t in _BM25_TERMS
+    )
+    tf_total = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+    CAST({'size(w)' if d == 'spark' else 'len(w)'} AS BIGINT) AS dl,
+    {tfs}
+  FROM (SELECT doc_id, {_ws_tokens(d, 'text')} AS w FROM documents
+        WHERE text IS NOT NULL) t
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+    {dfs}
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, dl, {tf_total} AS tf_total, {contrib} AS score_raw
+  FROM (
+    SELECT tf.*, stats.*,
+      CAST(1 AS DOUBLE) - CAST({_BM25_B!r} AS DOUBLE)
+        + CAST({_BM25_B!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl AS norm
+    FROM tf CROSS JOIN stats
+  ) s
+)
+SELECT doc_id, dl AS doc_len, tf_total,
+  FLOOR(score_raw * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS bm25
+FROM scored
+ORDER BY score_raw DESC, doc_id
+LIMIT {k}
+"""
+
+
+register(
+    "bm25_topk",
+    "BM25 top-k retrieval for a fixed term set over the documents corpus "
+    "(Lucene-variant idf): array-native per-doc term frequencies (no "
+    "token explode), ONE one-row corpus-stats aggregate broadcast back "
+    "over the scan, TakeOrdered cutoff — the relevance-ranking primitive "
+    "for quality-by-retrieval corpus slicing.",
+    sql=_bm25_sql,
+)
+
+
 def _url_mixture_sql(d: str) -> str:
     """URL/domain extraction + per-domain temperature mixture weights.
 
