@@ -1154,3 +1154,38 @@ def test_png_synthesized_all_filters_round_trip():
         )
         want = (doc_id % 251 + 3 * yy + 5 * xx + 11 * cc) % 256
         assert (px == want).all(), (case, doc_id, n_chars)
+
+
+def test_jpeg_synthesized_dc_only_round_trip():
+    """synthesize_jpeg_payload emits DC-only baseline JPEGs whose decoded
+    pixels have an exact integer closed form (luma quant step 8, neutral
+    chroma). A seeded sweep must cover all three component modes
+    (grayscale / 4:2:0 / 4:4:4) and both restart settings, and every
+    decoded pixel must equal the lattice the multimodal_jpeg_stats oracle
+    evaluates."""
+    import random
+
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _jpeg_pixels,
+        synthesize_jpeg_payload,
+    )
+
+    rng = random.Random(20260816)
+    seen_modes, seen_restart = set(), set()
+    for case in range(120):
+        doc_id = rng.randrange(0, 10**7)
+        n_chars = rng.randrange(0, 10**5)
+        mode = (doc_id // 3) % 3
+        seen_modes.add(mode)
+        seen_restart.add(doc_id % 5 == 0)
+        px = _jpeg_pixels(synthesize_jpeg_payload(doc_id, n_chars)).astype(np.int64)
+        h, w, nch = px.shape
+        assert (h, w, nch) == (
+            doc_id % 19 + 4, n_chars % 21 + 4, 1 if mode == 0 else 3
+        ), case
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        want = 128 + (doc_id * 7 + 13 * (yy // 8) + 29 * (xx // 8)) % 241 - 120
+        assert (px == want[:, :, None]).all(), (case, doc_id, n_chars, mode)
+    assert seen_modes == {0, 1, 2} and seen_restart == {True, False}

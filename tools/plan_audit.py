@@ -67,6 +67,7 @@ CLAIMS: dict[str, str] = {
     ),
     "multimodal_wav_stats": "narrow mapInPandas decode; no shuffle at all",
     "multimodal_png_stats": "narrow mapInPandas decode; no shuffle at all",
+    "multimodal_jpeg_stats": "narrow mapInPandas decode; no shuffle at all",
     "embedding_pq_train": (
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"

@@ -341,7 +341,7 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _decode_jpeg(payload: bytes) -> list[float]:
+def _jpeg_pixels(payload: bytes):
     """Real JPEG decode with the stdlib + NumPy only — BASELINE (SOF0) and
     PROGRESSIVE (SOF2): marker parse (DQT/DHT/SOF/SOS/DRI), canonical
     Huffman entropy decode with byte-stuffing and restart markers across
@@ -354,9 +354,11 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     (4:4:4 / 4:2:2 / 4:2:0). Arithmetic coding and hierarchical/lossless
     modes raise: those genuinely need a fuller codec.
 
-    Returns the same feature shape as _decode_png. Entropy decode runs in
-    per-bit Python — fixture-scale honest; a deployment swaps the body for
-    PIL/libjpeg without touching the Spark plumbing (same note as PNG)."""
+    Returns the decoded (height, width, channels) uint8-range pixel array
+    (rounded + clipped, the JPEG twin of ``_png_pixels``). Entropy decode
+    runs in per-bit Python — fixture-scale honest; a deployment swaps the
+    body for PIL/libjpeg without touching the Spark plumbing (same note
+    as PNG)."""
     import struct
 
     import numpy as np
@@ -619,14 +621,141 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
             axis=2,
         )
-    px = np.clip(np.round(px), 0, 255)
-    nch = px.shape[2]
+    return np.clip(np.round(px), 0, 255)
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """JPEG feature vector via ``_jpeg_pixels``: same shape as
+    ``_decode_png`` ([width, height, channels, mean, std, min, max,
+    mean |horizontal diff|])."""
+    import numpy as np
+
+    px = _jpeg_pixels(payload)
+    h, w, nch = px.shape
     hdiff = np.abs(np.diff(px, axis=1)).mean() if w > 1 else 0.0
     return [
         float(w), float(h), float(nch),
         float(px.mean()), float(px.std()),
         float(px.min()), float(px.max()), float(hdiff),
     ]
+
+
+def synthesize_jpeg_payload(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic minimal-but-valid BASELINE JPEG derived from
+    (doc_id, n_chars) whose decoded pixels have an EXACT integer closed
+    form — the JPEG twin of ``synthesize_png_payload``.
+
+    Every 8x8 block carries a DC coefficient only, so the exact float
+    IDCT of each block is the constant dc*q0/8 + 128; with the luma quant
+    step q0 = 8 that is exactly dc + 128 (dyadic arithmetic, no rounding
+    ambiguity). Chroma blocks are all-zero, so the chroma planes decode
+    to exactly 128.0 and the JFIF YCbCr->RGB conversion degenerates to
+    R = G = B = Y with zero float error. Decoded pixel:
+
+        v(y, x, c) = 128 + ((doc_id*7 + 13*(y//8) + 29*(x//8)) % 241) - 120
+
+    over a (doc_id % 19 + 4) x (n_chars % 21 + 4) image. (doc_id // 3) % 3
+    picks grayscale / 4:2:0 color / 4:4:4 color — covering the
+    interleaved-MCU walk for 1 and 3 components, chroma subsampling and
+    upsampling, and MCU-boundary crop — and doc_id % 5 == 0 adds a DRI
+    restart interval of 2 MCUs so RSTn resync and DC-predictor reset are
+    exercised with exact expectations. Huffman tables are minimal
+    canonical tables (12 four-bit DC size codes; a single one-bit AC EOB).
+    See multimodal_jpeg_stats in plans/llm_queries.py for the oracle."""
+    import struct
+
+    w = n_chars % 21 + 4
+    h = doc_id % 19 + 4
+    mode = (doc_id // 3) % 3  # 0 gray, 1 color 4:2:0, 2 color 4:4:4
+    restart = 2 if doc_id % 5 == 0 else 0
+
+    def dc(by: int, bx: int) -> int:
+        return (doc_id * 7 + 13 * by + 29 * bx) % 241 - 120
+
+    # minimal canonical Huffman tables: DC sizes 0..11 as the 12 four-bit
+    # codes 0..11; AC just EOB (symbol 0x00) as the one-bit code 0
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_syms = bytes(range(12))
+    ac_counts = bytes([1] + [0] * 15)
+    ac_syms = bytes([0])
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    # DQT: luma table 0 and chroma table 1, both with q[0] = 8 (the only
+    # entry DC-only blocks touch; the rest are arbitrary nonzero)
+    qtab = bytes([8] + [16] * 63)
+    seg(0xDB, b"\x00" + qtab + b"\x01" + qtab)
+    if mode == 0:
+        comps = [(1, 1, 1, 0)]
+    elif mode == 1:
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes([cid, (ch << 4) | cv, tq]) for cid, ch, cv, tq in comps
+    )
+    seg(0xC0, sof)
+    seg(0xC4, b"\x00" + dc_counts + dc_syms + b"\x10" + ac_counts + ac_syms)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    seg(
+        0xDA,
+        bytes([len(comps)])
+        + b"".join(bytes([cid, 0x00]) for cid, _, _, _ in comps)
+        + b"\x00\x3f\x00",
+    )
+
+    # entropy segment: per MCU, each component's blocks get (DC size code,
+    # DC magnitude bits, AC EOB); byte-stuffed; RSTn between intervals
+    bits = 0
+    nbits = 0
+
+    def put(value: int, n: int) -> None:
+        nonlocal bits, nbits
+        bits = (bits << n) | (value & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            b = (bits >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def align() -> None:
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                align()
+                out.extend(bytes([0xFF, 0xD0 + (n_mcu // restart - 1) % 8]))
+                pred = [0] * len(comps)
+            for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        val = dc(my * cv + by, mx * ch + bx) if ci == 0 else 0
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        t = abs(diff).bit_length()
+                        put(t, 4)  # DC size symbol t = canonical code t
+                        if t:
+                            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                        put(0, 1)  # AC EOB
+            n_mcu += 1
+    align()
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def _decode_wav(payload: bytes) -> list[float]:

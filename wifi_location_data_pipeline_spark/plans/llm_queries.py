@@ -2225,6 +2225,114 @@ FROM px GROUP BY doc_id
 )
 
 
+def _jpeg_stats_fn(spark, sf_dir):
+    """Round-trips REAL baseline JPEG bytes through Spark: one mapInPandas
+    pass synthesizes a deterministic DC-only JPEG per image document —
+    grayscale / 4:2:0 / 4:4:4 by (doc_id // 3) % 3, DRI restart markers on
+    doc_id % 5 == 0 — and immediately re-derives pixel statistics through
+    the stdlib+NumPy decode path (_jpeg_pixels: marker walk, canonical
+    Huffman entropy decode, byte unstuffing, RSTn resync, dequantize,
+    exact IDCT, chroma upsampling, YCbCr->RGB). DC-only blocks with luma
+    quant step 8 and neutral chroma make every decoded pixel the exact
+    integer 128 + dc(y//8, x//8), so the DuckDB oracle predicts all
+    emitted statistics in closed form — the JPEG decoder is value-checked
+    end-to-end through Spark, completing the wav/png/mp4 codec-gate
+    family."""
+    import numpy as np
+    import pandas as pd
+
+    from wifi_location_data_pipeline_spark.operators.multimodal import (
+        _jpeg_pixels,
+        synthesize_jpeg_payload,
+    )
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 1")
+        .select("doc_id", "n_chars")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [], "channels": [],
+                "n_px": [], "px_sum": [], "px_sq_sum": [], "px_min": [],
+                "px_max": [], "hdiff_sum": [],
+            }
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                px = _jpeg_pixels(synthesize_jpeg_payload(int(d), int(n)))
+                p = px.astype(np.int64)
+                h, w, nch = p.shape
+                rows["media_id"].append(int(d))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(nch)
+                rows["n_px"].append(h * w * nch)
+                rows["px_sum"].append(int(p.sum()))
+                rows["px_sq_sum"].append(int((p * p).sum()))
+                rows["px_min"].append(int(p.min()))
+                rows["px_max"].append(int(p.max()))
+                rows["hdiff_sum"].append(int(np.abs(np.diff(p, axis=1)).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, channels long, n_px long,"
+        " px_sum long, px_sq_sum long, px_min long, px_max long, hdiff_sum long",
+    )
+
+
+register(
+    "multimodal_jpeg_stats",
+    "JPEG pixel statistics through the REAL stdlib+NumPy decoder: "
+    "deterministic DC-only baseline JPEGs (grayscale / 4:2:0 / 4:4:4, "
+    "restart markers on a fifth of the corpus) synthesized per image "
+    "document, decoded back via Huffman entropy decode + exact IDCT + "
+    "chroma upsampling + YCbCr->RGB, integer pixel stats re-derived; the "
+    "oracle evaluates the same per-block closed form and must agree "
+    "exactly — value-checking the JPEG decode path end-to-end through "
+    "Spark.",
+    sql=lambda d: """
+WITH img AS (
+  SELECT doc_id, n_chars % 21 + 4 AS w, doc_id % 19 + 4 AS h,
+    CASE WHEN (doc_id // 3) % 3 = 0 THEN 1 ELSE 3 END AS nch
+  FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT doc_id, w, h, nch,
+    128 + (doc_id * 7 + 13 * (y.i // 8) + 29 * (x.i // 8)) % 241 - 120 AS v,
+    CASE WHEN x.i < w - 1
+         THEN ABS((doc_id * 7 + 13 * (y.i // 8) + 29 * ((x.i + 1) // 8)) % 241
+                  - (doc_id * 7 + 13 * (y.i // 8) + 29 * (x.i // 8)) % 241)
+         ELSE 0 END AS hd
+  -- dims are residue-bounded constants (h<=22, w<=24, nch<=3), so fixed
+  -- ranges + WHERE filters enumerate the same lattice (same pattern as
+  -- the PNG oracle)
+  FROM img,
+    generate_series(0, 21) AS y(i),
+    generate_series(0, 23) AS x(i),
+    generate_series(0, 2) AS c(i)
+  WHERE y.i < h AND x.i < w AND c.i < nch
+)
+SELECT doc_id AS media_id,
+  CAST(MIN(w) AS BIGINT) AS width,
+  CAST(MIN(h) AS BIGINT) AS height,
+  CAST(MIN(nch) AS BIGINT) AS channels,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(v) AS BIGINT) AS px_sum,
+  CAST(SUM(v * v) AS BIGINT) AS px_sq_sum,
+  CAST(MIN(v) AS BIGINT) AS px_min,
+  CAST(MAX(v) AS BIGINT) AS px_max,
+  CAST(SUM(hd) AS BIGINT) AS hdiff_sum
+FROM px GROUP BY doc_id
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_jpeg_stats_fn,
+)
+
+
 def _ann_ivf_duck_sql(d: str) -> str | None:
     if d == "spark":
         return None

@@ -3097,6 +3097,11 @@ _TAIL = (
     "hotspot_behavioral",  # behavioral rule thresholds pinned by
     # tests/test_hotspot.py; same groupBy-classify shape as in-window
     # relocation/ap_quality families
+    "tiered_localization",  # r8: slot freed for multimodal_jpeg_stats
+    # (new); driver-green rounds 1-7 straight — the most-certified entry
+    # in the registry — with the tier math independently pinned by
+    # tests/test_localization.py and the no-oracle
+    # batch_localization_tiered golden-range twin
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
