@@ -72,6 +72,12 @@ CLAIMS: dict[str, str] = {
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"
     ),
+    "ann_ivf_pq_search": (
+        "one partial-aggregate sweep (code-book + coarse-centroid + query "
+        "partials folded into a single pass) + one probe scan with the "
+        "label IN-filter pushed to parquet; ADC is a driver-side LUT, "
+        "vectors never shuffle"
+    ),
 }
 
 # query -> justification for a BroadcastNestedLoopJoin that is NOT a scale

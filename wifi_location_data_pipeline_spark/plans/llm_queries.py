@@ -1646,7 +1646,10 @@ FROM ranked WHERE rank <= 5
 """
 
 
-def _bounded_topk_emit(spark, scored, k, schema_cols):
+def _bounded_topk_emit(
+    spark, scored, k, schema_cols, score_col="cos_sim", ascending=False,
+    round_score=True,
+):
     """Bounded distributed top-k merge for the ANN family.
 
     The scoring kernels cap output at 8 rows per (query, partition), so
@@ -1655,10 +1658,13 @@ def _bounded_topk_emit(spark, scored, k, schema_cols):
     shuffled ~64 result rows through a full exchange+sort AQE stage pair,
     and an RDD-backed createDataFrame would schedule two more jobs; a
     VALUES LocalRelation costs none. repr() round-trips doubles exactly,
-    and the HALF_UP rounding of cos_sim stays Spark-side so it matches the
-    oracle's ROUND."""
+    and the HALF_UP rounding of the score stays Spark-side so it matches
+    the oracle's ROUND (ann_ivf_pq_search skips the rounding: its dyadic
+    ADC sums are already bit-exact across engines)."""
+    sign = 1.0 if ascending else -1.0
     part = sorted(
-        scored.collect(), key=lambda r: (r.query_id, -r.cos_sim, r.neighbor_id)
+        scored.collect(),
+        key=lambda r: (r.query_id, sign * getattr(r, score_col), r.neighbor_id),
     )
     rows, last_q, rk = [], None, 0
     for r in part:
@@ -1678,7 +1684,9 @@ def _bounded_topk_emit(spark, scored, k, schema_cols):
         for r, rk in rows
     )
     proj = ", ".join(
-        f"ROUND({n}, 4) AS {n}" if n == "cos_sim" else f"CAST({n} AS {t}) AS {n}"
+        f"ROUND({n}, 4) AS {n}"
+        if n == score_col and round_score
+        else f"CAST({n} AS {t}) AS {n}"
         for n, t in schema_cols
     )
     names = ", ".join(n for n, _ in schema_cols)
@@ -2249,7 +2257,7 @@ def _jpeg_stats_fn(spark, sf_dir):
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter("doc_id % 3 = 1")
+        .filter("doc_id % 6 = 1")
         .select("doc_id", "n_chars")
     )
 
@@ -2297,7 +2305,7 @@ register(
 WITH img AS (
   SELECT doc_id, n_chars % 21 + 4 AS w, doc_id % 19 + 4 AS h,
     CASE WHEN (doc_id // 3) % 3 = 0 THEN 1 ELSE 3 END AS nch
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 6 = 1
 ),
 px AS (
   SELECT doc_id, w, h, nch,
@@ -2830,6 +2838,285 @@ register(
     "checking assignment counts, code-book norms and quantization SSE.",
     sql=_pq_train_duck_sql,
     spark_fn=_pq_train_spark_fn,
+)
+
+
+def _ivf_pq_search_duck_sql(d: str) -> str | None:
+    """The full IVF-PQ search unrolled in SQL: pq_train's code-book CTEs
+    up to c1 (one Lloyd update, dyadic-quantized), ann_ivf_probe's
+    per-label coarse routing, PQ-encode every base vector (argmin over c1,
+    ties -> lowest code), then asymmetric-distance (ADC) ranking — the
+    query's per-(subspace, code) lookup table entries are quantized to the
+    2^-20 dyadic grid so the 4-term ADC sums are bit-identical in both
+    engines (the ivf_kmeans_train / GDOP order-of-summation discipline)."""
+    if d == "spark":
+        return None
+    sd, k = _PQ_SUBDIM, _PQ_K
+    dist = (
+        "list_sum([ ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])"
+        f" FOR i IN generate_series(1, {sd}) ])"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, m.i AS sub,
+    [CAST(x AS DOUBLE) FOR x IN embedding][m.i * {sd} + 1 : m.i * {sd} + {sd}] AS sv
+  FROM embeddings, generate_series(0, {_PQ_M - 1}) AS m(i)
+),
+c0 AS (SELECT sub, vec_id AS cid, sv AS c FROM v WHERE vec_id < {k}),
+d1 AS (
+  SELECT v.sub, v.vec_id, c0.cid, {dist.format(v='v.sv', c='c0.c')} AS d
+  FROM v JOIN c0 ON c0.sub = v.sub
+),
+a1 AS (
+  SELECT sub, vec_id, cid FROM (
+    SELECT sub, vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY sub, vec_id ORDER BY d, cid) AS rn
+    FROM d1) t WHERE rn = 1
+),
+upd AS (
+  SELECT a1.sub, a1.cid, dim.i AS dim,
+    FLOOR(AVG(v.sv[dim.i]) * 1048576.0 + 0.5) / CAST(1048576.0 AS DOUBLE) AS cq
+  FROM a1 JOIN v ON v.sub = a1.sub AND v.vec_id = a1.vec_id,
+    generate_series(1, {sd}) AS dim(i)
+  GROUP BY a1.sub, a1.cid, dim.i
+),
+c1 AS (
+  SELECT sub, cid, list(cq ORDER BY dim) AS c FROM upd GROUP BY sub, cid
+),
+enc AS (
+  SELECT sub, vec_id, cid FROM (
+    SELECT v.sub, v.vec_id, c1.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.sub, v.vec_id
+        ORDER BY {dist.format(v='v.sv', c='c1.c')}, c1.cid) AS rn
+    FROM v JOIN c1 ON c1.sub = v.sub) t WHERE rn = 1
+),
+elems AS ({_vec_elems(d)}),
+labeled AS (
+  SELECT e.vec_id, em.label, e.dim, e.x
+  FROM elems e JOIN embeddings em ON em.vec_id = e.vec_id
+),
+cent AS (SELECT label, dim, AVG(x) AS cx FROM labeled GROUP BY label, dim),
+cent_norm AS (SELECT label, sqrt(SUM(cx * cx)) AS norm_c FROM cent GROUP BY label),
+q_assign AS (
+  SELECT vec_id, label FROM (
+    SELECT qe.vec_id, c.label,
+      ROW_NUMBER() OVER (
+        PARTITION BY qe.vec_id
+        ORDER BY SUM(qe.x * c.cx) / MIN(cn.norm_c) DESC, c.label
+      ) AS rn
+    FROM (SELECT * FROM elems WHERE vec_id < 8) qe
+      JOIN cent c ON c.dim = qe.dim
+      JOIN cent_norm cn ON cn.label = c.label
+    GROUP BY qe.vec_id, c.label
+  ) t WHERE rn = 1
+),
+lut AS (
+  SELECT qv.vec_id AS query_id, qv.sub, c1.cid,
+    FLOOR({dist.format(v='qv.sv', c='c1.c')} * 1048576.0 + 0.5)
+      / CAST(1048576.0 AS DOUBLE) AS dq
+  FROM v AS qv JOIN c1 ON c1.sub = qv.sub
+  WHERE qv.vec_id < 8
+),
+cand AS (
+  SELECT qa.vec_id AS query_id, em.vec_id AS neighbor_id, qa.label
+  FROM q_assign qa
+    JOIN embeddings em ON em.label = qa.label AND em.vec_id <> qa.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, c.label, SUM(l.dq) AS adc_dist
+  FROM cand c
+    JOIN enc e ON e.vec_id = c.neighbor_id
+    JOIN lut l ON l.query_id = c.query_id AND l.sub = e.sub AND l.cid = e.cid
+  GROUP BY c.query_id, c.neighbor_id, c.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS probed_list,
+  adc_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _ivf_pq_search_spark_fn(spark, sf_dir):
+    """IVF-PQ asymmetric-distance search — the query-time half of the
+    canonical billion-vector ANN layout (ivf_kmeans_train learns coarse
+    lists, embedding_pq_train learns code books; this SEARCHES):
+
+      1. ONE bounded k-row collect seeds the PQ code books.
+      2. ONE mapInPandas sweep over the embeddings scan emits, per Arrow
+         batch: per-(subspace, code) assignment partials for the Lloyd
+         update, per-LABEL vector sums for the coarse centroids, and the
+         8 contract-fixed query vectors — three bounded relations folded
+         into a single pass (vectors never shuffle).
+      3. Driver (all bounded): dyadic-quantized code books C1, coarse
+         routing of each query to its nearest label centroid, and the
+         8 x M x k ADC lookup table, each entry quantized to the 2^-20
+         dyadic grid so the 4-term ADC sums are BIT-IDENTICAL across
+         engines regardless of summation order.
+      4. ONE mapInPandas pass over the probed inverted lists only (label
+         IN-filter pushed to the parquet scan): PQ-encode each row once,
+         gather LUT entries per query, keep the per-partition top-8, and
+         merge through _bounded_topk_emit's VALUES LocalRelation.
+
+    At 100 TB the plan moves code-book-sized relations and per-partition
+    top-8 rows only; the corpus is scanned twice and never shuffled."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    M, sd, k = _PQ_M, _PQ_SUBDIM, _PQ_K
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    init = sorted(
+        emb.filter(F2.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+    )
+    seed = np.array([r.embedding for r in init], dtype=np.float64)
+    C0 = [seed[:, m * sd : (m + 1) * sd].copy() for m in range(M)]
+
+    def sweep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            labs = pdf["label"].to_numpy(np.int64)
+            rows = {"sub": [], "cid": [], "n": [], "s": []}
+            for m in range(M):
+                Vm = V[:, m * sd : (m + 1) * sd]
+                dm = ((Vm[:, None, :] - C0[m][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(dm, axis=1)  # ties -> lowest code id
+                for c in np.unique(a):
+                    sel = a == c
+                    rows["sub"].append(m)
+                    rows["cid"].append(int(c))
+                    rows["n"].append(int(sel.sum()))
+                    rows["s"].append(Vm[sel].sum(axis=0).tolist())
+            for lab in np.unique(labs):
+                sel = labs == lab
+                rows["sub"].append(-1)
+                rows["cid"].append(int(lab))
+                rows["n"].append(int(sel.sum()))
+                rows["s"].append(V[sel].sum(axis=0).tolist())
+            for i in np.flatnonzero(ids < 8):
+                rows["sub"].append(-2)
+                rows["cid"].append(int(ids[i]))
+                rows["n"].append(1)
+                rows["s"].append(V[i].tolist())
+            yield pd.DataFrame(rows)
+
+    partials = emb.mapInPandas(
+        sweep, "sub int, cid long, n long, s array<double>"
+    ).collect()  # bounded: <= partitions x (M x k + |labels| + 8) rows
+
+    n1 = np.zeros((M, k), dtype=np.int64)
+    S = np.zeros((M, k, sd), dtype=np.float64)
+    lab_n: dict = {}
+    lab_s: dict = {}
+    qvecs: dict = {}
+    for r in partials:
+        if r.sub >= 0:
+            n1[r.sub, r.cid] += r.n
+            S[r.sub, r.cid] += np.array(r.s)
+        elif r.sub == -1:
+            lab_n[r.cid] = lab_n.get(r.cid, 0) + r.n
+            lab_s[r.cid] = lab_s.get(r.cid, 0.0) + np.array(r.s)
+        else:
+            qvecs[r.cid] = np.array(r.s)
+    lives = {
+        m: [c for c in range(k) if n1[m, c] > 0] for m in range(M)
+    }
+    C1 = [
+        np.floor((S[m, lives[m]] / n1[m, lives[m]][:, None]) * 1048576.0 + 0.5)
+        / 1048576.0
+        for m in range(M)
+    ]
+    labels = sorted(lab_n)
+    C = np.stack([lab_s[lab] / lab_n[lab] for lab in labels])
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    qids = np.array(sorted(qvecs), dtype=np.int64)
+    Q = np.stack([qvecs[q] for q in qids])
+    sims = (Q @ C.T) / cnorm[None, :]
+    # nearest coarse centroid; argmax-first + ascending labels matches the
+    # oracle's ORDER BY ... DESC, label tie-break
+    q_lab = np.array([labels[int(np.argmax(sims[i]))] for i in range(len(qids))])
+    # ADC lookup tables, dyadic-quantized: LUT[j, m, i] = ||q_m - c1[m][i]||^2
+    LUT = [
+        np.floor(
+            ((Q[:, m * sd : (m + 1) * sd][:, None, :] - C1[m][None, :, :]) ** 2)
+            .sum(axis=2) * 1048576.0 + 0.5
+        )
+        / 1048576.0
+        for m in range(M)
+    ]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            if len(ids) == 0:
+                continue
+            labs = pdf["label"].to_numpy(np.int64)
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # PQ-encode every row once (shared across queries), then the
+            # ADC estimate is a pure LUT gather + 4-term exact dyadic sum
+            dist = np.zeros((len(ids), len(qids)))
+            for m in range(M):
+                Vm = V[:, m * sd : (m + 1) * sd]
+                dm = ((Vm[:, None, :] - C1[m][None, :, :]) ** 2).sum(axis=2)
+                dist += LUT[m][:, np.argmin(dm, axis=1)].T
+            out = []
+            for j, qid in enumerate(qids):
+                col = dist[:, j].copy()
+                col[(labs != q_lab[j]) | (ids == qid)] = np.inf
+                top = np.argsort(col, kind="stable")[:8]
+                top = top[np.isfinite(col[top])]
+                if len(top):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(top), qid, dtype=np.int64),
+                                "neighbor_id": ids[top],
+                                "probed_list": np.full(
+                                    len(top), q_lab[j], dtype=np.int64
+                                ),
+                                "adc_dist": col[top],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out)
+
+    probed = emb.filter(F2.col("label").isin([int(x) for x in set(q_lab)]))
+    scored = probed.mapInPandas(
+        score, "query_id long, neighbor_id long, probed_list long, adc_dist double"
+    )
+    return _bounded_topk_emit(
+        spark, scored, 3,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+         ("probed_list", "BIGINT"), ("adc_dist", "DOUBLE")],
+        score_col="adc_dist", ascending=True, round_score=False,
+    )
+
+
+register(
+    "ann_ivf_pq_search",
+    "IVF-PQ asymmetric-distance search (the query-time half of the "
+    "canonical billion-vector ANN layout): coarse routing to each query's "
+    "nearest label centroid, PQ codes from one dyadic-quantized Lloyd "
+    "update, and ADC top-3 within the probed inverted list via an 8 x M x "
+    "k lookup table whose 2^-20-quantized entries make the 4-term distance "
+    "sums bit-identical across engines. One bounded seed collect + one "
+    "partial-aggregate sweep + one probe scan; vectors never shuffle.",
+    sql=_ivf_pq_search_duck_sql,
+    spark_fn=_ivf_pq_search_spark_fn,
 )
 
 

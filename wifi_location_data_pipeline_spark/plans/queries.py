@@ -3102,6 +3102,11 @@ _TAIL = (
     # in the registry — with the tier math independently pinned by
     # tests/test_localization.py and the no-oracle
     # batch_localization_tiered golden-range twin
+    "dedup_ngram_jaccard",  # r8: slot freed for ann_ivf_pq_search (new);
+    # driver-green rounds 1-7 straight, untouched in r8, and the rest of
+    # the dedup family (minhash/simhash/embedding_cosine/clusters/
+    # strategy_agreement) stays in-window exercising the same shared
+    # shingle-kernel + blocked-join machinery
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
