@@ -72,6 +72,10 @@ CLAIMS: dict[str, str] = {
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"
     ),
+    "embedding_pca_power": (
+        "ONE un-shuffled Gram-partial sweep (64x64 per partition); both "
+        "power iterations run driver-side on the tiny Gram matrix"
+    ),
     "ann_ivf_pq_search": (
         "one partial-aggregate sweep (code-book + coarse-centroid + query "
         "partials folded into a single pass) + one probe scan with the "

@@ -3120,6 +3120,118 @@ register(
 )
 
 
+def _pca_power_duck_sql(d: str) -> str | None:
+    """Two unrolled power iterations at the DATA level (w = sum_n
+    (x_n . v) x_n), each normalized eigenvector snapped to the 2^-20
+    dyadic grid — the fixed-iteration-count unrolling discipline of
+    _ivf_kmeans_duck_sql, so the 'iterative' algorithm is fully
+    SQL-expressible and both engines run iteration 2 on bit-identical
+    vectors."""
+    if d == "spark":
+        return None
+    return f"""
+WITH elems AS ({_vec_elems(d)}),
+dot1 AS (SELECT vec_id, SUM(x * 0.125) AS d FROM elems GROUP BY vec_id),
+w1 AS (
+  SELECT e.dim, SUM(d1.d * e.x) AS w
+  FROM elems e JOIN dot1 d1 USING (vec_id) GROUP BY e.dim
+),
+n1 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w1),
+v1 AS (
+  SELECT dim, FLOOR(w / nrm * 1048576.0 + 0.5) / CAST(1048576.0 AS DOUBLE) AS v
+  FROM w1, n1
+),
+dot2 AS (
+  SELECT e.vec_id, SUM(e.x * v1.v) AS d
+  FROM elems e JOIN v1 USING (dim) GROUP BY e.vec_id
+),
+w2 AS (
+  SELECT e.dim, SUM(d2.d * e.x) AS w
+  FROM elems e JOIN dot2 d2 USING (vec_id) GROUP BY e.dim
+),
+n2 AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w2),
+v2 AS (
+  SELECT dim, FLOOR(w / nrm * 1048576.0 + 0.5) / CAST(1048576.0 AS DOUBLE) AS v
+  FROM w2, n2
+),
+dot3 AS (
+  SELECT e.vec_id, SUM(e.x * v2.v) AS d
+  FROM elems e JOIN v2 USING (dim) GROUP BY e.vec_id
+),
+ray AS (SELECT SUM(d * d) AS num FROM dot3),
+vnorm AS (SELECT SUM(v * v) AS den FROM v2)
+SELECT CAST(v2.dim AS BIGINT) AS dim, v2.v AS component,
+  ROUND((SELECT num FROM ray) / (SELECT den FROM vnorm), 4) AS eigenvalue
+FROM v2
+"""
+
+
+def _pca_power_spark_fn(spark, sf_dir):
+    """Top principal component by power iteration — the dimensionality-
+    reduction / whitening primitive of an embedding pipeline. The Spark
+    plan exploits that the iteration matrix A^T A is only dim^2: ONE
+    mapInPandas sweep emits per-partition 64x64 Gram partials (one GEMM
+    per Arrow batch, one bounded 4096-double row per partition), the
+    driver sums them and runs BOTH power iterations on the tiny Gram
+    matrix — so the corpus is scanned exactly once and never shuffled,
+    and adding iterations costs nothing at scale. Each normalized
+    eigenvector snaps to the 2^-20 dyadic grid (the ivf_kmeans_train /
+    GDOP discipline) so the driver-side Gram iteration and the oracle's
+    data-level unrolled iteration agree bit-for-bit despite their
+    different summation orders; the Rayleigh-quotient eigenvalue rounds
+    to 4 decimals SQL-side to match the oracle's ROUND."""
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        import pandas as pd
+
+        G = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            g = V.T @ V
+            G = g if G is None else G + g
+        if G is not None:
+            yield pd.DataFrame({"g": [G.reshape(-1).tolist()]})
+
+    parts = emb.mapInPandas(gram, "g array<double>").collect()  # bounded: one row/partition
+    G = np.zeros((EMB_DIM, EMB_DIM))
+    for r in parts:
+        G += np.array(r.g).reshape(EMB_DIM, EMB_DIM)
+    v = np.full(EMB_DIM, 0.125)
+    for _ in range(2):
+        w = G @ v
+        v = np.floor(w / np.sqrt((w * w).sum()) * 1048576.0 + 0.5) / 1048576.0
+    ray = float((v @ G @ v) / (v @ v))
+    vals = ", ".join(
+        f"({i + 1}, CAST('{float(v[i])!r}' AS DOUBLE))" for i in range(EMB_DIM)
+    )
+    return spark.sql(
+        "SELECT CAST(dim AS BIGINT) AS dim, component,"
+        f" ROUND(CAST('{ray!r}' AS DOUBLE), 4) AS eigenvalue"
+        f" FROM (VALUES {vals}) AS t(dim, component)"
+    )
+
+
+register(
+    "embedding_pca_power",
+    "Top principal component by two deterministic power iterations "
+    "(dyadic-quantized normalization each step): the Spark plan folds the "
+    "corpus into per-partition 64x64 Gram partials in ONE un-shuffled "
+    "sweep and iterates on the driver, so iteration count is free at "
+    "scale; the oracle unrolls the same two iterations at the data level "
+    "in SQL and must agree bit-for-bit on every eigenvector component "
+    "(plus the Rayleigh-quotient eigenvalue to 4 decimals).",
+    sql=_pca_power_duck_sql,
+    spark_fn=_pca_power_spark_fn,
+)
+
+
 def _label_centroids_sql(d: str) -> str:
     """Spark plan (r5 restructure): the round-4 shape exploded the member
     vectors TWICE and re-joined them against the per-(label,dim) centroid

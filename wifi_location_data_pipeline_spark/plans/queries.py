@@ -3107,6 +3107,10 @@ _TAIL = (
     # the dedup family (minhash/simhash/embedding_cosine/clusters/
     # strategy_agreement) stays in-window exercising the same shared
     # shingle-kernel + blocked-join machinery
+    "ann_cosine_topk",  # r8: slot freed for embedding_pca_power (new);
+    # driver-green r1+r3-r7; the shared bounded top-k merge path it
+    # exercises stays in-window three times over (ann_lsh_bucketed,
+    # ann_ivf_probe, ann_ivf_pq_search)
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
