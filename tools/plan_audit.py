@@ -72,6 +72,10 @@ CLAIMS: dict[str, str] = {
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"
     ),
+    "quality_classifier_sgd": (
+        "each GD step is one map-side-combinable JVM aggregation (6 "
+        "doubles per partition); no Python tier, corpus never shuffles"
+    ),
     "embedding_pca_power": (
         "ONE un-shuffled Gram-partial sweep (64x64 per partition); both "
         "power iterations run driver-side on the tiny Gram matrix"

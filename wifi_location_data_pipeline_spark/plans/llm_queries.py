@@ -3120,6 +3120,186 @@ register(
 )
 
 
+_SGD_Q = "1048576.0"  # 2^20 dyadic grid for the weight quantization
+
+
+def _quality_sgd_duck_sql(d: str) -> str | None:
+    """Two unrolled full-batch gradient-descent steps in SQL (fixed
+    iteration count = SQL-expressible, the ivf_kmeans/pca discipline).
+    Feature scalings are single IEEE divisions (bit-identical across
+    engines) and the dot products are written in one fixed left-assoc
+    order, so given dyadic-quantized weights the per-doc logits are
+    bit-identical; only the gradient SUM order and libm's exp/ln differ,
+    and the 2^-20 weight quantization absorbs both."""
+    if d == "spark":
+        return None
+    Q = _SGD_Q
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+    CAST(1.0 AS DOUBLE) AS f0,
+    n_chars / 512.0 AS f1,
+    len(string_split(text, ' ')) / 128.0 AS f2,
+    len(list_distinct(string_split(text, ' '))) / 128.0 AS f3,
+    len(list_distinct(string_split(text, ' ')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f4,
+    CASE WHEN len(list_distinct(string_split(text, ' '))) * 3
+              > len(string_split(text, ' ')) * 2
+         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM documents WHERE text IS NOT NULL
+),
+g1 AS (
+  SELECT SUM((0.5 - y) * f0) / COUNT(*) AS g0, SUM((0.5 - y) * f1) / COUNT(*) AS g1,
+         SUM((0.5 - y) * f2) / COUNT(*) AS g2, SUM((0.5 - y) * f3) / COUNT(*) AS g3,
+         SUM((0.5 - y) * f4) / COUNT(*) AS g4
+  FROM feat
+),
+w1 AS (
+  SELECT FLOOR(-g0 * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w0,
+         FLOOR(-g1 * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w1,
+         FLOOR(-g2 * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w2,
+         FLOOR(-g3 * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w3,
+         FLOOR(-g4 * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w4
+  FROM g1
+),
+z2 AS (
+  SELECT f.*,
+    w1.w0 * f.f0 + w1.w1 * f.f1 + w1.w2 * f.f2 + w1.w3 * f.f3 + w1.w4 * f.f4 AS z
+  FROM feat f, w1
+),
+g2 AS (
+  SELECT SUM((1.0 / (1.0 + EXP(-z)) - y) * f0) / COUNT(*) AS g0,
+         SUM((1.0 / (1.0 + EXP(-z)) - y) * f1) / COUNT(*) AS g1,
+         SUM((1.0 / (1.0 + EXP(-z)) - y) * f2) / COUNT(*) AS g2,
+         SUM((1.0 / (1.0 + EXP(-z)) - y) * f3) / COUNT(*) AS g3,
+         SUM((1.0 / (1.0 + EXP(-z)) - y) * f4) / COUNT(*) AS g4
+  FROM z2
+),
+w2 AS (
+  SELECT FLOOR((w1.w0 - g2.g0) * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w0,
+         FLOOR((w1.w1 - g2.g1) * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w1,
+         FLOOR((w1.w2 - g2.g2) * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w2,
+         FLOOR((w1.w3 - g2.g3) * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w3,
+         FLOOR((w1.w4 - g2.g4) * {Q} + 0.5) / CAST({Q} AS DOUBLE) AS w4
+  FROM w1, g2
+),
+z3 AS (
+  SELECT f.y,
+    w2.w0 * f.f0 + w2.w1 * f.f1 + w2.w2 * f.f2 + w2.w3 * f.f3 + w2.w4 * f.f4 AS z
+  FROM feat f, w2
+),
+metrics AS (
+  SELECT
+    ROUND(SUM(GREATEST(z, 0) + LN(1.0 + EXP(-ABS(z))) - y * z) / COUNT(*), 4)
+      AS logloss,
+    CAST(SUM(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM z3
+)
+SELECT f.feature, f.w_step1, f.w_step2, m.logloss, m.n_correct, m.n_docs
+FROM (
+  SELECT CAST(0 AS BIGINT) AS feature, w1.w0 AS w_step1, w2.w0 AS w_step2 FROM w1, w2
+  UNION ALL SELECT 1, w1.w1, w2.w1 FROM w1, w2
+  UNION ALL SELECT 2, w1.w2, w2.w2 FROM w1, w2
+  UNION ALL SELECT 3, w1.w3, w2.w3 FROM w1, w2
+  UNION ALL SELECT 4, w1.w4, w2.w4 FROM w1, w2
+) f, metrics m
+"""
+
+
+def _quality_sgd_spark_fn(spark, sf_dir):
+    """Quality-classifier training (the corpus-filter model every large
+    LLM corpus pipeline trains: logistic regression over cheap text
+    statistics, scored corpus-wide to gate documents): two deterministic
+    FULL-BATCH gradient-descent steps, entirely in JVM whole-stage-codegen
+    aggregations — no Python tier at all.
+
+    Plan shape: each GD step is ONE narrow aggregation over the documents
+    scan (5 gradient sums + a count, map-side combinable), the 5-weight
+    model lives on the driver between steps (dyadic-quantized to the
+    2^-20 grid so both engines run step 2 and the scoring pass on
+    bit-identical weights), and the scoring/metrics pass is a third
+    aggregation with the weights folded in as exact repr literals. At
+    100 TB each step moves 6 doubles per partition; the corpus never
+    shuffles. The numerically-safe softplus form GREATEST(z,0) +
+    LN(1+EXP(-ABS(z))) keeps the log-loss finite for any logit."""
+    import math
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    Q = float(_SGD_Q)
+    feat = (
+        load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .selectExpr(
+            "CAST(1.0 AS DOUBLE) AS f0",
+            "n_chars / CAST(512.0 AS DOUBLE) AS f1",
+            "size(split(text, ' ')) / CAST(128.0 AS DOUBLE) AS f2",
+            "size(array_distinct(split(text, ' '))) / CAST(128.0 AS DOUBLE) AS f3",
+            "size(array_distinct(split(text, ' ')))"
+            " / CAST(size(split(text, ' ')) AS DOUBLE) AS f4",
+            "CASE WHEN size(array_distinct(split(text, ' '))) * 3"
+            " > size(split(text, ' ')) * 2"
+            " THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y",
+        )
+    )
+
+    def dyadic(x: float) -> float:
+        return math.floor(x * Q + 0.5) / Q
+
+    def lits(w):
+        return [f"CAST('{float(x)!r}' AS DOUBLE)" for x in w]
+
+    # step 1: sigmoid(0) = 0.5 exactly, so the first gradient needs no model
+    r1 = feat.selectExpr(
+        *[f"SUM((CAST(0.5 AS DOUBLE) - y) * f{j}) / COUNT(*) AS g{j}" for j in range(5)]
+    ).first()
+    w1 = [dyadic(-r1[f"g{j}"]) for j in range(5)]
+
+    zw1 = " + ".join(f"{l} * f{j}" for j, l in enumerate(lits(w1)))
+    sig = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-({zw1}))))"
+    r2 = feat.selectExpr(
+        *[f"SUM(({sig} - y) * f{j}) / COUNT(*) AS g{j}" for j in range(5)]
+    ).first()
+    w2 = [dyadic(w1[j] - r2[f"g{j}"]) for j in range(5)]
+
+    zw2 = " + ".join(f"{l} * f{j}" for j, l in enumerate(lits(w2)))
+    m = feat.selectExpr(f"({zw2}) AS z", "y").selectExpr(
+        "ROUND(SUM(GREATEST(z, CAST(0 AS DOUBLE))"
+        " + LN(CAST(1.0 AS DOUBLE) + EXP(-ABS(z))) - y * z) / COUNT(*), 4) AS logloss",
+        "CAST(SUM(CASE WHEN (z >= CAST(0 AS DOUBLE)) = (y = CAST(1.0 AS DOUBLE))"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_correct",
+        "CAST(COUNT(*) AS BIGINT) AS n_docs",
+    ).first()
+
+    vals = ", ".join(
+        f"({j}, CAST('{w1[j]!r}' AS DOUBLE), CAST('{w2[j]!r}' AS DOUBLE))"
+        for j in range(5)
+    )
+    return spark.sql(
+        "SELECT CAST(feature AS BIGINT) AS feature, w_step1, w_step2,"
+        f" CAST('{float(m.logloss)!r}' AS DOUBLE) AS logloss,"
+        f" CAST({int(m.n_correct)} AS BIGINT) AS n_correct,"
+        f" CAST({int(m.n_docs)} AS BIGINT) AS n_docs"
+        f" FROM (VALUES {vals}) AS t(feature, w_step1, w_step2)"
+    )
+
+
+register(
+    "quality_classifier_sgd",
+    "Quality-classifier training: logistic regression over cheap text "
+    "statistics (length, token counts, lexical diversity) by two "
+    "deterministic full-batch GD steps — each step ONE map-side-combinable "
+    "JVM aggregation (no Python tier), the 5-weight model dyadic-quantized "
+    "on the driver between steps, metrics scored with exact literal "
+    "weights. The oracle unrolls both steps in SQL; weights match "
+    "bit-for-bit, log-loss to 4 decimals, accuracy counts exactly.",
+    sql=_quality_sgd_duck_sql,
+    spark_fn=_quality_sgd_spark_fn,
+)
+
+
 def _pca_power_duck_sql(d: str) -> str | None:
     """Two unrolled power iterations at the DATA level (w = sum_n
     (x_n . v) x_n), each normalized eigenvector snapped to the 2^-20

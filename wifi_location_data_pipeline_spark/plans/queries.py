@@ -3111,6 +3111,10 @@ _TAIL = (
     # driver-green r1+r3-r7; the shared bounded top-k merge path it
     # exercises stays in-window three times over (ann_lsh_bucketed,
     # ann_ivf_probe, ann_ivf_pq_search)
+    "dedup_simhash",  # r8: slot freed for quality_classifier_sgd (new);
+    # driver-green rounds 1-7 straight, untouched in r8; the unpackbits
+    # signature kernel + pigeonhole-block join stay pinned by the parity
+    # pytest and the in-window dedup_strategy_agreement path
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
