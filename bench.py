@@ -53,7 +53,9 @@ def main() -> None:
             "relocation_dbscan", "lof_outliers", "dbscan_closed_form",
             "codec_roundtrip",
             "multimodal_decode", "multimodal_frame_sample", "multimodal_mp4_stats",
-            "ivf_kmeans_train", "dedup_embedding_cosine",
+            "multimodal_wav_stats", "multimodal_png_stats", "multimodal_jpeg_stats",
+            "ivf_kmeans_train", "embedding_pq_train", "ann_ivf_pq_search",
+            "embedding_pca_power", "dedup_embedding_cosine",
         ]
         names = [n for n in python_tier if n in qs] + [
             n for n in qs if n not in python_tier

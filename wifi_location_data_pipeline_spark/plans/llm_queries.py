@@ -1646,6 +1646,32 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _emb_head_vectors(sf_dir: str, n: int):
+    """Bounded dimension lookup: the contract-fixed first `n` embedding
+    vectors (ANN query set vec_id < 8, k-means/PQ seed sets vec_id < k),
+    read DRIVER-SIDE with pyarrow instead of scheduling a Spark job — the
+    _fold_events_stats precedent (plans/queries.py): a point lookup
+    against a dimension table is a catalog/key-value read on a real
+    deployment, not a cluster job, and at the test SFs each replaced job
+    was ~0.1-0.15 s of pure scheduling floor multiplied across the six
+    ANN-family queries. Returns (ids int64 asc, vectors float64 matrix);
+    float32 -> float64 widening is exact, so values are bit-identical to
+    the former Spark-side collect."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    d = t.to_pydict()
+    order = np.argsort(np.array(d["vec_id"], dtype=np.int64), kind="stable")
+    ids = np.array(d["vec_id"], dtype=np.int64)[order]
+    Q = np.array(d["embedding"], dtype=np.float64)[order]
+    return ids, Q
+
+
 def _bounded_topk_emit(
     spark, scored, k, schema_cols, score_col="cos_sim", ascending=False,
     round_score=True,
@@ -1713,9 +1739,7 @@ def _ann_brute_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = sorted(emb.filter(F2.col("vec_id") < 8).collect(), key=lambda r: r.vec_id)
-    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qids, Q = _emb_head_vectors(sf_dir, 8)
     qnorm = np.sqrt((Q * Q).sum(axis=1))
 
     def score(batches):
@@ -1805,9 +1829,7 @@ def _ann_lsh_spark_fn(spark, sf_dir):
     powers = 2 ** np.arange(8)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qrows = sorted(emb.filter(F2.col("vec_id") < 8).collect(), key=lambda r: r.vec_id)
-    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qids, Q = _emb_head_vectors(sf_dir, 8)
     qbuckets = ((Q @ W.T >= 0).astype(np.int64) @ powers)
     qnorm = np.sqrt((Q * Q).sum(axis=1))
 
@@ -2431,12 +2453,7 @@ def _ann_ivf_spark_fn(spark, sf_dir):
         C[lab_idx[r.label], r.dim] = r.cx
     cnorm = np.sqrt((C * C).sum(axis=1))
 
-    qrows = sorted(
-        emb.filter(F2.col("vec_id") < 8).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qids, Q = _emb_head_vectors(sf_dir, 8)
     qnorm = np.sqrt((Q * Q).sum(axis=1))
     # nearest coarse centroid by dot/|c|; ties -> smallest label (labels
     # ascending + argmax-first matches the oracle's ORDER BY ... DESC, label)
@@ -2576,10 +2593,7 @@ def _ivf_kmeans_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = sorted(
-        emb.filter(F2.col("vec_id") < 10).collect(), key=lambda r: r.vec_id
-    )
-    C0 = np.array([r.embedding for r in init], dtype=np.float64)
+    _, C0 = _emb_head_vectors(sf_dir, 10)
     k, dims = C0.shape
 
     def sweep(C, want_inertia):
@@ -2749,12 +2763,9 @@ def _pq_train_spark_fn(spark, sf_dir):
 
     M, sd, k = _PQ_M, _PQ_SUBDIM, _PQ_K
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = sorted(
-        emb.filter(F2.col("vec_id") < k).collect(), key=lambda r: r.vec_id
-    )
     # C[m] is the (k, sd) code book of subspace m
-    C0 = np.array([r.embedding for r in init], dtype=np.float64)
-    C0 = [C0[:, m * sd : (m + 1) * sd].copy() for m in range(M)]
+    _, seed = _emb_head_vectors(sf_dir, k)
+    C0 = [seed[:, m * sd : (m + 1) * sd].copy() for m in range(M)]
 
     def sweep(C):
         cn = [(Cm * Cm).sum(axis=1) for Cm in C]
@@ -2972,10 +2983,7 @@ def _ivf_pq_search_spark_fn(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    init = sorted(
-        emb.filter(F2.col("vec_id") < k).collect(), key=lambda r: r.vec_id
-    )
-    seed = np.array([r.embedding for r in init], dtype=np.float64)
+    _, seed = _emb_head_vectors(sf_dir, k)
     C0 = [seed[:, m * sd : (m + 1) * sd].copy() for m in range(M)]
 
     def sweep(batches):
