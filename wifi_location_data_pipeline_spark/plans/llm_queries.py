@@ -298,6 +298,39 @@ FROM best
 """,
 )
 
+
+register(
+    "langid_confusion",
+    "Language-ID evaluation: confusion matrix of the stopword-profile "
+    "detector against the corpus's labeled language — per (true, "
+    "predicted) document counts and the within-true-language fraction. "
+    "The accept/reject measurement a multilingual corpus pipeline runs "
+    "before trusting its LID gate; ONE aggregation over the same "
+    "array-filter marker counts (no token explode, no join).",
+    sql=lambda d: f"""
+WITH counts AS (
+  SELECT doc_id, lang,
+    {_lang_counts(d)}
+  FROM documents WHERE text IS NOT NULL
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+         WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+         WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+         WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+         ELSE 'fr' END AS detected_lang
+  FROM counts
+)
+SELECT lang AS true_lang, detected_lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(COUNT(*) AS DOUBLE)
+        / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS frac_of_true
+FROM pred GROUP BY lang, detected_lang
+""",
+)
+
+
 def _doc_fingerprint_spark_fn(spark, sf_dir):
     """Fingerprints via one Arrow kernel pass (hashlib md5 at C speed).
 

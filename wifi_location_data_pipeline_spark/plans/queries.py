@@ -3115,6 +3115,10 @@ _TAIL = (
     # driver-green rounds 1-7 straight, untouched in r8; the unpackbits
     # signature kernel + pigeonhole-block join stay pinned by the parity
     # pytest and the in-window dedup_strategy_agreement path
+    "dedup_embedding_cosine",  # r8: slot freed for langid_confusion
+    # (new); driver-green rounds 1-7 straight, untouched in r8; the
+    # multi-table LSH machinery stays pinned by the parity pytest and the
+    # in-window ann_lsh_bucketed twin
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
