@@ -160,3 +160,32 @@ def test_events_footer_max_matches_scan_max():
     assert _fold_events_stats(
         "/nonexistent", "SELECT (SELECT MAX(user_id) FROM events) AS m"
     ) == "SELECT (SELECT MAX(user_id) FROM events) AS m"
+
+
+def test_emb_head_vectors_matches_scan():
+    """plans.llm_queries._emb_head_vectors reads the ANN family's bounded
+    seed/query vector sets (vec_id < n) driver-side with pyarrow instead of
+    scheduling a Spark job. Assert the pyarrow read equals a full-scan
+    filter at every shipped SF — ids ascending and float64-widened values
+    bit-identical — so a corpus writer whose row-group layout or type ever
+    changed the lookup's result would fail here instead of silently
+    shifting every ANN query."""
+    import duckdb
+    import numpy as np
+
+    from wifi_location_data_pipeline_spark.plans.llm_queries import (
+        _emb_head_vectors,
+    )
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for n in (4, 8, 10):
+            ids, Q = _emb_head_vectors(f"/root/testdata/{sf}", n)
+            rows = con.execute(
+                "SELECT vec_id, embedding FROM"
+                f" read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+                f" WHERE vec_id < {n} ORDER BY vec_id"
+            ).fetchall()
+            assert list(ids) == [r[0] for r in rows], (sf, n)
+            want = np.array([r[1] for r in rows], dtype=np.float64)
+            assert Q.shape == want.shape and (Q == want).all(), (sf, n)
