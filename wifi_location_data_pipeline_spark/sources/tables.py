@@ -32,7 +32,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     correctness driver hands us a vanilla one), so nothing here may depend on
     builder-time confs. The corpus timestamps are TIMESTAMP(MICROS,
     isAdjustedToUTC=false) → TIMESTAMP_NTZ, readable everywhere; downstream
-    SQL treats them timezone-free (see plans.dialect.epoch_s)."""
+    SQL treats them timezone-free (see plans.dialect.epoch_s).
+
+    Applies configure_for_corpus once per (session, corpus) BEFORE the read:
+    queries that load tables directly (the mapInPandas/aggregation families)
+    otherwise plan their scans with the default 4 MB file-open cost, which
+    floors a 6 MB at-scale fact table at 2 splits — measured 2.2 s for a
+    3-aggregation query in a fresh one-shot session vs 1.3 s inside a bench
+    session where an earlier register_views caller had already sized the
+    config. The driver's one-shot correctness runs are exactly that fresh
+    session."""
+    if getattr(spark, "_graft_conf_sf_dir", None) != sf_dir:
+        configure_for_corpus(spark, sf_dir)
+        spark._graft_conf_sf_dir = sf_dir
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
