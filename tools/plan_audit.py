@@ -72,6 +72,11 @@ CLAIMS: dict[str, str] = {
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"
     ),
+    "bigram_logprob_score": (
+        "bigram table bounded at V^2=4096 scan-side (isin vocabulary "
+        "filters), broadcast LocalRelation scoring join, one per-doc "
+        "re-aggregation shuffle"
+    ),
     "quality_classifier_sgd": (
         "each GD step is one map-side-combinable JVM aggregation (6 "
         "doubles per partition); no Python tier, corpus never shuffles"

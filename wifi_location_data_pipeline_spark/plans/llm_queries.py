@@ -4353,6 +4353,168 @@ register(
 )
 
 
+_BIGRAM_VOCAB = 64  # closed bigram vocabulary (top-V unigrams); OOV -> floor
+
+
+def _bigram_logprob_duck_sql(d: str) -> str | None:
+    """Bigram LM quality score unrolled in SQL: vocabulary = the top-64
+    unigrams (count DESC, token ASC — the unigram query's tie-break), the
+    bigram table restricted to V x V adjacent pairs with add-0.5 smoothing
+    over the closed 64-word vocabulary, and a corpus-level floor for any
+    pair touching an OOV word. A pair of two in-vocab words is always in
+    the table (counts come from the same corpus), so `b IS NULL` is
+    exactly the OOV condition on both engines."""
+    if d == "spark":
+        return None
+    V = _BIGRAM_VOCAB
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+ucounts AS (
+  SELECT unnest(t) AS tok FROM toks
+),
+vocab AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM ucounts GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT {V}
+),
+big AS (
+  SELECT p.w1, p.w2, CAST(COUNT(*) AS BIGINT) AS b
+  FROM pairs p
+    JOIN vocab v1 ON v1.tok = p.w1
+    JOIN vocab v2 ON v2.tok = p.w2
+  GROUP BY p.w1, p.w2
+),
+ctx AS (SELECT w1, CAST(SUM(b) AS BIGINT) AS c FROM big GROUP BY w1),
+btot AS (SELECT CAST(SUM(b) AS DOUBLE) AS bt FROM big),
+scored AS (
+  SELECT p.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(CASE WHEN g.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_pairs,
+    AVG(CASE WHEN g.b IS NOT NULL
+             THEN LN((g.b + 0.5) / (x.c + {V / 2!r}))
+             ELSE LN(0.5 / ((SELECT bt FROM btot) + {V / 2!r})) END) AS mean_lp
+  FROM pairs p
+    LEFT JOIN big g ON g.w1 = p.w1 AND g.w2 = p.w2
+    LEFT JOIN ctx x ON x.w1 = p.w1
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_pairs, n_oov_pairs,
+  ROUND(mean_lp, 4) AS mean_logprob,
+  CAST(n_oov_pairs * 2 > n_pairs AS BOOLEAN) AS oov_heavy
+FROM scored
+"""
+
+
+def _bigram_logprob_spark_fn(spark, sf_dir):
+    """Bigram LM quality score — one LM order above unigram_logprob_score
+    (the KenLM-perplexity-filter proxy of CCNet-style pipelines). Three
+    scheduled jobs, all bounded collects:
+
+    - Job 1 (vocab): top-64 unigrams, one explode aggregation with
+      TakeOrdered — identical definition and tie-break as the unigram
+      query.
+    - Job 2 (bigram table): adjacent-pair counts with BOTH words
+      isin-filtered to the 64-word vocabulary scan-side, so the
+      aggregation output is bounded at V^2 = 4096 rows at ANY corpus
+      scale — a code-book-sized collect. Context totals and the corpus
+      floor derive driver-side; per-bigram log-probs become exact repr
+      literals in a LocalRelation.
+    - Job 3 (score): zip_with pairs the shifted token arrays (struct
+      per adjacent pair), inline-explodes, LEFT-broadcast-joins the
+      4096-row table and re-aggregates per doc — ONE shuffle whose rows
+      are (doc_id, lp) pairs. At 100 TB only the pair stream moves; the
+      bigram relation is broadcast-sized by construction.
+
+    Python's math.log and the oracle's LN may differ in the last ulp on
+    identical inputs; the per-doc mean rounds at 1e-4, far above the
+    ~1e-15 disparity (the unigram query's documented discipline)."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    V = _BIGRAM_VOCAB
+    vocab = [
+        r.tok
+        for r in spark.sql(
+            """
+            SELECT tok, COUNT(*) AS c
+            FROM (SELECT explode(split(text, ' ')) AS tok
+                  FROM documents WHERE text IS NOT NULL)
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 64
+            """
+        ).collect()
+    ]
+    pairs = (
+        spark.sql(
+            "SELECT doc_id, split(text, ' ') AS t"
+            " FROM documents WHERE text IS NOT NULL"
+        )
+        .filter("size(t) >= 2")
+        .selectExpr(
+            "doc_id",
+            "inline(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> struct(a AS w1, b AS w2)))",
+        )
+    )
+    brows = (
+        pairs.filter(F2.col("w1").isin(vocab) & F2.col("w2").isin(vocab))
+        .groupBy("w1", "w2")
+        .count()
+        .collect()
+    )  # bounded: <= V^2 = 4096 rows by construction
+    ctx: dict = {}
+    bt = 0
+    for r in brows:
+        ctx[r.w1] = ctx.get(r.w1, 0) + r["count"]
+        bt += r["count"]
+    floor_lp = math.log(0.5 / (bt + V / 2))
+    table = [
+        (r.w1, r.w2, math.log((r["count"] + 0.5) / (ctx[r.w1] + V / 2)))
+        for r in brows
+    ]
+    lps = spark.createDataFrame(table, "w1 string, w2 string, lp double")
+    scored = (
+        pairs.join(F2.broadcast(lps), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F2.count("*").cast("long").alias("n_pairs"),
+            F2.sum(F2.col("lp").isNull().cast("long")).alias("n_oov_pairs"),
+            F2.avg(
+                F2.coalesce(F2.col("lp"), F2.lit(floor_lp).cast("double"))
+            ).alias("mean_lp"),
+        )
+    )
+    return scored.selectExpr(
+        "doc_id", "n_pairs", "CAST(n_oov_pairs AS BIGINT) AS n_oov_pairs",
+        "ROUND(mean_lp, 4) AS mean_logprob",
+        "CAST(n_oov_pairs * 2 > n_pairs AS BOOLEAN) AS oov_heavy",
+    )
+
+
+register(
+    "bigram_logprob_score",
+    "Bigram LM quality score: per-doc mean log P(w2|w1) under the corpus' "
+    "own V x V bigram table (top-64 unigram vocabulary, add-0.5 smoothing, "
+    "corpus floor for OOV pairs) — one LM order above the unigram "
+    "perplexity-filter proxy. The bigram table is bounded at 4096 rows at "
+    "any corpus scale (both words vocabulary-filtered scan-side), folds to "
+    "a broadcast LocalRelation of exact literals, and scoring is one "
+    "left-broadcast-join + per-doc re-aggregation over the zip_with pair "
+    "stream.",
+    sql=_bigram_logprob_duck_sql,
+    spark_fn=_bigram_logprob_spark_fn,
+)
+
+
 def _strategy_agreement_spark_fn(spark, sf_dir):
     """Blocking-strategy agreement: the tuning measurement a production
     dedup pipeline runs before trusting a probabilistic blocker. Both

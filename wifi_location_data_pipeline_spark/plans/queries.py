@@ -3119,6 +3119,10 @@ _TAIL = (
     # (new); driver-green rounds 1-7 straight, untouched in r8; the
     # multi-table LSH machinery stays pinned by the parity pytest and the
     # in-window ann_lsh_bucketed twin
+    "multimodal_manifest",  # r8: slot freed for bigram_logprob_score
+    # (new); driver-green rounds 3-7; a typed-metadata projection whose
+    # machinery the four in-window codec stats queries + multimodal_decode
+    # exercise end-to-end
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
