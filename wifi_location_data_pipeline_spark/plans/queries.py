@@ -1933,6 +1933,76 @@ register(
 )
 
 
+def _hll_sql(d: str) -> str:
+    """HyperLogLog distinct sketch (Flajolet et al. 2007), p=8 (m=256
+    registers): hash every member occurrence to the engine's shared 60-bit
+    md5 value, register index = top 8 bits, rho = leading-zero count of
+    the remaining 52 bits + 1 (computed EXACTLY as 53 - LENGTH(bin(w)) —
+    both engines' bin() renders the same minimal binary string, so no
+    float log2 edge at powers of two), harmonic estimate with the standard
+    alpha_256 constant and the small-range linear-counting correction.
+
+    Unlike KMV, register MAX is idempotent, so the scan hashes RAW
+    occurrence rows with NO member-dedup shuffle — the sketch aggregation
+    is map-side combinable all the way down, which is the property that
+    matters at 100 TB (a 1000-executor rollup merges 256-byte register
+    arrays instead of shuffling members). Per-register terms 2^-rho are
+    dyadic and the register relation is bit-identical across engines, so
+    the oracle value-checks the estimates themselves (ROUND 1e-4 absorbs
+    the harmonic sum's last-ulp fold-order disparity)."""
+    h = hex_to_bigint(d, "substr(md5(concat('u', CAST(user_id AS STRING))), 1, 15)")
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    return f"""
+WITH hashed AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS ap_id, {h} AS hv FROM events
+),
+regs AS (
+  SELECT ap_id,
+    CAST(FLOOR(hv / 4503599627370496.0) AS BIGINT) AS j,
+    MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53
+         ELSE 53 - LENGTH(bin(hv % 4503599627370496)) END) AS mj
+  FROM hashed GROUP BY ap_id, CAST(FLOOR(hv / 4503599627370496.0) AS BIGINT)
+),
+sums AS (
+  SELECT ap_id,
+    SUM(POW(2.0, -mj)) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY ap_id
+),
+est AS (
+  SELECT ap_id, n_present,
+    CAST({alpha!r} AS DOUBLE) * 65536.0 / (s + (256.0 - n_present)) AS raw_est,
+    256 - n_present AS v
+  FROM sums
+),
+truth AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS ap_id,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY CAST(user_id % 50 AS BIGINT)
+)
+SELECT e.ap_id, e.n_present, t.true_distinct,
+  FLOOR(e.raw_est * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS raw_estimate,
+  FLOOR(CASE WHEN e.raw_est <= 640.0 AND e.v > 0
+             THEN 256.0 * LN(256.0 / e.v) ELSE e.raw_est END
+        * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS hll_estimate
+FROM est e JOIN truth t ON t.ap_id = e.ap_id
+"""
+
+
+register(
+    "hll_distinct_sketch",
+    "HyperLogLog distinct sketch (p=8, 256 registers) per AP: md5-derived "
+    "registers with EXACT integer rho (binary-string length, no float "
+    "log2), harmonic estimate + linear-counting small-range correction. "
+    "The dedup-free sibling of kmv_distinct_sketch: register MAX is "
+    "idempotent so raw occurrence rows aggregate map-side with no "
+    "member-dedup shuffle — the mergeable-sketch shape a 1000-executor "
+    "rollup needs. Deterministic hashing keeps the register relation "
+    "bit-identical across engines, so estimates are value-checked.",
+    sql=_hll_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -3123,6 +3193,10 @@ _TAIL = (
     # (new); driver-green rounds 3-7; a typed-metadata projection whose
     # machinery the four in-window codec stats queries + multimodal_decode
     # exercise end-to-end
+    "embedding_label_centroids",  # r8: slot freed for hll_distinct_sketch
+    # (new); driver-green rounds 3-7, untouched in r8; the array-native
+    # centroid aggregation shape stays exercised in-window by
+    # ivf_kmeans_train / ann_ivf_probe
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
