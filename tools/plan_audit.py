@@ -72,6 +72,17 @@ CLAIMS: dict[str, str] = {
         "two mapInPandas GEMM sweeps (all subspaces per batch) emitting "
         "bounded partials; vectors never shuffle"
     ),
+    "quantile_histogram": (
+        "one window shuffle; the 11-row literal decile relation broadcasts"
+    ),
+    "retention_cohorts": (
+        "two shared-key aggregations + a cohort-sized join; no windows, "
+        "no per-user state"
+    ),
+    "hll_distinct_sketch": (
+        "dedup-free map-side register MAX; only 256-register relations "
+        "shuffle"
+    ),
     "bigram_logprob_score": (
         "bigram table bounded at V^2=4096 scan-side (isin vocabulary "
         "filters), broadcast LocalRelation scoring join, one per-doc "
@@ -121,6 +132,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "ONE-ROW corpus-statistics broadcast (N, avgdl, per-term df) "
         "attached via CROSS JOIN — the SQL scalar-subquery pattern; "
         "scoring stays scan-side and the cutoff is a TakeOrdered"
+    ),
+    "quantile_histogram": (
+        "11-row literal decile relation broadcast; the join key is a "
+        "function of both sides (rn = floor(i*(n-1)/10)+1) so Spark "
+        "plans BNLJ — O(11n) probe rows, never n^2"
     ),
 }
 

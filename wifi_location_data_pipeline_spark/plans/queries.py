@@ -2003,6 +2003,85 @@ register(
 )
 
 
+def _retention_sql(d: str) -> str:
+    """Daily retention cohorts over the events stream: cohort = each
+    user's first-seen calendar day, activity = distinct (user, day)
+    pairs, retention = distinct active users at each day offset divided
+    by cohort size. Counts are exact integers and the fraction is one
+    identical IEEE division, so the only rounding is the shared 1e-4
+    grid. Two aggregations + one broadcast-sized join (cohort relation =
+    |users| rows, day relation pre-deduped) — the standard product-
+    analytics rollup shape, shuffle keys user_id then cohort day."""
+    diff = (
+        "datediff(a.d, f.d0)" if d == "spark" else "CAST(a.d - f.d0 AS BIGINT)"
+    )
+    return f"""
+WITH firstseen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+cohort_size AS (
+  SELECT d0, CAST(COUNT(*) AS BIGINT) AS n0 FROM firstseen GROUP BY d0
+),
+ret AS (
+  SELECT f.d0, {diff} AS day_offset,
+    CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active a JOIN firstseen f ON f.user_id = a.user_id
+  GROUP BY f.d0, {diff}
+)
+SELECT CAST(r.d0 AS STRING) AS cohort_day, r.day_offset, r.n_active, c.n0 AS cohort_size,
+  ROUND(CAST(r.n_active AS DOUBLE) / c.n0, 4) AS retention
+FROM ret r JOIN cohort_size c ON c.d0 = r.d0
+"""
+
+
+register(
+    "retention_cohorts",
+    "Daily retention cohorts over the events stream: first-seen-day "
+    "cohorts x day offsets, exact distinct-user counts and retention "
+    "fractions — the product-analytics rollup as two shared-key "
+    "aggregations plus a cohort-sized join; no window functions, no "
+    "per-user state.",
+    sql=_retention_sql,
+)
+
+
+def _quantile_hist_sql(d: str) -> str:
+    """Exact type-1 decile boundaries per source over documents.n_chars:
+    rank every row with a DETERMINISTIC tie-break (n_chars, doc_id), then
+    pick rank k = FLOOR(i*(n-1)/10)+1 for i = 0..10 via an 11-row literal
+    relation — exact order statistics, not an approximate sketch, so the
+    boundaries are bit-identical across engines (NTILE-based forms are NOT
+    cross-engine stable: ties land in buckets by engine-internal row
+    order). The corpus-profiling query a training pipeline runs before
+    choosing sequence-length buckets."""
+    return """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT r.source, q.i AS decile, r.n_chars AS boundary, r.n AS n_rows
+FROM ranked r
+  JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) AS q(i)
+    ON r.rn = CAST(FLOOR(q.i * (r.n - 1) / 10.0) AS BIGINT) + 1
+"""
+
+
+register(
+    "quantile_histogram",
+    "Exact per-source decile boundaries of document length: deterministic "
+    "rank (value, doc_id tie-break) joined against an 11-row literal "
+    "decile relation — exact order statistics that stay bit-identical "
+    "across engines where NTILE tie-handling would not. One window "
+    "shuffle; the literal relation broadcasts.",
+    sql=_quantile_hist_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.7 closed-form positioning: RSSI-ratio, GDOP geometry, selection matrix
 # ---------------------------------------------------------------------------
@@ -3197,6 +3276,13 @@ _TAIL = (
     # (new); driver-green rounds 3-7, untouched in r8; the array-native
     # centroid aggregation shape stays exercised in-window by
     # ivf_kmeans_train / ann_ivf_probe
+    "sequence_packing_plan",  # r8: slot freed for retention_cohorts
+    # (new); driver-green rounds 3-7, untouched in r8; the prefix-sum
+    # packing window shape stays pinned by the parity pytest
+    "position_combiner_robust",  # r8: slot freed for quantile_histogram
+    # (new); driver-green rounds 3-7; the combiner algebra stays pinned
+    # by the WeightedAveragePositionCombiner test vectors and the
+    # in-window ensemble_closed_form path
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
