@@ -3185,7 +3185,63 @@ GROUP BY user_id, session_no
 # signal_context_classes (the context classifier runs for real inside the
 # in-window ensemble_closed_form / selection_matrix checks).
 # Everything here stays value-checked by tests/test_oracle_parity.py.
+register(
+    "tpch_q1_pricing_summary",
+    "TPC-H Q1 pricing summary over the corpus's relational tables: "
+    "per-(returnflag, linestatus) sums, averages and counts with the "
+    "shipdate cutoff — the canonical map-side-combinable scan aggregation "
+    "every warehouse engine is judged on. Money aggregates round at 1e-2 "
+    "(fold-order float disparity on 1e8-magnitude sums sits at ~1e-7, far "
+    "below the grain); counts are exact.",
+    sql=lambda d: """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= CAST('1998-09-02' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+register(
+    "tpch_q3_shipping_priority",
+    "TPC-H Q3 shipping priority (adapted to the corpus columns): top-10 "
+    "open BUILDING-segment orders by discounted revenue — the canonical "
+    "join-then-aggregate-then-top-k plan (two broadcast-eligible "
+    "dimension joins, one aggregation, TakeOrdered cutoff). Revenue "
+    "rounds at 1e-2; ranking tie-breaks on orderkey so the cutoff is "
+    "deterministic across engines.",
+    sql=lambda d: """
+SELECT l.l_orderkey,
+  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+  CAST(o.o_orderdate AS STRING) AS orderdate,
+  o.o_orderpriority AS orderpriority
+FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+  AND l.l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY SUM(l.l_extendedprice * (1.0 - l.l_discount)) DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+
+
 _TAIL = (
+    # generic-analytics demos (added r8 continuation): value-checked by the
+    # tail parity pytest from day one; rotate into the driver window via
+    # the standing rotation like any other tail entry
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
