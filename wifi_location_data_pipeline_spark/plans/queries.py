@@ -3236,12 +3236,39 @@ LIMIT 10
 )
 
 
+register(
+    "tpch_q5_local_supplier_volume",
+    "TPC-H Q5 local supplier volume (adapted to the corpus columns): "
+    "revenue per nation for ASIA-region orders where the line's supplier "
+    "shares the customer's nation — the canonical snowflake join tree "
+    "(region -> nation -> customer/supplier dimension chain broadcast "
+    "against the orders x lineitem fact join, co-nation constraint, one "
+    "aggregation). Revenue rounds at 1e-2.",
+    sql=lambda d: """
+SELECT n.n_name AS nation,
+  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o.o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+GROUP BY n.n_name
+""",
+)
+
+
 _TAIL = (
     # generic-analytics demos (added r8 continuation): value-checked by the
     # tail parity pytest from day one; rotate into the driver window via
     # the standing rotation like any other tail entry
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
