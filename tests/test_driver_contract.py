@@ -189,3 +189,29 @@ def test_emb_head_vectors_matches_scan():
             assert list(ids) == [r[0] for r in rows], (sf, n)
             want = np.array([r[1] for r in rows], dtype=np.float64)
             assert Q.shape == want.shape and (Q == want).all(), (sf, n)
+
+
+def test_hll_sketch_error_bound():
+    """The HLL estimate's relative error for p=8 should sit within ~3
+    standard errors (3 * 1.04 / sqrt(256) ~ 19.5%) of the true distinct
+    count on every AP group at every shipped SF — a property check on the
+    estimator itself, on top of the cross-engine value gate (which proves
+    both engines compute the SAME estimate, not that the estimate is
+    GOOD)."""
+    import duckdb
+
+    from wifi_location_data_pipeline_spark.plans.queries import QUERIES
+
+    sql = QUERIES["hll_distinct_sketch"].oracle()
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM"
+            f" read_parquet('/root/testdata/{sf}/events.parquet')"
+        )
+        rows = con.execute(sql).fetchall()
+        assert rows, sf
+        for ap_id, n_present, true_distinct, raw, est in rows:
+            assert 1 <= n_present <= 256, (sf, ap_id)
+            rel = abs(est / true_distinct - 1.0)
+            assert rel <= 0.195, (sf, ap_id, est, true_distinct, rel)

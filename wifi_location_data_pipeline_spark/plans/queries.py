@@ -3262,6 +3262,49 @@ GROUP BY n.n_name
 )
 
 
+register(
+    "event_funnel",
+    "Strictly-ordered conversion funnel over the events stream (signup -> "
+    "view -> click -> purchase): each stage's first occurrence must follow "
+    "the previous stage's, per user — the product-analytics sequence "
+    "query. One per-user MIN aggregation per stage chained through "
+    "user-keyed joins (each join side is |users|-bounded, broadcast- "
+    "eligible at scale); timestamps compare exactly so stage counts are "
+    "deterministic integers.",
+    sql=lambda d: """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > u1.t GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u2 ON u2.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > u2.t GROUP BY e.user_id
+),
+u4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u3 ON u3.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u3.t GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage, 'signup' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+  UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM u2
+  UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM u3
+  UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM u4
+)
+SELECT CAST(stage AS BIGINT) AS stage, event_type, n_users,
+  ROUND(CAST(n_users AS DOUBLE)
+        / MAX(n_users) OVER (), 4) AS frac_of_first
+FROM stages
+""",
+)
+
+
 _TAIL = (
     # generic-analytics demos (added r8 continuation): value-checked by the
     # tail parity pytest from day one; rotate into the driver window via
@@ -3269,6 +3312,7 @@ _TAIL = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "event_funnel",
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
