@@ -3305,6 +3305,35 @@ FROM stages
 )
 
 
+register(
+    "train_test_split",
+    "Deterministic hash-based train/val/test assignment (80/10/10 by a "
+    "60-bit md5 bucket of doc_id — stable under corpus growth and "
+    "re-runs, unlike rand()-seeded splits) with per-(source, split) "
+    "counts and realized fractions: the split audit a training pipeline "
+    "runs to verify no source is skewed across splits. One scan, one "
+    "aggregation; the hash is the engine's shared md5 form so assignment "
+    "is bit-identical across engines.",
+    sql=lambda d: f"""
+WITH assigned AS (
+  SELECT source,
+    CASE WHEN h < 0.8 THEN 'train' WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+      {hex_to_bigint(d, "substr(md5(concat('s', CAST(doc_id AS STRING))), 1, 15)")}
+        / 1152921504606846976.0 AS h
+    FROM documents
+  ) t
+)
+SELECT source, split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(COUNT(*) AS DOUBLE)
+        / SUM(COUNT(*)) OVER (PARTITION BY source), 4) AS frac
+FROM assigned GROUP BY source, split
+""",
+)
+
+
 _TAIL = (
     # generic-analytics demos (added r8 continuation): value-checked by the
     # tail parity pytest from day one; rotate into the driver window via
@@ -3313,6 +3342,7 @@ _TAIL = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "event_funnel",
+    "train_test_split",
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
