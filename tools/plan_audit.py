@@ -76,8 +76,9 @@ CLAIMS: dict[str, str] = {
         "one window shuffle; the 11-row literal decile relation broadcasts"
     ),
     "retention_cohorts": (
-        "two shared-key aggregations + a cohort-sized join; no windows, "
-        "no per-user state"
+        "one collect_set user aggregation + one (cohort, offset) "
+        "aggregation — two data-sized shuffles; cohort size via a window "
+        "over the tiny result (offset-0 row), no third scan"
     ),
     "hll_distinct_sketch": (
         "dedup-free map-side register MAX; only 256-register relations "

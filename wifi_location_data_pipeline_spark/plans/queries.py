@@ -2012,10 +2012,36 @@ def _retention_sql(d: str) -> str:
     grid. Two aggregations + one broadcast-sized join (cohort relation =
     |users| rows, day relation pre-deduped) — the standard product-
     analytics rollup shape, shuffle keys user_id then cohort day."""
-    diff = (
-        "datediff(a.d, f.d0)" if d == "spark" else "CAST(a.d - f.d0 AS BIGINT)"
-    )
-    return f"""
+    if d == "spark":
+        # Spark plan: ONE per-user aggregation (collect_set of active
+        # days — the first-seen day is array_min of the same set, so no
+        # separate MIN(ts) aggregation or user-keyed re-join), one
+        # (cohort, offset) aggregation, and cohort size read off the
+        # offset-0 row by a window over the ~|days|^2-row result instead
+        # of a third scan (every user is active on their first-seen day
+        # by construction, so n_active at offset 0 IS the cohort size).
+        # Two data-sized shuffles total where the textbook four-relation
+        # form pays four.
+        return """
+WITH u AS (
+  SELECT user_id, collect_set(CAST(ts AS DATE)) AS days
+  FROM events GROUP BY user_id
+),
+x AS (SELECT array_min(days) AS d0, explode(days) AS d FROM u),
+ret AS (
+  SELECT d0, datediff(d, d0) AS day_offset,
+    CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM x GROUP BY d0, datediff(d, d0)
+)
+SELECT CAST(d0 AS STRING) AS cohort_day, day_offset, n_active,
+  MAX(CASE WHEN day_offset = 0 THEN n_active END)
+    OVER (PARTITION BY d0) AS cohort_size,
+  ROUND(CAST(n_active AS DOUBLE)
+        / MAX(CASE WHEN day_offset = 0 THEN n_active END)
+            OVER (PARTITION BY d0), 4) AS retention
+FROM ret
+"""
+    return """
 WITH firstseen AS (
   SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
 ),
@@ -2026,10 +2052,10 @@ cohort_size AS (
   SELECT d0, CAST(COUNT(*) AS BIGINT) AS n0 FROM firstseen GROUP BY d0
 ),
 ret AS (
-  SELECT f.d0, {diff} AS day_offset,
+  SELECT f.d0, CAST(a.d - f.d0 AS BIGINT) AS day_offset,
     CAST(COUNT(*) AS BIGINT) AS n_active
   FROM active a JOIN firstseen f ON f.user_id = a.user_id
-  GROUP BY f.d0, {diff}
+  GROUP BY f.d0, CAST(a.d - f.d0 AS BIGINT)
 )
 SELECT CAST(r.d0 AS STRING) AS cohort_day, r.day_offset, r.n_active, c.n0 AS cohort_size,
   ROUND(CAST(r.n_active AS DOUBLE) / c.n0, 4) AS retention
