@@ -80,6 +80,11 @@ CLAIMS: dict[str, str] = {
         "aggregation — two data-sized shuffles; cohort size via a window "
         "over the tiny result (offset-0 row), no third scan"
     ),
+    "streaming_tumbling_counts": (
+        "REAL Structured Streaming run (availableNow, complete mode, "
+        "memory sink); the audited plan is the bounded read of the "
+        "sink table"
+    ),
     "hll_distinct_sketch": (
         "dedup-free map-side register MAX; only 256-register relations "
         "shuffle"

@@ -1933,6 +1933,94 @@ register(
 )
 
 
+def _streaming_tumbling_spark_fn(spark, sf_dir):
+    """A REAL Structured Streaming execution, value-checked (SURVEY §2.8):
+    readStream file source over the events corpus -> event-time watermark
+    -> tumbling 1-hour window counts per event_type -> memory sink, run
+    to completion with Trigger.AvailableNow. Complete output mode makes
+    the bounded-input result deterministic (every window emits its final
+    count regardless of micro-batch boundaries), so the exact same
+    GROUP BY date_trunc('hour') oracle that checks the batch engine
+    value-checks the STREAMING engine — counts are exact integers.
+
+    The other streaming entries (ingest micro-batching, stateful Kalman,
+    exactly-once serving) stay rows-only/pytest-pinned because their
+    semantics are trigger- or state-dependent; this one pins the
+    windowed-aggregation path cross-engine. The file source needs a
+    directory, so the single-file corpus table is staged once per corpus
+    as a symlink dir (falls back to a copy on filesystems without
+    symlinks). Excluded from bench.py's wall-clock suite like
+    streaming_ingest_microbatch: the ~seconds of trigger/state-store
+    fixed cost measures Structured Streaming machinery, not data
+    throughput."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = os.path.join(
+        "/tmp", "sg_stream_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src_file, link)
+        except OSError:
+            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
+                src_file, link
+            )
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        # corpus timestamps are TIMESTAMP_NTZ; watermarks need TIMESTAMP.
+        # The session TZ is pinned UTC, so the cast is value-stable and
+        # the window starts render identically to the NTZ oracle's
+        .withColumn("ets", F2.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ets", "1 hour")
+        .groupBy(F2.window("ets", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    name = "stream_tumbling_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(w.start AS STRING) AS hour_start, event_type,"
+        f" CAST(count AS BIGINT) AS n_events FROM {name}"
+    )
+
+
+register(
+    "streaming_tumbling_counts",
+    "Structured Streaming windowed aggregation, VALUE-CHECKED: readStream "
+    "file source -> event-time watermark -> tumbling 1-hour counts per "
+    "event_type -> memory sink under Trigger.AvailableNow; complete mode "
+    "makes the bounded-input result deterministic, so the plain batch "
+    "GROUP BY oracle gates the streaming engine's exact counts.",
+    sql=lambda d: """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY CAST(date_trunc('hour', ts) AS STRING), event_type
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_streaming_tumbling_spark_fn,
+)
+
+
 def _hll_sql(d: str) -> str:
     """HyperLogLog distinct sketch (Flajolet et al. 2007), p=8 (m=256
     registers): hash every member occurrence to the engine's shared 60-bit
@@ -3466,6 +3554,11 @@ _TAIL = (
     # (new); driver-green rounds 3-7; the combiner algebra stays pinned
     # by the WeightedAveragePositionCombiner test vectors and the
     # in-window ensemble_closed_form path
+    "decontamination_overlap",  # r8: slot freed for
+    # streaming_tumbling_counts (new — the first VALUE-CHECKED Structured
+    # Streaming entry); driver-green rounds 3-7, untouched in r8; the
+    # eval-side-broadcast containment join stays pinned by the parity
+    # pytest
     "kalman_update_step",  # innovation/gain algebra pinned by the
     # streaming state tests + reference KalmanFilterPositionEstimatorTest
     # vectors; the streaming twin stays exercised every round
