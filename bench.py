@@ -65,7 +65,8 @@ def main() -> None:
         # it stays in queries() for the correctness gate but out of the
         # wall-clock suite
         names = [n for n in names if n not in
-                 ("streaming_ingest_microbatch", "streaming_tumbling_counts")]
+                 ("streaming_ingest_microbatch", "streaming_tumbling_counts",
+                  "streaming_session_counts")]
 
     # warm the JVM + every table's parquet footers/pages once so per-query
     # numbers measure the queries, not session startup or first-touch I/O

@@ -272,3 +272,37 @@ def test_streaming_ap_state_survives_restart(spark, tmpzone):
     assert second["ap1"]["n_updates"] == 3, "state was not restored on restart"
     assert second["ap1"]["p_var_m2"] < p_after_two  # variance kept contracting
     assert 40.0 < second["ap1"]["latitude"] < 40.0002
+
+
+def test_streaming_session_emission_boundary(spark, tmp_path):
+    """Pins the session-window emission boundary the
+    streaming_session_counts oracle reproduces: with Trigger.AvailableNow
+    and append mode, a session whose end falls EXACTLY on the final
+    watermark (max event time - delay) IS emitted — the predicate is
+    end <= watermark, inclusive. If a Spark upgrade ever flips this to
+    strict less-than, this test fails before the cross-engine gate does."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:31:00")],
+        "user_id long, s string",
+    ).selectExpr("user_id", "CAST(s AS TIMESTAMP) AS ets")
+    df.write.mode("overwrite").parquet(d)
+    agg = (
+        spark.readStream.schema(df.schema).parquet(d)
+        .withWatermark("ets", "1 minute")
+        .groupBy(F.session_window("ets", "30 minutes").alias("w"), "user_id")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("ssw_boundary")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, CAST(w.end AS STRING) AS e FROM ssw_boundary"
+    ).collect()
+    # user 1's session end (00:30:00) == final watermark (00:31 - 1 min):
+    # emitted. user 2's session (end 01:01) is still in state: not emitted.
+    assert [(r.user_id, r.e) for r in rows] == [(1, "2024-01-01 00:30:00")]

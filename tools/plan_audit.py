@@ -80,6 +80,11 @@ CLAIMS: dict[str, str] = {
         "aggregation — two data-sized shuffles; cohort size via a window "
         "over the tiny result (offset-0 row), no third scan"
     ),
+    "streaming_session_counts": (
+        "REAL stateful Structured Streaming run (session windows, append "
+        "mode, availableNow); the audited plan is the bounded read of "
+        "the memory-sink table"
+    ),
     "streaming_tumbling_counts": (
         "REAL Structured Streaming run (availableNow, complete mode, "
         "memory sink); the audited plan is the bounded read of the "

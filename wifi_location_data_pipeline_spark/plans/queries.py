@@ -2021,6 +2021,114 @@ FROM events GROUP BY CAST(date_trunc('hour', ts) AS STRING), event_type
 )
 
 
+def _streaming_session_spark_fn(spark, sf_dir):
+    """Structured Streaming SESSION windows, value-checked (SURVEY §2.8 —
+    the hard stateful case: sessions merge across rows in the state
+    store). readStream file source -> 1-minute event-time watermark ->
+    session_window(gap 30 min) per user -> APPEND mode (complete is not
+    supported for session windows) under Trigger.AvailableNow.
+
+    Determinism contract, pinned empirically and by
+    test_streaming_session_emission_boundary: the single-file corpus
+    loads in ONE micro-batch, the no-data flush batch then advances the
+    watermark to max(event_time) - delay, and a session emits iff
+    session_end <= watermark (an exact-tie experiment shows the boundary
+    INCLUSIVE). The oracle reproduces exactly that: gaps-and-islands
+    sessions with end = last_event + gap, filtered to
+    end <= max(ts) - 1 minute. Session bounds are emitted as epoch
+    MICROSECONDS (unix_micros / epoch_us) so cross-engine comparison is
+    integer-exact and immune to fractional-second string rendering.
+    Excluded from bench.py's wall-clock suite like the other streaming
+    entries (trigger/state-store fixed cost, not data throughput)."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = os.path.join(
+        "/tmp", "sg_stream_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src_file, link)
+        except OSError:
+            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
+                src_file, link
+            )
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ets", F2.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ets", "1 minute")
+        .groupBy(
+            F2.session_window("ets", "30 minutes").alias("w"), "user_id"
+        )
+        .count()
+    )
+    name = "stream_session_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, unix_micros(w.start) AS session_start_us,"
+        f" unix_micros(w.end) AS session_end_us,"
+        f" CAST(count AS BIGINT) AS n_events FROM {name}"
+    )
+
+
+register(
+    "streaming_session_counts",
+    "Structured Streaming SESSION windows, VALUE-CHECKED: per-user "
+    "30-minute-gap sessions through the state store (append mode, "
+    "1-minute watermark, Trigger.AvailableNow); the gaps-and-islands "
+    "oracle reproduces the pinned emission boundary (session_end <= "
+    "max(ts) - delay, inclusive) and session bounds compare as exact "
+    "epoch microseconds.",
+    sql=lambda d: """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, epoch_us(st) AS session_start_us, epoch_us(en) AS session_end_us,
+  n_events
+FROM sess
+WHERE en <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_streaming_session_spark_fn,
+)
+
+
 def _hll_sql(d: str) -> str:
     """HyperLogLog distinct sketch (Flajolet et al. 2007), p=8 (m=256
     registers): hash every member occurrence to the engine's shared 60-bit
@@ -3457,6 +3565,8 @@ _TAIL = (
     "tpch_q5_local_supplier_volume",
     "event_funnel",
     "train_test_split",
+    "streaming_session_counts",  # value-checked stateful streaming; the
+    # parity pytest runs it at sf0.001 every round
     # oracle-bearing, redundant with in-window coverage (pytest parity net):
     "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
     "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
