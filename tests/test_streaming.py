@@ -306,3 +306,50 @@ def test_streaming_session_emission_boundary(spark, tmp_path):
     # user 1's session end (00:30:00) == final watermark (00:31 - 1 min):
     # emitted. user 2's session (end 01:01) is still in state: not emitted.
     assert [(r.user_id, r.e) for r in rows] == [(1, "2024-01-01 00:30:00")]
+
+
+def test_streaming_session_boundary_sub_ms(spark, tmp_path):
+    """Pins the MILLISECOND floor in the watermark base (ADVICE r8): Spark
+    tracks event-time watermarks in whole ms (max event time truncated to
+    ms, minus the delay), so a session ending in the sub-ms gap below the
+    exact-microsecond MAX(ts) - delay must NOT be emitted. Events at
+    00:00:00.000300 and 00:31:00.000500: session 1 ends 00:30:00.000300;
+    the exact-micros watermark (00:30:00.000500) would emit it, but the
+    real watermark floors to 00:30:00.000 and holds it in state. The
+    streaming_session_counts oracle reproduces the floor — asserted here
+    against DuckDB on the same two rows."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src_subms")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.000300"), (2, "2024-01-01 00:31:00.000500")],
+        "user_id long, s string",
+    ).selectExpr("user_id", "CAST(s AS TIMESTAMP) AS ets")
+    df.write.mode("overwrite").parquet(d)
+    agg = (
+        spark.readStream.schema(df.schema).parquet(d)
+        .withWatermark("ets", "1 minute")
+        .groupBy(F.session_window("ets", "30 minutes").alias("w"), "user_id")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("ssw_subms")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT * FROM ssw_subms").count() == 0
+
+    # the oracle's ms-floored predicate agrees: same rows, zero sessions
+    import duckdb
+
+    from wifi_location_data_pipeline_spark.plans.queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1::BIGINT, TIMESTAMP '2024-01-01 00:00:00.000300'), "
+        "(2::BIGINT, TIMESTAMP '2024-01-01 00:31:00.000500')"
+        ") AS t(user_id, ts)"
+    )
+    oracle = QUERIES["streaming_session_counts"].oracle()
+    assert con.execute(oracle).fetchall() == []

@@ -25,6 +25,7 @@ from wifi_location_data_pipeline_spark import plan_cache
 from wifi_location_data_pipeline_spark.plans.dialect import (
     DUCK,
     SPARK,
+    bigint_div,
     epoch_s,
     hex_to_bigint,
     int_floor_div,
@@ -2035,7 +2036,9 @@ def _streaming_session_spark_fn(spark, sf_dir):
     session_end <= watermark (an exact-tie experiment shows the boundary
     INCLUSIVE). The oracle reproduces exactly that: gaps-and-islands
     sessions with end = last_event + gap, filtered to
-    end <= max(ts) - 1 minute. Session bounds are emitted as epoch
+    end <= floor_ms(max(ts)) - 1 minute — the ms floor because Spark
+    tracks watermarks in whole milliseconds (event-time max truncated to
+    ms before subtracting the delay). Session bounds are emitted as epoch
     MICROSECONDS (unix_micros / epoch_us) so cross-engine comparison is
     integer-exact and immune to fractional-second string rendering.
     Excluded from bench.py's wall-clock suite like the other streaming
@@ -2121,7 +2124,14 @@ sess AS (
 SELECT user_id, epoch_us(st) AS session_start_us, epoch_us(en) AS session_end_us,
   n_events
 FROM sess
-WHERE en <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
+-- watermark base floors to whole MILLISECONDS: Spark's event-time watermark
+-- is tracked in ms (max event time truncated to ms, minus the delay), so a
+-- session ending inside the sub-ms gap below exact MAX(ts) - delay is NOT
+-- emitted by Spark. Corpus ts carry sub-ms micros, so the exact-micros form
+-- was a latent parity flake (ADVICE r8); pinned by the non-ms-aligned case
+-- in test_streaming_session_emission_boundary.
+WHERE epoch_us(en)
+  <= (epoch_us((SELECT MAX(ts) FROM events)) // 1000) * 1000 - 60000000
 """
     if d == "duck"
     else None,
@@ -2138,6 +2148,14 @@ def _hll_sql(d: str) -> str:
     float log2 edge at powers of two), harmonic estimate with the standard
     alpha_256 constant and the small-range linear-counting correction.
 
+    The register index uses EXACT integer division (Spark ``DIV``, DuckDB
+    ``//``) so (j, w) come from the same exact split of hv: the earlier
+    FLOOR(hv / 2^52.0) form converted the 60-bit hv to DOUBLE first (ulp up
+    to 128 near 2^59), so a hash within that distance of a 2^52 register
+    boundary could land in the wrong register while rho was computed from
+    the exact integer remainder — an inconsistent pair vs the stated
+    top-8-bits spec (ADVICE r8; cross-engine parity was never affected).
+
     Unlike KMV, register MAX is idempotent, so the scan hashes RAW
     occurrence rows with NO member-dedup shuffle — the sketch aggregation
     is map-side combinable all the way down, which is the property that
@@ -2147,6 +2165,7 @@ def _hll_sql(d: str) -> str:
     the oracle value-checks the estimates themselves (ROUND 1e-4 absorbs
     the harmonic sum's last-ulp fold-order disparity)."""
     h = hex_to_bigint(d, "substr(md5(concat('u', CAST(user_id AS STRING))), 1, 15)")
+    j = bigint_div(d, "hv", 4503599627370496)
     alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     return f"""
 WITH hashed AS (
@@ -2154,10 +2173,10 @@ WITH hashed AS (
 ),
 regs AS (
   SELECT ap_id,
-    CAST(FLOOR(hv / 4503599627370496.0) AS BIGINT) AS j,
+    {j} AS j,
     MAX(CASE WHEN hv % 4503599627370496 = 0 THEN 53
          ELSE 53 - LENGTH(bin(hv % 4503599627370496)) END) AS mj
-  FROM hashed GROUP BY ap_id, CAST(FLOOR(hv / 4503599627370496.0) AS BIGINT)
+  FROM hashed GROUP BY ap_id, {j}
 ),
 sums AS (
   SELECT ap_id,
@@ -3437,9 +3456,11 @@ register(
     "TPC-H Q3 shipping priority (adapted to the corpus columns): top-10 "
     "open BUILDING-segment orders by discounted revenue — the canonical "
     "join-then-aggregate-then-top-k plan (two broadcast-eligible "
-    "dimension joins, one aggregation, TakeOrdered cutoff). Revenue "
-    "rounds at 1e-2; ranking tie-breaks on orderkey so the cutoff is "
-    "deterministic across engines.",
+    "dimension joins, one aggregation, TakeOrdered cutoff). Ranking runs "
+    "on the ROUNDED (1e-2) revenue with an orderkey tie-break, so two "
+    "near-equal revenues whose unrounded sums differ in the last ulp by "
+    "fold order cannot swap rank or move the LIMIT cutoff across engines "
+    "(ADVICE r8 — the dyadic-quantize-before-rank discipline).",
     sql=lambda d: """
 SELECT l.l_orderkey,
   ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
@@ -3452,7 +3473,7 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
   AND l.l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY SUM(l.l_extendedprice * (1.0 - l.l_discount)) DESC, l.l_orderkey
+ORDER BY ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) DESC, l.l_orderkey
 LIMIT 10
 """,
 )
