@@ -47,6 +47,18 @@ CLAIMS: dict[str, str] = {
         "the interpreted-HOF floor, not a plan defect (r8; closes the "
         "r6/r7 fuse item)"
     ),
+    "event_funnel": (
+        "ONE per-user pass: groupBy(user) collects per-type epoch-micros "
+        "lists map-side-combinably, a LINEAR projection chain walks the 4 "
+        "stages with array lambdas — 2 shuffles / 0 data-sized joins (r8's "
+        "chained-CTE form re-inlined to 7 shuffles + 6 joins, 1.53 s at "
+        "sf1); the only join left is the 4-row literal stage expansion. "
+        "Decomposition (sf1, idle best-of, bench methodology): 0.24 s "
+        "per-user-shuffle + global-count floor (the same query cut at the "
+        "counts CTE) + ~0.2 s stage expansion/plan build = 0.45 s vs "
+        "0.06 s in-process oracle — the residual is the two-exchange job "
+        "floor, not recomputation (r9; closes the r8 weak entry)"
+    ),
     "dedup_minhash_lsh": "banding equi-join on a persisted shingle-hash table; no all-pairs",
     "dedup_simhash": "pigeonhole blocks unpivoted to an equi-join; no cartesian",
     "dedup_embedding_cosine": "multi-table LSH equi-join; no driver collect, no all-pairs",
@@ -148,6 +160,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "11-row literal decile relation broadcast; the join key is a "
         "function of both sides (rn = floor(i*(n-1)/10)+1) so Spark "
         "plans BNLJ — O(11n) probe rows, never n^2"
+    ),
+    "event_funnel": (
+        "4-row literal stage relation CROSS JOINed against the ONE-ROW "
+        "global funnel-counts aggregate (the bounded-literal expansion "
+        "pattern) — O(4) probe rows, never data-sized"
     ),
 }
 

@@ -3505,16 +3505,81 @@ GROUP BY n.n_name
 )
 
 
-register(
-    "event_funnel",
-    "Strictly-ordered conversion funnel over the events stream (signup -> "
-    "view -> click -> purchase): each stage's first occurrence must follow "
-    "the previous stage's, per user — the product-analytics sequence "
-    "query. One per-user MIN aggregation per stage chained through "
-    "user-keyed joins (each join side is |users|-bounded, broadcast- "
-    "eligible at scale); timestamps compare exactly so stage counts are "
-    "deterministic integers.",
-    sql=lambda d: """
+def _event_funnel_sql(d: str) -> str:
+    """Strictly-ordered funnel, dialect-SPLIT plans (VERDICT r8 #1).
+
+    The chained per-stage CTE form (u1→u2→u3→u4, each referenced by the
+    next stage AND by the UNION-ALL count block) is the natural SQL — and
+    DuckDB shares the CTE results, running it in ~0.16 s at sf1. Spark
+    RE-INLINES WITH references (the documented CTE re-expansion failure
+    mode — minhash r2, selection_matrix r3): the audited r8 plan had
+    7 shuffles + 6 joins for a 4-stage funnel, the events scan and the
+    u1/u2/u3 aggregations each recomputed once per downstream reference —
+    9.5x the oracle, and the recomputation MULTIPLIES with data.
+
+    Spark side instead computes the funnel in ONE per-user pass — the
+    shape a 100 TB funnel wants regardless of engine: groupBy(user_id)
+    collects the per-type timestamp multisets map-side-combinably (MIN for
+    stage 1; collect_list per later stage), then a LINEAR chain of
+    projections walks the stages with array lambdas:
+    t_{k+1} = array_min(filter(ts_k+1_list, x -> x > t_k)). A NULL t_k
+    makes the lambda predicate NULL (= dropped), so the empty-array
+    array_min propagates NULL exactly like the join form — stage counts
+    are COUNT(t_k) over one |users|-sized relation. Each CTE level here is
+    referenced ONCE, so Spark's re-inlining just collapses the projection
+    chain: the physical plan is 2 shuffles (per-user hash aggregate +
+    single-row global count), 0 joins. Per-user state is the user's own
+    event timestamps of 3 types — bounded by per-user activity, not by
+    corpus size, so the collect_list carries no skew risk beyond the
+    heaviest single user (the same bound the reference's per-user
+    analytics assume). frac_of_first divides by n1 directly: counts are
+    monotone by construction (t2 non-NULL requires t1 non-NULL), so n1 is
+    the window MAX the oracle computes.
+
+    The collected values are epoch MICROSECONDS (BIGINT), not timestamps:
+    the mapping is strictly monotone so every `>` comparison and min is
+    preserved, and collecting primitive longs instead of boxed timestamp
+    objects through the ObjectHashAggregate buffers measured 0.53 s →
+    0.30 s at sf1 (same window, best-of-3) — 2 shuffles / 0 joins either
+    way, the delta is pure buffer serialization.
+
+    The 4-row stage expansion is a CROSS JOIN against a 4-row VALUES
+    LocalRelation with element_at indexing — the engine's established
+    bounded-literal pattern (_bounded_topk_emit, quantile_histogram's
+    decile relation). The LATERAL VIEW inline generator form it replaces
+    added two AQE jobs per execution over the same 1-row counts input
+    (0.89-1.30 s vs 0.38-0.57 s per full run at sf1, values identical):
+    on a many-core local master the per-job scheduling floor dominates a
+    4-row expansion, and at cluster scale the literal side broadcasts."""
+    if d == SPARK:
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        return f"""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN {us} END) AS t1,
+    collect_list(CASE WHEN event_type = 'view' THEN {us} END) AS vs,
+    collect_list(CASE WHEN event_type = 'click' THEN {us} END) AS cs,
+    collect_list(CASE WHEN event_type = 'purchase' THEN {us} END) AS ps
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+  GROUP BY user_id
+),
+c1 AS (SELECT t1, array_min(filter(vs, v -> v > t1)) AS t2, cs, ps FROM per_user),
+c2 AS (SELECT t1, t2, array_min(filter(cs, c -> c > t2)) AS t3, ps FROM c1),
+c3 AS (SELECT t1, t2, t3, array_min(filter(ps, p -> p > t3)) AS t4 FROM c2),
+counts AS (
+  SELECT CAST(COUNT(t1) AS BIGINT) AS n1, CAST(COUNT(t2) AS BIGINT) AS n2,
+         CAST(COUNT(t3) AS BIGINT) AS n3, CAST(COUNT(t4) AS BIGINT) AS n4
+  FROM c3
+)
+SELECT CAST(s.stage AS BIGINT) AS stage,
+  element_at(array('signup', 'view', 'click', 'purchase'), s.stage) AS event_type,
+  element_at(array(n1, n2, n3, n4), s.stage) AS n_users,
+  ROUND(CAST(element_at(array(n1, n2, n3, n4), s.stage) AS DOUBLE) / n1,
+        4) AS frac_of_first
+FROM counts CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(stage)
+"""
+    return """
 WITH u1 AS (
   SELECT user_id, MIN(ts) AS t FROM events
   WHERE event_type = 'signup' GROUP BY user_id
@@ -3544,7 +3609,21 @@ SELECT CAST(stage AS BIGINT) AS stage, event_type, n_users,
   ROUND(CAST(n_users AS DOUBLE)
         / MAX(n_users) OVER (), 4) AS frac_of_first
 FROM stages
-""",
+"""
+
+
+register(
+    "event_funnel",
+    "Strictly-ordered conversion funnel over the events stream (signup -> "
+    "view -> click -> purchase): each stage's first occurrence must follow "
+    "the previous stage's, per user — the product-analytics sequence "
+    "query. Spark computes all four stages in ONE per-user pass (groupBy "
+    "user, per-type timestamp collection, linear array-lambda stage "
+    "chain: 2 shuffles, 0 joins); the DuckDB oracle keeps the natural "
+    "chained per-stage-CTE form, which DuckDB shares but Spark would "
+    "re-inline (see _event_funnel_sql). Timestamps compare exactly so "
+    "stage counts are deterministic integers.",
+    sql=_event_funnel_sql,
 )
 
 
