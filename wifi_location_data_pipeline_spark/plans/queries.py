@@ -3657,43 +3657,53 @@ FROM assigned GROUP BY source, split
 
 
 _TAIL = (
-    # generic-analytics demos (added r8 continuation): value-checked by the
-    # tail parity pytest from day one; rotate into the driver window via
-    # the standing rotation like any other tail entry
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "event_funnel",
-    "train_test_split",
-    "streaming_session_counts",  # value-checked stateful streaming; the
-    # parity pytest runs it at sf0.001 every round
-    # oracle-bearing, redundant with in-window coverage (pytest parity net):
-    "sufficiency_gate",  # HAVING over per_ap_stats' aggregate
-    "wcl_position_error",  # weighted_centroid (WCL) + comparison_metrics (haversine)
-    "tumbling_window_agg",  # plain hour-bucket GROUP BY; stream twin in pytest
-    "skew_salted_agg",  # physical-strategy demo (salting), not a §2 operator
-    "geohash_cells",  # physical-strategy demo (spatial index build)
-    "codec_roundtrip",  # gzip+base64 codec: ingest e2e + test_transform cover it
-    # rotated out round 7 (driver-green since round 2; VERDICT r06 #5 asked
-    # for the last three never-certified entries — multimodal_frame_sample,
-    # range_bucket_join, embedding_quantize_int8 — to take window slots):
-    "doc_fingerprint",  # same Arrow shingle/md5 kernel family as the
-    # in-window dedup_minhash_lsh / dedup_ngram_jaccard
-    "dedup_exact",  # hash-groupBy keep-first; paragraph_dedup (in-window)
-    # is the same shape one segmentation level down
-    "text_quality_score",  # array-native text projection class stays
-    # covered by in-window text_token_stats + gopher_rule_filters
-    # ROUND-8 STANDING ROTATION (VERDICT r07 #8): each round the ~12
-    # oldest-certified tail entries swap back INTO the driver window and an
-    # equal count of multi-round-green window entries park here, so driver
-    # certification stays fresh instead of one-shot. Rotated IN for r8:
-    # the r4/r5 parked set (ssid_clean_oui, known_ap_semi_join,
-    # status_filter, timestamp_sanity, event_dedup, derived_quality_columns,
-    # per_group_topn, bssid_format_filter, ap_quality_metrics,
-    # comparison_metrics, strongest_signal_pick, weighted_centroid —
-    # last driver-certified r3/r4, the stalest certs in the registry).
-    # Rotated OUT for r8 (driver-green r7 and earlier, untouched in r8,
-    # parity-pytest + test-vector covered):
+    # ROUND-9 ROTATION (VERDICT r08 #3): the six entries added after the
+    # r8 window froze (tpch_q1/q3/q5, event_funnel, train_test_split,
+    # streaming_session_counts) rotate INTO the window for their first
+    # driver certification, together with the 16 stalest certs in the
+    # registry (the r2-certified redundancy block, the r5-parked
+    # measurement family, the r6-parked text/dedup trio). With those six
+    # certified, the union of r1-r9 windows covers ALL 100 oracle-bearing
+    # entries. 22 multi-round-green window entries park here in exchange,
+    # each with independent pytest/test-vector cover and an in-window
+    # family twin:
+    "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
+    # most-certified entry); 480-combo selection pytest + AlgorithmSelector
+    # vectors; the data-path twin selection_reasons stays parity-checked
+    "dedup_minhash_lsh",  # r9 park; driver-green r1-r8 straight; the
+    # shingle-kernel + banding machinery stays exercised in-window by the
+    # dedup_strategy_agreement / substring_dup_spans / paragraph_dedup set
+    "ann_lsh_bucketed",  # r9 park; driver-green r1+r3-r8; the bounded
+    # top-k merge path stays in-window via ann_ivf_probe/ann_ivf_pq_search
+    "multimodal_decode",  # r9 park; driver-green r3-r8; the four codec
+    # stats entries + multimodal_frame_sample stay in-window end-to-end
+    "ensemble_closed_form",  # r9 park; driver-green r3-r8; kernel pinned
+    # by Java test vectors + the onepass/multipass randomized parity pytest
+    "asof_state_join",  # r9 park; driver-green r4-r8; tagged-union
+    # ordered-window pattern pinned by the parity pytest
+    "kmv_distinct_sketch",  # r9 park; driver-green r4-r8; the mergeable-
+    # sketch family stays in-window via hll_distinct_sketch
+    "ap_quality_metrics",  # r9 park; driver-green r1-r4+r8
+    "bssid_format_filter",  # r9 park; driver-green r1-r4+r8
+    "strongest_signal_pick",  # r9 park; driver-green r1-r4+r8 + vectors
+    "weighted_centroid",  # r9 park; driver-green r1-r4+r8 + WCL vectors
+    "comparison_metrics",  # r9 park; driver-green r1-r4+r8; haversine
+    # checked by comparison_scenarios pytest + in-window wcl_position_error
+    "ssid_clean_oui",  # r9 park; driver-green r1-r3+r8
+    "known_ap_semi_join",  # r9 park; driver-green r1-r3+r8
+    "status_filter",  # r9 park; driver-green r1-r3+r8
+    "per_group_topn",  # r9 park; driver-green r1-r3+r8
+    "event_dedup",  # r9 park; driver-green r1-r3+r8; streaming twin stays
+    "derived_quality_columns",  # r9 park; driver-green r1-r3+r8
+    "timestamp_sanity",  # r9 park; driver-green r1-r3+r8
+    "dedup_clusters",  # r9 park; driver-green r5-r8; union-find/CC pinned
+    # by graph pytest + the in-window dedup_strategy_agreement consumer
+    "rag_chunk_plan",  # r9 park; driver-green r5-r8; windowed chunk plan
+    # pinned by the parity pytest
+    "pii_scrub_stats",  # r9 park; driver-green r5-r8; regex-count
+    # projection pinned by the parity pytest
+    # rotated out round 7/8 (see git history for the per-entry rationale);
+    # all parity-pytest covered, most-certified first:
     "comparison_enriched",
     "log_distance_model",
     "mad_outlier_flags",
@@ -3706,76 +3716,22 @@ _TAIL = (
     "gdop_geometry",
     "dbscan_closed_form",
     "relocation_time_split",
-    "selection_reasons",  # r8: slot freed for multimodal_mp4_stats (new);
-    # reason-annotated selection stays pinned by the 480-combo pytest +
-    # AlgorithmSelector test vectors and the in-window selection_matrix
-    "spatial_blocked_pairs",  # r8: slot freed for ivf_kmeans_train (new);
-    # r7-certified; the 3x3 cell-blocking claim stays pinned by the plan
-    # audit (no-cartesian gate) + parity pytest
-    # rotated out round 6 (driver-green rounds 2-5; see block comment):
-    "per_ap_stats",
-    "stage1_validation",
-    "ap_lookup_join",
-    "physics_validator",
-    "hotspot_oui_exclude",
-    "text_language_id",
-    "signal_context_classes",
-    # r8 continuation: slots freed for the NEW value-checked queries
-    # (multimodal_wav_stats / multimodal_png_stats / embedding_pq_train /
-    # bm25_topk). Parked entries are the most-certified in the registry
-    # (driver-green rounds 1-7 straight) with independent pytest cover:
-    "hotspot_behavioral",  # behavioral rule thresholds pinned by
-    # tests/test_hotspot.py; same groupBy-classify shape as in-window
-    # relocation/ap_quality families
-    "tiered_localization",  # r8: slot freed for multimodal_jpeg_stats
-    # (new); driver-green rounds 1-7 straight — the most-certified entry
-    # in the registry — with the tier math independently pinned by
-    # tests/test_localization.py and the no-oracle
-    # batch_localization_tiered golden-range twin
-    "dedup_ngram_jaccard",  # r8: slot freed for ann_ivf_pq_search (new);
-    # driver-green rounds 1-7 straight, untouched in r8, and the rest of
-    # the dedup family (minhash/simhash/embedding_cosine/clusters/
-    # strategy_agreement) stays in-window exercising the same shared
-    # shingle-kernel + blocked-join machinery
-    "ann_cosine_topk",  # r8: slot freed for embedding_pca_power (new);
-    # driver-green r1+r3-r7; the shared bounded top-k merge path it
-    # exercises stays in-window three times over (ann_lsh_bucketed,
-    # ann_ivf_probe, ann_ivf_pq_search)
-    "dedup_simhash",  # r8: slot freed for quality_classifier_sgd (new);
-    # driver-green rounds 1-7 straight, untouched in r8; the unpackbits
-    # signature kernel + pigeonhole-block join stay pinned by the parity
-    # pytest and the in-window dedup_strategy_agreement path
-    "dedup_embedding_cosine",  # r8: slot freed for langid_confusion
-    # (new); driver-green rounds 1-7 straight, untouched in r8; the
-    # multi-table LSH machinery stays pinned by the parity pytest and the
-    # in-window ann_lsh_bucketed twin
-    "multimodal_manifest",  # r8: slot freed for bigram_logprob_score
-    # (new); driver-green rounds 3-7; a typed-metadata projection whose
-    # machinery the four in-window codec stats queries + multimodal_decode
-    # exercise end-to-end
-    "embedding_label_centroids",  # r8: slot freed for hll_distinct_sketch
-    # (new); driver-green rounds 3-7, untouched in r8; the array-native
-    # centroid aggregation shape stays exercised in-window by
-    # ivf_kmeans_train / ann_ivf_probe
-    "sequence_packing_plan",  # r8: slot freed for retention_cohorts
-    # (new); driver-green rounds 3-7, untouched in r8; the prefix-sum
-    # packing window shape stays pinned by the parity pytest
-    "position_combiner_robust",  # r8: slot freed for quantile_histogram
-    # (new); driver-green rounds 3-7; the combiner algebra stays pinned
-    # by the WeightedAveragePositionCombiner test vectors and the
-    # in-window ensemble_closed_form path
-    "decontamination_overlap",  # r8: slot freed for
-    # streaming_tumbling_counts (new — the first VALUE-CHECKED Structured
-    # Streaming entry); driver-green rounds 3-7, untouched in r8; the
-    # eval-side-broadcast containment join stays pinned by the parity
-    # pytest
-    "kalman_update_step",  # innovation/gain algebra pinned by the
-    # streaming state tests + reference KalmanFilterPositionEstimatorTest
-    # vectors; the streaming twin stays exercised every round
-    "text_token_stats",  # array-native text projection class stays
-    # covered in-window by gopher_rule_filters + the new bm25_topk
-    "quality_stratified_sample",  # per-stratum sampling plan; same
-    # window+filter shape as in-window mixture_sampling_plan
+    "selection_reasons",
+    "spatial_blocked_pairs",
+    "hotspot_behavioral",
+    "tiered_localization",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "multimodal_manifest",
+    "embedding_label_centroids",
+    "sequence_packing_plan",
+    "position_combiner_robust",
+    "decontamination_overlap",
+    "kalman_update_step",
+    "text_token_stats",
+    "quality_stratified_sample",
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
