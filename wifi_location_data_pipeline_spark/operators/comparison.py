@@ -215,6 +215,54 @@ def classify_comparison(report: DataFrame) -> DataFrame:
     )
 
 
+def vlss_error_details(resp: Column) -> Column:
+    """ComparisonService.extractVlssErrorDetails (ComparisonService.java:
+    399-419): structured ``svcError.errors`` entries render as
+    ``Code <code>: <message> (<description>)`` joined with ``"; "``; when
+    no structured errors are present, fall back to the legacy top-level
+    ``errorMessage`` field. NULL when neither exists."""
+    errors = resp.getField("svcError").getField("errors")
+    structured = F.array_join(
+        F.transform(
+            errors,
+            lambda e: F.concat(
+                F.lit("Code "),
+                e.getField("code").cast("string"),
+                F.lit(": "),
+                e.getField("message"),
+                F.lit(" ("),
+                e.getField("description"),
+                F.lit(")"),
+            ),
+        ),
+        "; ",
+    )
+    return F.when(errors.isNotNull(), structured).otherwise(
+        resp.getField("errorMessage")
+    )
+
+
+def parse_vlss_response(df: DataFrame, col: str = "sourceResponse") -> DataFrame:
+    """Project a VLSS source-response struct (SourceResponse.java:20-56 —
+    success flag, optional locationInfo, optional structured svcError,
+    optional legacy errorMessage) to the flat vlss_* columns
+    classify_comparison consumes. Pure column expressions over the nested
+    struct — schema-driven parse, no UDF, handles every response format in
+    the integration service's acceptance fixture corpus."""
+    r = F.col(col)
+    li = r.getField("locationInfo")
+    return df.withColumns(
+        {
+            "vlss_success": r.getField("success"),
+            "vlss_lat": li.getField("latitude").cast("double"),
+            "vlss_lon": li.getField("longitude").cast("double"),
+            "vlss_accuracy": li.getField("accuracy").cast("double"),
+            "vlss_confidence": li.getField("confidence").cast("double"),
+            "vlss_error_details": vlss_error_details(r),
+        }
+    )
+
+
 def agreement_report(comparison: DataFrame) -> DataFrame:
     """Aggregate agreement metrics (the integration service's summary stats):
     per-class counts, mean/p95 disagreement among compared pairs."""
