@@ -2003,6 +2003,40 @@ FROM idx
 )
 
 
+def _media_docs(spark, sf_dir, pred: str):
+    """(doc_id, n_chars) input frame for the media round-trip kernels
+    (wav/png/jpeg/mp4 stats), right-sized to the PYTHON work: the decode
+    kernels cost ~0.1-0.25 s of single-thread Python per corpus slice at
+    sf0.1 while the two-int-column scan splits into ~20 near-empty tasks
+    on a single-file test corpus — the per-task Arrow+worker floor was
+    2/3 of each query. Merge to ~4k docs/task (footer row count, no data
+    read); a directory corpus (real lakehouse) skips the merge and keeps
+    the storage parallelism — the same sizing policy as ann_ivf_probe's
+    probe stage and _documents_spread."""
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents").filter(pred)
+        .select("doc_id", "n_chars")
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+            nparts = max(
+                1,
+                min(
+                    spark.sparkContext.defaultParallelism, n_rows // 4096 + 1
+                ),
+            )
+            docs = docs.coalesce(nparts)
+        except Exception:
+            pass
+    return docs
+
+
 def _mp4_stats_fn(spark, sf_dir):
     """Round-trips REAL ISO BMFF bytes through Spark: one mapInPandas pass
     builds a deterministic mp4 container per video document
@@ -2018,13 +2052,7 @@ def _mp4_stats_fn(spark, sf_dir):
         _parse_mp4,
         synthesize_mp4_payload,
     )
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter("doc_id % 3 = 2")
-        .select("doc_id", "n_chars")
-    )
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 2")
 
     def kernel(batches):
         for pdf in batches:
@@ -2103,13 +2131,7 @@ def _wav_stats_fn(spark, sf_dir):
         _decode_wav,
         synthesize_wav_payload,
     )
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter("doc_id % 3 = 1")
-        .select("doc_id", "n_chars")
-    )
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 1")
 
     def kernel(batches):
         for pdf in batches:
@@ -2201,13 +2223,7 @@ def _png_stats_fn(spark, sf_dir):
         _png_pixels,
         synthesize_png_payload,
     )
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter("doc_id % 3 = 0")
-        .select("doc_id", "n_chars")
-    )
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 0")
 
     def kernel(batches):
         for pdf in batches:
@@ -2308,13 +2324,7 @@ def _jpeg_stats_fn(spark, sf_dir):
         _jpeg_pixels,
         synthesize_jpeg_payload,
     )
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter("doc_id % 6 = 1")
-        .select("doc_id", "n_chars")
-    )
+    docs = _media_docs(spark, sf_dir, "doc_id % 6 = 1")
 
     def kernel(batches):
         for pdf in batches:
