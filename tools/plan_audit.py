@@ -166,6 +166,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "global funnel-counts aggregate (the bounded-literal expansion "
         "pattern) — O(4) probe rows, never data-sized"
     ),
+    "cms_heavy_hitters": (
+        "4-row literal depth relation fans the |vocab|-sized count table "
+        "(and the 20-row truth table) to its sketch rows — O(4n) probe "
+        "rows, never n²; the sketch lookup itself is a (j, col) equi-join"
+    ),
 }
 
 

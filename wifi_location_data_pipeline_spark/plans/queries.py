@@ -3667,6 +3667,9 @@ _TAIL = (
     # entries. 22 multi-round-green window entries park here in exchange,
     # each with independent pytest/test-vector cover and an in-window
     # family twin:
+    "cms_heavy_hitters",  # NEW in r9 (added after the r9 window was
+    # planned); value-checked by the tail parity pytest from day one;
+    # rotates into the driver window via the standing rotation
     "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
     # most-certified entry); 480-combo selection pytest + AlgorithmSelector
     # vectors; the data-path twin selection_reasons stays parity-checked
