@@ -129,6 +129,14 @@ def test_fixture_shapes():
         ).fetchone()
         assert nn == 0, sf
         assert nd == mx + 1, (sf, mx, nd)  # dense 0..N-1
+        # streaming_dedup_counts keeps one copy per event_id and its oracle
+        # groups the survivors by event_type: only sound when event_id is
+        # globally UNIQUE (otherwise the kept copy's type would be racy)
+        n, ndist = con.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT event_id)"
+            f" FROM read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchone()
+        assert n == ndist, (sf, n, ndist)
 
 
 def test_events_footer_max_matches_scan_max():

@@ -1934,6 +1934,28 @@ register(
 )
 
 
+def _stage_stream_dir(sf_dir: str) -> str:
+    """Stage the single-file events table as a directory for the file
+    stream source (symlink; copy fallback), once per corpus path."""
+    import hashlib
+    import shutil
+
+    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = os.path.join(
+        "/tmp", "sg_stream_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src_file, link)
+        except OSError:
+            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
+                src_file, link
+            )
+    return stage
+
+
 def _streaming_tumbling_spark_fn(spark, sf_dir):
     """A REAL Structured Streaming execution, value-checked (SURVEY §2.8):
     readStream file source over the events corpus -> event-time watermark
@@ -1954,27 +1976,13 @@ def _streaming_tumbling_spark_fn(spark, sf_dir):
     streaming_ingest_microbatch: the ~seconds of trigger/state-store
     fixed cost measures Structured Streaming machinery, not data
     throughput."""
-    import hashlib
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    stage = os.path.join(
-        "/tmp", "sg_stream_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(src_file, link)
-        except OSError:
-            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
-                src_file, link
-            )
+    stage = _stage_stream_dir(sf_dir)
     schema = load_table(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(schema)
@@ -2043,27 +2051,13 @@ def _streaming_session_spark_fn(spark, sf_dir):
     integer-exact and immune to fractional-second string rendering.
     Excluded from bench.py's wall-clock suite like the other streaming
     entries (trigger/state-store fixed cost, not data throughput)."""
-    import hashlib
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F2
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    stage = os.path.join(
-        "/tmp", "sg_stream_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(src_file, link)
-        except OSError:
-            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
-                src_file, link
-            )
+    stage = _stage_stream_dir(sf_dir)
     schema = load_table(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(schema)
@@ -2136,6 +2130,79 @@ WHERE epoch_us(en)
     if d == "duck"
     else None,
     spark_fn=_streaming_session_spark_fn,
+)
+
+
+def _streaming_dedup_spark_fn(spark, sf_dir):
+    """REAL watermarked streaming DEDUPLICATION, value-checked (SURVEY
+    §2.8 — upgrades the dedup row from rows-only): the events file stream
+    is UNIONed with a second reader of the same source, so every event
+    genuinely arrives twice, then dropDuplicates on event_id runs through
+    the state store under a 1-hour event-time watermark (append mode,
+    Trigger.AvailableNow). Duplicate pairs may land in different
+    micro-batches — the state store, not batch-local hashing, is what
+    collapses them. The deduplicated append sink is then summarized
+    batch-side per event_type with an exact identity checksum
+    (SUM(event_id)), so the oracle — plain COUNT(DISTINCT)/SUM over
+    DISTINCT rows — value-checks that the streaming dedup state machine
+    kept EXACTLY one copy of every event: a single drop or a single
+    leftover duplicate moves the checksum. Excluded from bench.py's
+    wall-clock suite like the other streaming entries (trigger/state
+    fixed cost, not data throughput)."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    stage = _stage_stream_dir(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .withColumn("ets", F2.col("ts").cast("timestamp"))
+            .select("event_id", "event_type", "ets")
+        )
+
+    doubled = reader().union(reader())
+    deduped = doubled.withWatermark("ets", "1 hour").dropDuplicates(["event_id"])
+    name = "stream_dedup_" + uuid.uuid4().hex[:10]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,"
+        f" CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,"
+        f" CAST(SUM(event_id) AS BIGINT) AS id_checksum"
+        f" FROM {name} GROUP BY event_type"
+    )
+
+
+register(
+    "streaming_dedup_counts",
+    "Structured Streaming watermarked deduplication, VALUE-CHECKED: the "
+    "events stream unioned with itself (every event arrives twice, "
+    "possibly across micro-batches) -> dropDuplicates(event_id) through "
+    "the state store under a 1-hour watermark -> per-type counts + exact "
+    "SUM(event_id) identity checksum vs the batch DISTINCT oracle — a "
+    "single dropped or duplicated row moves the checksum.",
+    sql=lambda d: """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM (SELECT DISTINCT event_id, event_type FROM events) d
+GROUP BY event_type
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_streaming_dedup_spark_fn,
 )
 
 
@@ -3670,6 +3737,9 @@ _TAIL = (
     "cms_heavy_hitters",  # NEW in r9 (added after the r9 window was
     # planned); value-checked by the tail parity pytest from day one;
     # rotates into the driver window via the standing rotation
+    "streaming_dedup_counts",  # NEW in r9; same standing-rotation path;
+    # the corpus guarantees globally-unique event_id at every shipped SF
+    # (asserted by test_fixture_shapes), so the keep-one copy is unique
     "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
     # most-certified entry); 480-combo selection pytest + AlgorithmSelector
     # vectors; the data-path twin selection_reasons stays parity-checked
