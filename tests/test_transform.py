@@ -141,3 +141,52 @@ def test_processing_batch_id_is_per_source_file(measurements):
     source file path when lineage exists."""
     vals = {r["processing_batch_id"] for r in measurements.select("processing_batch_id").distinct().collect()}
     assert vals == {"mem://fixture"}
+
+
+def test_bpe_merge_semantics(spark):
+    """Pins bpe_merge_train's merge-application contract: the merge is
+    iterated leftmost-non-overlapping literal replace (3 passes), and all
+    THREE evaluators — Spark, DuckDB, and Python str.replace — compute the
+    identical parse on adversarial inputs (runs of one symbol up to length
+    8, alternations, interleavings). For runs <= 4 and for alternating
+    A!=B patterns the result equals strict left-to-right BPE; for odd
+    runs >= 5 the parse differs from strict BPE in which occurrences pair
+    up (documented in the query docstring) while remaining bit-identical
+    across engines — the property the cross-engine value gate needs."""
+    import duckdb
+
+    def py3(s):
+        for _ in range(3):
+            s = s.replace(" l l ", " ll ")
+        return s
+
+    def strict(sym, a, b):
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    con = duckdb.connect()
+    cases = [list("l" * k) for k in range(2, 9)]
+    cases += [list("alla"), list("lal"), list("llxll"), list("lllxl")]
+    for sym in cases:
+        s = " " + " ".join(sym) + " "
+        expected = py3(s)
+        sql_expr = f"'{s}'"
+        for _ in range(3):
+            sql_expr = f"replace({sql_expr}, ' l l ', ' ll ')"
+        got_spark = spark.sql(f"SELECT {sql_expr} AS r").collect()[0]["r"]
+        got_duck = con.execute(f"SELECT {sql_expr}").fetchone()[0]
+        assert got_spark == got_duck == expected, (sym, got_spark, got_duck, expected)
+        # strict-BPE equivalence holds through run length 4
+        longest_run = max(
+            (len(list(g)) for _, g in __import__("itertools").groupby(sym)),
+            default=0,
+        )
+        if longest_run <= 4:
+            assert expected.strip().split(" ") == strict(sym, "l", "l"), sym

@@ -5140,3 +5140,180 @@ register(
     sql=_cms_sql,
     spark_fn=_cms_spark_fn,
 )
+
+
+def _bpe_body_sql(d: str, wf_src: str) -> str:
+    """Shared BPE-merge body over a word-frequency relation ``wf_src``
+    (columns word, freq). Two unrolled merge iterations; see
+    _bpe_merge_train_fn for the algorithm/determinism contract."""
+    if d == "spark":
+        chars = "split(word, '')"
+        join = "array_join"
+        pairs = (
+            "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1),"
+            " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+            " ELSE array() END"
+        )
+        expl = "SELECT freq, explode({arr}) AS p FROM {src}"
+    else:
+        chars = "string_split(word, '')"
+        join = "array_to_string"
+        pairs = (
+            "[a[i] || ' ' || a[i + 1] FOR i IN generate_series(1, len(a) - 1)]"
+        )
+        expl = "SELECT freq, unnest({arr}) AS p FROM {src}"
+
+    def pair_counts(name, sym_src):
+        inner = expl.format(arr=pairs, src=sym_src)
+        return f"""
+{name} AS (
+  SELECT p, CAST(SUM(freq) AS BIGINT) AS c
+  FROM ({inner}) e GROUP BY p
+)"""
+
+    # merge application = literal leftmost non-overlapping replace,
+    # iterated 3 passes (one pass skips an occurrence whose leading
+    # separator the previous replacement consumed; later passes catch
+    # it). The parse equals strict left-to-right BPE for same-symbol
+    # runs <= 4 and for A!=B alternations; for odd same-symbol runs >= 5
+    # it pairs occurrences differently (a tie-break-level divergence
+    # from reference BPE, documented) while staying BIT-IDENTICAL across
+    # Spark / DuckDB / Python str.replace — pinned by
+    # test_bpe_merge_semantics, which is the property the cross-engine
+    # value gate needs.
+    def apply(s, b):
+        pat = f"' ' || (SELECT p FROM {b}) || ' '"
+        rep = f"' ' || (SELECT replace(p, ' ', '') FROM {b}) || ' '"
+        out = s
+        for _ in range(3):
+            out = f"replace({out}, {pat}, {rep})"
+        return out
+
+    return f"""
+WITH s0 AS (
+  SELECT freq, ' ' || {join}({chars}, ' ') || ' ' AS s,
+    {chars} AS a
+  FROM {wf_src}
+),
+{pair_counts("p1c", "s0")},
+b1 AS (SELECT p, c FROM p1c ORDER BY c DESC, p LIMIT 1),
+s1 AS (
+  SELECT freq, t.a FROM (
+    SELECT freq, {apply("s", "b1")} AS s FROM s0
+  ) r, LATERAL (SELECT {("split(trim(r.s), ' ')" if d == "spark" else "string_split(trim(r.s), ' ')")} AS a) t
+),
+{pair_counts("p2c", "s1")},
+b2 AS (SELECT p, c FROM p2c ORDER BY c DESC, p LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS merge_rank, p AS pair,
+  replace(p, ' ', '') AS merged_symbol, c AS pair_count FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), p, replace(p, ' ', ''), c FROM b2
+"""
+
+
+def _bpe_duck_sql(d: str) -> str | None:
+    if d == "spark":
+        return None
+    wf = (
+        "(SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) u "
+        "WHERE word != '' GROUP BY word) wf"
+    )
+    return _bpe_body_sql("duck", wf)
+
+
+def _bpe_merge_train_fn(spark, sf_dir):
+    """Byte-Pair-Encoding merge TRAINING, two iterations, value-checked
+    (the tokenizer-training sibling of ivf_kmeans_train — iteration count
+    is a fixed contract, so the DuckDB oracle unrolls the identical two
+    steps in one SQL text): word frequencies -> per-word symbol sequences
+    (characters) -> corpus pair counts -> best pair (count DESC, pair ASC
+    tie-break) -> merge applied to every word -> recount -> second best
+    pair. Emits both learned merges with their exact integer counts; the
+    merge-application parse contract (iterated leftmost replace) is
+    pinned by test_bpe_merge_semantics.
+
+    Plan: the ONLY data-sized step is the token-frequency aggregation
+    (one explode + groupBy over occurrences); it is computed once and
+    persisted as a |vocab|-sized relation, and every downstream stage
+    (symbol strings, pair explode, argmax, merge application) is
+    vocab-sized — the shape a real BPE trainer has at 100 TB, where the
+    per-iteration work is O(|vocab|), not O(corpus). The trainer
+    iterates DRIVER-SIDE like ivf_kmeans_train: each round runs one
+    vocab-sized pair-count aggregation and collects the single argmax
+    row, and the learned pair is folded back as a LITERAL — the shared
+    SQL text instead references the argmax CTE six times (two scalar
+    subqueries per replace pass), which Spark's WITH re-inlining turns
+    into six re-executions (2.5 s vs 0.5 s at sf0.1; DuckDB shares CTEs
+    and keeps the unrolled text as the oracle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    tag = hashlib.md5(f"{sf_dir}|{key[2]}".encode()).hexdigest()[:12]
+    view = f"_bpe_wf_{tag}"
+    if _BPE_WF.get(key) != view:
+        wf = (
+            load_table(spark, sf_dir, "documents")
+            .select(F2.explode(F2.split("text", " ")).alias("word"))
+            .filter("word != ''")
+            .groupBy("word")
+            .agg(F2.count("*").cast("long").alias("freq"))
+            .persist()
+        )
+        _maybe_eager(wf)
+        wf.createOrReplaceTempView(view)
+        for k in [k for k in _BPE_WF if k[:2] == key[:2]]:
+            spark.catalog.dropTempView(_BPE_WF.pop(k))
+        _BPE_WF[key] = view
+
+    def q(sql):
+        return f"'{sql.replace(chr(39), chr(39) * 2)}'"
+
+    pair_counts = (
+        "SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM ("
+        "SELECT freq, explode(CASE WHEN size(a) >= 2 THEN"
+        " transform(sequence(1, size(a) - 1),"
+        " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+        " ELSE array() END) AS p FROM ({sym}) sym) e"
+        " GROUP BY p ORDER BY c DESC, p LIMIT 1"
+    )
+    sym0 = f"SELECT freq, split(word, '') AS a FROM {view}"
+    r1 = spark.sql(pair_counts.format(sym=sym0)).collect()[0]
+
+    applied = f"' ' || array_join(split(word, ''), ' ') || ' '"
+    pat, rep = q(f" {r1.p} "), q(" " + r1.p.replace(" ", "") + " ")
+    for _ in range(3):
+        applied = f"replace({applied}, {pat}, {rep})"
+    sym1 = f"SELECT freq, split(trim({applied}), ' ') AS a FROM {view}"
+    r2 = spark.sql(pair_counts.format(sym=sym1)).collect()[0]
+
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), {q(r.p)}, {q(r.p.replace(' ', ''))},"
+        f" CAST({int(r.c)} AS BIGINT))"
+        for i, r in ((1, r1), (2, r2))
+    )
+    return spark.sql(
+        f"SELECT merge_rank, pair, merged_symbol, pair_count FROM (VALUES"
+        f" {rows}) AS t(merge_rank, pair, merged_symbol, pair_count)"
+    )
+
+
+_BPE_WF: dict = {}
+
+
+register(
+    "bpe_merge_train",
+    "BPE tokenizer-merge training, two unrolled iterations value-checked "
+    "end-to-end: corpus word frequencies -> character symbol sequences -> "
+    "exact pair counts -> deterministic best-pair merge (count DESC, pair "
+    "ASC) applied to the whole vocabulary -> recount -> second merge. "
+    "The corpus-sized aggregation runs once (persisted vocab relation); "
+    "every merge iteration is O(|vocab|) — the real trainer's shape at "
+    "scale. Oracle runs the identical unrolled text.",
+    sql=_bpe_duck_sql,
+    spark_fn=_bpe_merge_train_fn,
+)

@@ -3740,6 +3740,7 @@ _TAIL = (
     "streaming_dedup_counts",  # NEW in r9; same standing-rotation path;
     # the corpus guarantees globally-unique event_id at every shipped SF
     # (asserted by test_fixture_shapes), so the keep-one copy is unique
+    "bpe_merge_train",  # NEW in r9; same standing-rotation path
     "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
     # most-certified entry); 480-combo selection pytest + AlgorithmSelector
     # vectors; the data-path twin selection_reasons stays parity-checked
