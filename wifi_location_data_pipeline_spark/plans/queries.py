@@ -2206,6 +2206,79 @@ GROUP BY event_type
 )
 
 
+def _streaming_enrich_spark_fn(spark, sf_dir):
+    """REAL stream-static enrichment join, value-checked (SURVEY §2.8):
+    the events file stream joins the STATIC nation dimension inside the
+    streaming query (broadcast per micro-batch — the pattern the
+    reference's consumer uses to enrich scans from the AP store), then
+    aggregates windowed counts per nation in complete mode under
+    Trigger.AvailableNow. The bounded-input result is deterministic, so
+    the plain batch join+GROUP BY oracle value-checks the streaming
+    enrichment path — counts and revenue-weighted sums are exact."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    stage = _stage_stream_dir(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+    nation = load_table(spark, sf_dir, "nation").select(
+        F2.col("n_nationkey").cast("long").alias("nkey"), "n_name"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ets", F2.col("ts").cast("timestamp"))
+        .withColumn("nkey", (F2.col("user_id") % 25).cast("long"))
+    )
+    enriched = stream.join(F2.broadcast(nation), "nkey")
+    agg = (
+        enriched.withWatermark("ets", "1 hour")
+        .groupBy(F2.window("ets", "6 hours").alias("w"), "n_name")
+        .agg(
+            F2.count("*").alias("n_events"),
+            F2.sum(F2.col("event_id")).alias("id_checksum"),
+        )
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(w.start AS STRING) AS window_start, n_name,"
+        f" CAST(n_events AS BIGINT) AS n_events,"
+        f" CAST(id_checksum AS BIGINT) AS id_checksum FROM {name}"
+    )
+
+
+register(
+    "streaming_enrich_counts",
+    "Structured Streaming stream-static enrichment join, VALUE-CHECKED: "
+    "the events stream broadcast-joins the static nation dimension inside "
+    "the streaming query (the reference consumer's enrich-from-store "
+    "pattern), then 6-hour windowed counts + exact SUM(event_id) identity "
+    "checksums per nation gate against the plain batch join+GROUP BY "
+    "oracle under Trigger.AvailableNow.",
+    sql=lambda d: f"""
+SELECT CAST(date_trunc('hour', ts) - INTERVAL (hour(ts) % 6) HOUR AS STRING) AS window_start,
+  n.n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(e.event_id) AS BIGINT) AS id_checksum
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, n.n_name
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_streaming_enrich_spark_fn,
+)
+
+
 def _hll_sql(d: str) -> str:
     """HyperLogLog distinct sketch (Flajolet et al. 2007), p=8 (m=256
     registers): hash every member occurrence to the engine's shared 60-bit
@@ -3741,6 +3814,7 @@ _TAIL = (
     # the corpus guarantees globally-unique event_id at every shipped SF
     # (asserted by test_fixture_shapes), so the keep-one copy is unique
     "bpe_merge_train",  # NEW in r9; same standing-rotation path
+    "streaming_enrich_counts",  # NEW in r9; same standing-rotation path
     "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
     # most-certified entry); 480-combo selection pytest + AlgorithmSelector
     # vectors; the data-path twin selection_reasons stays parity-checked
