@@ -64,9 +64,7 @@ def main() -> None:
         # state-store/commit machinery on a tiny zone), not data throughput —
         # it stays in queries() for the correctness gate but out of the
         # wall-clock suite
-        names = [n for n in names if n not in
-                 ("streaming_ingest_microbatch", "streaming_tumbling_counts",
-                  "streaming_session_counts")]
+        names = [n for n in names if not n.startswith("streaming_")]
 
     # warm the JVM + every table's parquet footers/pages once so per-query
     # numbers measure the queries, not session startup or first-touch I/O
