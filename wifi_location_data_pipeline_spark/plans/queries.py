@@ -2206,6 +2206,75 @@ GROUP BY event_type
 )
 
 
+def _streaming_hopping_spark_fn(spark, sf_dir):
+    """REAL hopping-window (sliding) streaming aggregation, value-checked
+    (SURVEY §2.8 — the remaining window type after tumbling/session):
+    2-hour windows sliding every 1 hour, so every event lands in exactly
+    TWO windows; complete mode under Trigger.AvailableNow makes the
+    bounded result deterministic. The oracle fans each event to its two
+    covering windows with a 2-row literal offsets relation (the
+    range_bucket_join pattern) — counts and SUM(event_id) identity
+    checksums are exact integers."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    stage = _stage_stream_dir(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ets", F2.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ets", "1 hour")
+        .groupBy(
+            F2.window("ets", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F2.count("*").alias("n_events"),
+            F2.sum("event_id").alias("id_checksum"),
+        )
+    )
+    name = "stream_hopping_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT CAST(w.start AS STRING) AS window_start, event_type,"
+        f" CAST(n_events AS BIGINT) AS n_events,"
+        f" CAST(id_checksum AS BIGINT) AS id_checksum FROM {name}"
+    )
+
+
+register(
+    "streaming_hopping_counts",
+    "Structured Streaming HOPPING windows (2-hour length, 1-hour slide), "
+    "VALUE-CHECKED: every event lands in exactly two windows; per-(window, "
+    "type) counts and exact SUM(event_id) identity checksums gate against "
+    "a batch oracle that fans each event to its two covering windows via "
+    "a 2-row literal offsets relation (the range_bucket_join pattern).",
+    sql=lambda d: """
+SELECT CAST(date_trunc('hour', ts) - INTERVAL (o.off) HOUR AS STRING) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+GROUP BY 1, event_type
+"""
+    if d == "duck"
+    else None,
+    spark_fn=_streaming_hopping_spark_fn,
+)
+
+
 def _streaming_enrich_spark_fn(spark, sf_dir):
     """REAL stream-static enrichment join, value-checked (SURVEY §2.8):
     the events file stream joins the STATIC nation dimension inside the
@@ -3815,6 +3884,7 @@ _TAIL = (
     # (asserted by test_fixture_shapes), so the keep-one copy is unique
     "bpe_merge_train",  # NEW in r9; same standing-rotation path
     "streaming_enrich_counts",  # NEW in r9; same standing-rotation path
+    "streaming_hopping_counts",  # NEW in r9; same standing-rotation path
     "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
     # most-certified entry); 480-combo selection pytest + AlgorithmSelector
     # vectors; the data-path twin selection_reasons stays parity-checked
