@@ -216,6 +216,15 @@ def main() -> None:
         result["oracle_matched_sec"] = round(
             result["value"] - result["no_oracle_sec"], 3
         )
+    # trained-artifact reuse disclosure (r9 ADVICE): ann_ivf_probe fits its
+    # coarse quantizer once per (app, corpus) and reuses it across attempts
+    # (plans/llm_queries.py _IVF_CENTROIDS — a served index's real shape),
+    # while the DuckDB oracle re-fits every run; its recorded minimum
+    # amortizes the fit. The first execution always fits from data, so the
+    # correctness gate is unaffected.
+    amortized = [n for n in ("ann_ivf_probe",) if n in timings]
+    if amortized:
+        result["amortized_artifact"] = amortized
     if tainted:
         # queries whose window the canary flagged as degraded even after a
         # settle-and-retry — their recorded minima are upper bounds

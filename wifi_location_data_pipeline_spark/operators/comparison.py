@@ -220,18 +220,23 @@ def vlss_error_details(resp: Column) -> Column:
     399-419): structured ``svcError.errors`` entries render as
     ``Code <code>: <message> (<description>)`` joined with ``"; "``; when
     no structured errors are present, fall back to the legacy top-level
-    ``errorMessage`` field. NULL when neither exists."""
+    ``errorMessage`` field. NULL when neither exists. A NULL code/message/
+    description inside a structured entry renders as the literal text
+    ``null`` — Java's StringBuilder.append(Object) semantics; without the
+    coalesce the concat would NULL out and array_join would silently drop
+    the whole entry (r9 ADVICE)."""
     errors = resp.getField("svcError").getField("errors")
+    nul = lambda c: F.coalesce(c.cast("string"), F.lit("null"))  # noqa: E731
     structured = F.array_join(
         F.transform(
             errors,
             lambda e: F.concat(
                 F.lit("Code "),
-                e.getField("code").cast("string"),
+                nul(e.getField("code")),
                 F.lit(": "),
-                e.getField("message"),
+                nul(e.getField("message")),
                 F.lit(" ("),
-                e.getField("description"),
+                nul(e.getField("description")),
                 F.lit(")"),
             ),
         ),

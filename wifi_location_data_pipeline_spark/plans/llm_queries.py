@@ -5137,15 +5137,25 @@ def _cms_spark_fn(spark, sf_dir):
 
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        F2.explode(F2.split("text", " ")).alias("word")
-    ).filter("word != ''")
-    counts = _maybe_eager(
-        w.groupBy("word")
-        .agg(F2.count("*").cast("long").alias("true_count"))
-        .persist()
-    )
+    # Keyed memo like _BPE_WF / _IVF_CENTROIDS: without it every bench /
+    # driver invocation persisted a fresh copy of the same counts relation
+    # for the app lifetime (r9 ADVICE). Evict (and unpersist) stale
+    # same-corpus-dir entries on refresh.
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    counts = _CMS_COUNTS.get(key)
+    if counts is None:
+        docs = load_table(spark, sf_dir, "documents")
+        w = docs.select(
+            F2.explode(F2.split("text", " ")).alias("word")
+        ).filter("word != ''")
+        counts = _maybe_eager(
+            w.groupBy("word")
+            .agg(F2.count("*").cast("long").alias("true_count"))
+            .persist()
+        )
+        for k in [k for k in _CMS_COUNTS if k[:2] == key[:2]]:
+            _CMS_COUNTS.pop(k).unpersist()
+        _CMS_COUNTS[key] = counts
     depth = spark.sql("SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)")
     col = F2.expr(
         "CAST(conv(substr(md5(concat('cms', CAST(j AS STRING), '|', word)),"
@@ -5174,6 +5184,9 @@ def _cms_spark_fn(spark, sf_dir):
         .cast("boolean")
         .alias("bound_holds"),
     )
+
+
+_CMS_COUNTS: dict = {}
 
 
 register(
@@ -5318,7 +5331,11 @@ def _bpe_merge_train_fn(spark, sf_dir):
         _BPE_WF[key] = view
 
     def q(sql):
-        return f"'{sql.replace(chr(39), chr(39) * 2)}'"
+        # This literal is interpolated into SPARK SQL text only, where the
+        # default parser honors backslash escapes (unlike DuckDB) — escape
+        # backslashes BEFORE doubling quotes so a corpus token containing
+        # a backslash round-trips exactly (r9 ADVICE).
+        return "'" + sql.replace("\\", "\\\\").replace(chr(39), chr(39) * 2) + "'"
 
     pair_counts = (
         "SELECT p, CAST(SUM(freq) AS BIGINT) AS c FROM ("
