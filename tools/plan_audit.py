@@ -166,6 +166,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "global funnel-counts aggregate (the bounded-literal expansion "
         "pattern) — O(4) probe rows, never data-sized"
     ),
+    "event_funnel_windowed": (
+        "same 4-row literal stage relation CROSS JOIN against the ONE-ROW "
+        "counts aggregate as event_funnel — the windowed variant only adds "
+        "an upper bound to the stage-walk filter lambdas"
+    ),
     "cms_heavy_hitters": (
         "4-row literal depth relation fans the |vocab|-sized count table "
         "(and the 20-row truth table) to its sketch rows — O(4n) probe "

@@ -5369,6 +5369,140 @@ def _bpe_merge_train_fn(spark, sf_dir):
 _BPE_WF: dict = {}
 
 
+def _bpe_apply_duck_sql(d: str) -> str | None:
+    """Corpus tokenization with the learned BPE merges (VERDICT r9 #8):
+    the operator a training pipeline actually runs daily. The oracle
+    re-derives the two merges with the identical unrolled training text
+    (_bpe_body_sql — DuckDB shares the CTEs), tokenizes each DISTINCT
+    word once with the pinned iterated-leftmost-replace contract, and
+    joins token counts back to the per-doc word stream."""
+    if d == "spark":
+        return None
+    wf = (
+        "(SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) u "
+        "WHERE word != '' GROUP BY word) wf"
+    )
+    applied = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    for rank in (1, 2):
+        pat = f"' ' || (SELECT pair FROM merges WHERE merge_rank = {rank}) || ' '"
+        rep = (
+            "' ' || (SELECT merged_symbol FROM merges WHERE merge_rank = "
+            f"{rank}) || ' '"
+        )
+        for _ in range(3):
+            applied = f"replace({applied}, {pat}, {rep})"
+    return f"""
+WITH merges AS ({_bpe_body_sql("duck", wf)}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT DISTINCT word FROM dw),
+wt AS (
+  SELECT word, CAST(len(word) AS BIGINT) AS n_chars_w,
+    CAST(len(string_split(trim({applied}), ' ')) AS BIGINT) AS n_tok_w
+  FROM vocab
+)
+SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(wt.n_chars_w) AS BIGINT) AS n_chars,
+  CAST(SUM(wt.n_tok_w) AS BIGINT) AS n_tokens,
+  CAST(FLOOR(CAST(SUM(wt.n_chars_w) AS DOUBLE) / SUM(wt.n_tok_w)
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE)
+    AS compression_ratio
+FROM dw JOIN wt ON wt.word = dw.word
+GROUP BY dw.doc_id
+"""
+
+
+def _bpe_apply_fn(spark, sf_dir):
+    """BPE tokenization APPLY: learn the two merges (reusing
+    _bpe_merge_train_fn — keyed wf view + argmax collects, all cached per
+    corpus), tokenize the VOCABULARY once (per-distinct-word iterated
+    leftmost replace, the contract pinned by test_bpe_merge_semantics),
+    then broadcast-join token counts onto the per-doc word stream and
+    aggregate per doc — tokens/doc and chars/token compression, the
+    numbers a data pipeline reports after retraining a tokenizer.
+
+    Plan: the merge application is |vocab|-sized (never per-occurrence —
+    at 100 TB the vocab relation is millions of rows while occurrences
+    are trillions); the occurrence stream pays one explode + broadcast
+    join + per-doc aggregation, the same bounded shape as the oracle's.
+    If the vocab outgrows the broadcast threshold the join degrades to a
+    shuffle hash join on word — still corpus-shaped, no plan change."""
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    merges = {
+        int(r.merge_rank): (r.pair, r.merged_symbol)
+        for r in _bpe_merge_train_fn(spark, sf_dir).collect()
+    }
+    view = _BPE_WF[
+        (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    ]
+
+    def q(s):
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    applied = "' ' || array_join(split(word, ''), ' ') || ' '"
+    for rank in (1, 2):
+        pat, rep = q(f" {merges[rank][0]} "), q(f" {merges[rank][1]} ")
+        for _ in range(3):
+            applied = f"replace({applied}, {pat}, {rep})"
+    wt = spark.sql(
+        f"SELECT word, CAST(length(word) AS BIGINT) AS n_chars_w,"
+        f" CAST(size(split(trim({applied}), ' ')) AS BIGINT) AS n_tok_w"
+        f" FROM {view}"
+    )
+    dw = spark.sql(
+        "SELECT doc_id, explode(filter(split(text, ' '), w -> w != '')) AS word"
+        " FROM documents WHERE text IS NOT NULL"
+    )
+    return (
+        dw.join(F2.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F2.count("*").cast("long").alias("n_words"),
+            F2.sum("n_chars_w").cast("long").alias("n_chars"),
+            F2.sum("n_tok_w").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (
+                F2.floor(
+                    F2.col("n_chars").cast("double")
+                    / F2.col("n_tokens")
+                    * 10000.0
+                    + F2.lit(0.5)
+                )
+                / F2.lit(10000.0)
+            )
+            .cast("double")
+            .alias("compression_ratio"),
+        )
+    )
+
+
+register(
+    "bpe_apply_tokenize",
+    "Corpus tokenization with the learned BPE merge table: per-doc word / "
+    "char / token counts and the chars-per-token compression ratio after "
+    "applying both trained merges (iterated leftmost replace — the parse "
+    "contract pinned cross-engine by test_bpe_merge_semantics). Merge "
+    "application is vocabulary-sized, never per-occurrence; the "
+    "occurrence stream pays one explode + broadcast join + per-doc "
+    "aggregation. The oracle re-derives the merges from the identical "
+    "unrolled training SQL and tokenizes the same distinct-word relation.",
+    sql=_bpe_apply_duck_sql,
+    spark_fn=_bpe_apply_fn,
+)
+
+
 register(
     "bpe_merge_train",
     "BPE tokenizer-merge training, two unrolled iterations value-checked "

@@ -3836,6 +3836,97 @@ register(
 )
 
 
+def _event_funnel_windowed_sql(d: str) -> str:
+    """Time-boxed funnel (VERDICT r9 #7): same dialect-split plans as
+    _event_funnel_sql, with each stage constrained to land within 24 hours
+    of the previous stage — the form product-analytics pipelines actually
+    run (a purchase six months after the click is not a conversion). The
+    Spark side's filter lambda gains the upper bound (x > t_k AND
+    x <= t_k + 24h in epoch micros — exact integer comparisons); the
+    oracle's per-stage join gains the same predicate in timestamp
+    arithmetic. Still 2 shuffles / 0 joins on Spark; DuckDB still shares
+    the chained CTEs."""
+    if d == SPARK:
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        w = 24 * 3600 * 1000000  # 24 h in microseconds
+        return f"""
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN {us} END) AS t1,
+    collect_list(CASE WHEN event_type = 'view' THEN {us} END) AS vs,
+    collect_list(CASE WHEN event_type = 'click' THEN {us} END) AS cs,
+    collect_list(CASE WHEN event_type = 'purchase' THEN {us} END) AS ps
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+  GROUP BY user_id
+),
+c1 AS (SELECT t1, array_min(filter(vs, v -> v > t1 AND v <= t1 + {w})) AS t2,
+       cs, ps FROM per_user),
+c2 AS (SELECT t1, t2, array_min(filter(cs, c -> c > t2 AND c <= t2 + {w})) AS t3,
+       ps FROM c1),
+c3 AS (SELECT t1, t2, t3,
+       array_min(filter(ps, p -> p > t3 AND p <= t3 + {w})) AS t4 FROM c2),
+counts AS (
+  SELECT CAST(COUNT(t1) AS BIGINT) AS n1, CAST(COUNT(t2) AS BIGINT) AS n2,
+         CAST(COUNT(t3) AS BIGINT) AS n3, CAST(COUNT(t4) AS BIGINT) AS n4
+  FROM c3
+)
+SELECT CAST(s.stage AS BIGINT) AS stage,
+  element_at(array('signup', 'view', 'click', 'purchase'), s.stage) AS event_type,
+  element_at(array(n1, n2, n3, n4), s.stage) AS n_users,
+  ROUND(CAST(element_at(array(n1, n2, n3, n4), s.stage) AS DOUBLE) / n1,
+        4) AS frac_of_first
+FROM counts CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(stage)
+"""
+    return """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > u1.t
+    AND e.ts <= u1.t + INTERVAL 24 HOUR GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u2 ON u2.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > u2.t
+    AND e.ts <= u2.t + INTERVAL 24 HOUR GROUP BY e.user_id
+),
+u4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN u3 ON u3.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u3.t
+    AND e.ts <= u3.t + INTERVAL 24 HOUR GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage, 'signup' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+  UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM u2
+  UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM u3
+  UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM u4
+)
+SELECT CAST(stage AS BIGINT) AS stage, event_type, n_users,
+  ROUND(CAST(n_users AS DOUBLE)
+        / MAX(n_users) OVER (), 4) AS frac_of_first
+FROM stages
+"""
+
+
+register(
+    "event_funnel_windowed",
+    "Time-boxed conversion funnel (signup -> view -> click -> purchase, "
+    "each stage within 24 h of the previous stage's qualifying event) — "
+    "the windowed variant product analytics actually runs. Same one-pass "
+    "per-user plan as event_funnel (2 shuffles, 0 joins): the stage-walk "
+    "filter lambdas gain the upper bound in exact epoch-microsecond "
+    "integer arithmetic; the chained-CTE oracle gains the matching "
+    "INTERVAL predicate.",
+    sql=_event_funnel_windowed_sql,
+)
+
+
 register(
     "train_test_split",
     "Deterministic hash-based train/val/test assignment (80/10/10 by a "
@@ -3866,75 +3957,102 @@ FROM assigned GROUP BY source, split
 
 
 _TAIL = (
-    # ROUND-9 ROTATION (VERDICT r08 #3): the six entries added after the
-    # r8 window froze (tpch_q1/q3/q5, event_funnel, train_test_split,
-    # streaming_session_counts) rotate INTO the window for their first
-    # driver certification, together with the 16 stalest certs in the
-    # registry (the r2-certified redundancy block, the r5-parked
-    # measurement family, the r6-parked text/dedup trio). With those six
-    # certified, the union of r1-r9 windows covers ALL 100 oracle-bearing
-    # entries. 22 multi-round-green window entries park here in exchange,
-    # each with independent pytest/test-vector cover and an in-window
-    # family twin:
-    "cms_heavy_hitters",  # NEW in r9 (added after the r9 window was
-    # planned); value-checked by the tail parity pytest from day one;
-    # rotates into the driver window via the standing rotation
-    "streaming_dedup_counts",  # NEW in r9; same standing-rotation path;
-    # the corpus guarantees globally-unique event_id at every shipped SF
-    # (asserted by test_fixture_shapes), so the keep-one copy is unique
-    "bpe_merge_train",  # NEW in r9; same standing-rotation path
-    "streaming_enrich_counts",  # NEW in r9; same standing-rotation path
-    "streaming_hopping_counts",  # NEW in r9; same standing-rotation path
-    "selection_matrix",  # r9 park; driver-green r1-r8 straight (the
-    # most-certified entry); 480-combo selection pytest + AlgorithmSelector
-    # vectors; the data-path twin selection_reasons stays parity-checked
-    "dedup_minhash_lsh",  # r9 park; driver-green r1-r8 straight; the
-    # shingle-kernel + banding machinery stays exercised in-window by the
-    # dedup_strategy_agreement / substring_dup_spans / paragraph_dedup set
-    "ann_lsh_bucketed",  # r9 park; driver-green r1+r3-r8; the bounded
-    # top-k merge path stays in-window via ann_ivf_probe/ann_ivf_pq_search
-    "multimodal_decode",  # r9 park; driver-green r3-r8; the four codec
-    # stats entries + multimodal_frame_sample stay in-window end-to-end
-    "ensemble_closed_form",  # r9 park; driver-green r3-r8; kernel pinned
-    # by Java test vectors + the onepass/multipass randomized parity pytest
-    "asof_state_join",  # r9 park; driver-green r4-r8; tagged-union
-    # ordered-window pattern pinned by the parity pytest
-    "kmv_distinct_sketch",  # r9 park; driver-green r4-r8; the mergeable-
-    # sketch family stays in-window via hll_distinct_sketch
-    "ap_quality_metrics",  # r9 park; driver-green r1-r4+r8
-    "bssid_format_filter",  # r9 park; driver-green r1-r4+r8
-    "strongest_signal_pick",  # r9 park; driver-green r1-r4+r8 + vectors
-    "weighted_centroid",  # r9 park; driver-green r1-r4+r8 + WCL vectors
-    "comparison_metrics",  # r9 park; driver-green r1-r4+r8; haversine
-    # checked by comparison_scenarios pytest + in-window wcl_position_error
-    "ssid_clean_oui",  # r9 park; driver-green r1-r3+r8
-    "known_ap_semi_join",  # r9 park; driver-green r1-r3+r8
-    "status_filter",  # r9 park; driver-green r1-r3+r8
-    "per_group_topn",  # r9 park; driver-green r1-r3+r8
-    "event_dedup",  # r9 park; driver-green r1-r3+r8; streaming twin stays
-    "derived_quality_columns",  # r9 park; driver-green r1-r3+r8
-    "timestamp_sanity",  # r9 park; driver-green r1-r3+r8
-    "dedup_clusters",  # r9 park; driver-green r5-r8; union-find/CC pinned
-    # by graph pytest + the in-window dedup_strategy_agreement consumer
-    "rag_chunk_plan",  # r9 park; driver-green r5-r8; windowed chunk plan
+    # ROUND-10 ROTATION (VERDICT r09 #3 + standing rotation): the five
+    # entries added after the r9 window froze (cms_heavy_hitters,
+    # bpe_merge_train, streaming_dedup/enrich/hopping_counts) rotate INTO
+    # the window for their first driver certification — with them the
+    # union of r1-r10 windows again covers every oracle-bearing entry —
+    # together with this round's two new operators (event_funnel_windowed,
+    # bpe_apply_tokenize) and the 13 stalest certs (the r7/r8-parked
+    # comparison/positioning/relocation block, last driver-green r7 or
+    # earlier). 20 window entries certified green in r9 park here in
+    # exchange, each with independent pytest/test-vector cover:
+    "per_ap_stats",  # r10 park; driver-green r1-r9 straight; aggregate
+    # family stays in-window via retention_cohorts/quantile_histogram and
+    # the rotated-in session_window_agg
+    "sufficiency_gate",  # r10 park; driver-green r1-r9; HAVING over
+    # per_ap_stats' aggregate, parity-pytest covered
+    "hotspot_oui_exclude",  # r10 park; driver-green r1-r9; the anti-join
+    # path stays pinned by the hotspot pytest + rotated-in
+    # comparison_scenarios consumers
+    "ap_lookup_join",  # r10 park; driver-green r1-r9; broadcast keep-first
+    # join pinned by parity pytest; rotated-in dml_update_delete_flow
+    # exercises the same broadcast-dim machinery
+    "wcl_position_error",  # r10 park; driver-green r1-r9 + WCL Java
+    # vectors; rotated-in log_distance_model/rssi_ratio_positions keep the
+    # positioning family in-window
+    "signal_context_classes",  # r10 park; driver-green r1-r9; classifier
+    # trio pinned by positioning pytest
+    "tumbling_window_agg",  # r10 park; driver-green r2-r9; the
+    # value-checked streaming twin streaming_tumbling_counts stays in-window
+    "range_bucket_join",  # r10 park; driver-green r7-r9; custom-join
+    # family stays in-window via the rotated-in asof/spatial siblings'
+    # parity pytest and session_window_agg
+    "hll_distinct_sketch",  # r10 park; driver-green r6-r9; mergeable-
+    # sketch family stays in-window via the rotated-in cms_heavy_hitters
+    "skew_salted_agg",  # r10 park; physical-strategy demo (salting),
+    # driver-green r2-r9
+    "geohash_cells",  # r10 park; physical-strategy demo (spatial index),
+    # driver-green r2-r9
+    "codec_roundtrip",  # r10 park; driver-green r9 + the ingest e2e
+    # pytest and round-trip property tests run it every round
+    "text_quality_score",  # r10 park; driver-green r2-r6+r9; array-native
+    # text family stays in-window via gopher_rule_filters +
+    # unigram/bigram_logprob_score
+    "text_language_id",  # r10 park; driver-green r2-r6+r9; langid pinned
+    # by parity pytest; confusion twin parks alongside
+    "langid_confusion",  # r10 park; driver-green r6+r9
+    "doc_fingerprint",  # r10 park; driver-green r2-r6+r9; Arrow shingle
+    # kernel family stays in-window via substring_dup_spans +
+    # dedup_strategy_agreement
+    "dedup_exact",  # r10 park; driver-green r2-r6+r9; hash-groupBy
+    # keep-first stays covered by in-window paragraph_dedup +
+    # dedup_canonical_pick
+    "multimodal_frame_sample",  # r10 park; driver-green r7-r9; the four
+    # codec stats entries stay in-window end-to-end
+    "embedding_quantize_int8",  # r10 park; driver-green r7-r9; embedding
+    # family stays in-window via pq/ivf/pca trainers
+    "mixture_sampling_plan",  # r10 park; driver-green r5-r9; plan-class
+    # twin quality_stratified_sample parity-pytest covered in tail
+    # --- r9 parks (driver-green through r8, parity-pytest covered): ---
+    "selection_matrix",  # driver-green r1-r8 straight (the most-certified
+    # entry); 480-combo selection pytest + AlgorithmSelector vectors; the
+    # data-path twin selection_reasons rotates back in this round
+    "dedup_minhash_lsh",  # driver-green r1-r8; shingle-kernel + banding
+    # machinery stays exercised in-window by dedup_strategy_agreement /
+    # substring_dup_spans / paragraph_dedup
+    "ann_lsh_bucketed",  # driver-green r1+r3-r8; bounded top-k merge path
+    # stays in-window via ann_ivf_probe/ann_ivf_pq_search
+    "multimodal_decode",  # driver-green r3-r8; codec stats entries stay
+    # in-window end-to-end
+    "ensemble_closed_form",  # driver-green r3-r8; kernel pinned by Java
+    # test vectors + the onepass/multipass randomized parity pytest
+    "asof_state_join",  # driver-green r4-r8; tagged-union ordered-window
+    # pattern pinned by the parity pytest
+    "kmv_distinct_sketch",  # driver-green r4-r8; sketch family in-window
+    # via cms_heavy_hitters
+    "ap_quality_metrics",  # driver-green r1-r4+r8
+    "bssid_format_filter",  # driver-green r1-r4+r8
+    "strongest_signal_pick",  # driver-green r1-r4+r8 + vectors
+    "weighted_centroid",  # driver-green r1-r4+r8 + WCL vectors
+    "comparison_metrics",  # driver-green r1-r4+r8; haversine checked by
+    # comparison_scenarios (rotated back in) + its pytest
+    "ssid_clean_oui",  # driver-green r1-r3+r8
+    "known_ap_semi_join",  # driver-green r1-r3+r8
+    "status_filter",  # driver-green r1-r3+r8
+    "per_group_topn",  # driver-green r1-r3+r8
+    "event_dedup",  # driver-green r1-r3+r8; streaming dedup twin rotates
+    # into the window this round
+    "derived_quality_columns",  # driver-green r1-r3+r8
+    "timestamp_sanity",  # driver-green r1-r3+r8
+    "dedup_clusters",  # driver-green r5-r8; union-find/CC pinned by graph
+    # pytest + the in-window dedup_strategy_agreement consumer
+    "rag_chunk_plan",  # driver-green r5-r8; windowed chunk plan pinned by
+    # the parity pytest
+    "pii_scrub_stats",  # driver-green r5-r8; regex-count projection
     # pinned by the parity pytest
-    "pii_scrub_stats",  # r9 park; driver-green r5-r8; regex-count
-    # projection pinned by the parity pytest
-    # rotated out round 7/8 (see git history for the per-entry rationale);
-    # all parity-pytest covered, most-certified first:
-    "comparison_enriched",
-    "log_distance_model",
-    "mad_outlier_flags",
-    "comparison_scenarios",
-    "dml_update_delete_flow",
-    "session_window_agg",
-    "hypertable_rollup",
-    "lof_closed_form",
-    "rssi_ratio_positions",
-    "gdop_geometry",
-    "dbscan_closed_form",
-    "relocation_time_split",
-    "selection_reasons",
+    # rotated out round 7/8, still parked (parity-pytest covered,
+    # most-certified first):
     "spatial_blocked_pairs",
     "hotspot_behavioral",
     "tiered_localization",
