@@ -171,6 +171,11 @@ ALLOWED_BNLJ: dict[str, str] = {
         "counts aggregate as event_funnel — the windowed variant only adds "
         "an upper bound to the stage-walk filter lambdas"
     ),
+    "event_funnel_unordered": (
+        "same 4-row literal stage relation CROSS JOIN against the ONE-ROW "
+        "flag-product counts aggregate as event_funnel — the unordered "
+        "variant replaces the stage walk with per-user boolean flags"
+    ),
     "cms_heavy_hitters": (
         "4-row literal depth relation fans the |vocab|-sized count table "
         "(and the 20-row truth table) to its sketch rows — O(4n) probe "

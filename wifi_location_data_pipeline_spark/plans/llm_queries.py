@@ -4612,6 +4612,134 @@ register(
 )
 
 
+def _collocations_duck_sql(d: str) -> str | None:
+    """PMI over the top-20 adjacent pairs. Selection is INTEGER-
+    deterministic (count DESC, w1, w2 — never by the floating PMI, which
+    could reorder across engines at ulp distance); PMI is a computed
+    column on the selected rows, dyadic-floored at 1e-4 like the
+    logprob family (LN-vs-math.log ulp disparity is ~1e-15 against a
+    1e-4 grid — the unigram query's documented discipline)."""
+    if d == "spark":
+        return None
+    return """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2),
+nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM pc),
+uc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM uc),
+top AS (SELECT w1, w2, c FROM pc ORDER BY c DESC, w1, w2 LIMIT 20)
+SELECT top.w1, top.w2, top.c AS pair_count,
+  CAST(FLOOR(LN((top.c / (SELECT v FROM nb))
+               / ((u1.c / (SELECT v FROM n)) * (u2.c / (SELECT v FROM n))))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi
+FROM top
+  JOIN uc u1 ON u1.tok = top.w1
+  JOIN uc u2 ON u2.tok = top.w2
+"""
+
+
+def _collocations_fn(spark, sf_dir):
+    """Collocation mining (pointwise mutual information over adjacent
+    token pairs) — the phrase-vocabulary pass a tokenizer/data pipeline
+    runs to decide what deserves to be one token. Two scheduled jobs,
+    both with BOUNDED collects (the bpe/ivf literal-fold pattern):
+
+    - Job 1: adjacent-pair counts with GROUP BY ROLLUP(w1, w2) — the
+      grand-total row (both NULL; exploded tokens are never NULL, the
+      unigram query's safe sentinel) rides the same map-side-combinable
+      aggregation, partial (w1-only) rollup rows are filtered — then
+      TakeOrdered 21 (total + top-20 by count DESC, w1, w2 —
+      integer-deterministic selection).
+    - Job 2: unigram counts for the ≤40 words appearing in the top
+      pairs (+ the ROLLUP total for N), a ≤41-row collect.
+    - PMI derives driver-side exactly and the 20 rows fold back as a
+      VALUES LocalRelation — no data-sized join anywhere; at 100 TB
+      both jobs are one aggregation each over the token stream."""
+    import math
+
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    def q(s):
+        return "'" + s.replace("\\", "\\\\").replace(chr(39), chr(39) * 2) + "'"
+
+    empty = (
+        "SELECT CAST(NULL AS STRING) AS w1, CAST(NULL AS STRING) AS w2, "
+        "CAST(NULL AS BIGINT) AS pair_count, CAST(NULL AS DOUBLE) AS pmi "
+        "WHERE 1 = 0"
+    )
+    rows = spark.sql(
+        """
+        SELECT w1, w2, CAST(c AS BIGINT) AS c FROM (
+          SELECT w1, w2, COUNT(*) AS c FROM (
+            SELECT inline(zip_with(slice(t, 1, size(t) - 1),
+                                   slice(t, 2, size(t) - 1),
+                                   (a, b) -> struct(a AS w1, b AS w2)))
+            FROM (SELECT split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE size(t) >= 2
+          ) GROUP BY ROLLUP(w1, w2)
+        ) WHERE (w1 IS NULL) = (w2 IS NULL)
+        ORDER BY c DESC, w1 NULLS FIRST, w2 NULLS FIRST LIMIT 21
+        """
+    ).collect()
+    nb = next((float(r.c) for r in rows if r.w1 is None), 0.0)
+    top = [r for r in rows if r.w1 is not None][:20]
+    if not top or nb <= 0:
+        return spark.sql(empty)
+    words = sorted({w for r in top for w in (r.w1, r.w2)})
+    urows = spark.sql(
+        f"""
+        SELECT tok, CAST(c AS BIGINT) AS c FROM (
+          SELECT tok, COUNT(*) AS c
+          FROM (SELECT explode(split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL)
+          GROUP BY ROLLUP(tok)
+        ) WHERE tok IS NULL OR tok IN ({", ".join(q(w) for w in words)})
+        """
+    ).collect()
+    n = next(float(r.c) for r in urows if r.tok is None)
+    uc = {r.tok: r.c for r in urows if r.tok is not None}
+    vals = []
+    for r in top:
+        pmi = math.log((r.c / nb) / ((uc[r.w1] / n) * (uc[r.w2] / n)))
+        pmi = math.floor(pmi * 10000.0 + 0.5) / 10000.0
+        vals.append(
+            f"({q(r.w1)}, {q(r.w2)}, CAST({int(r.c)} AS BIGINT),"
+            f" CAST({pmi!r} AS DOUBLE))"
+        )
+    return spark.sql(
+        "SELECT w1, w2, pair_count, pmi FROM VALUES "
+        + ", ".join(vals)
+        + " AS t(w1, w2, pair_count, pmi)"
+    )
+
+
+register(
+    "ngram_collocations",
+    "Collocation mining: PMI over the corpus's top-20 adjacent token "
+    "pairs — the phrase-vocabulary measurement behind tokenizer/phrase "
+    "decisions. Pair selection is integer-deterministic (count DESC, "
+    "lexicographic tie-break; never ranked by the floating PMI), counts "
+    "come from two ROLLUP aggregations with bounded collects (21 and "
+    "<=41 rows at any corpus scale), PMI derives driver-side and folds "
+    "back as exact literals; the oracle computes the identical formula "
+    "in shared CTEs.",
+    sql=_collocations_duck_sql,
+    spark_fn=_collocations_fn,
+)
+
+
 def _strategy_agreement_spark_fn(spark, sf_dir):
     """Blocking-strategy agreement: the tuning measurement a production
     dedup pipeline runs before trusting a probabilistic blocker. Both

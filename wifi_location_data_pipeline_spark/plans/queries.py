@@ -3914,6 +3914,71 @@ FROM stages
 """
 
 
+def _event_funnel_unordered_sql(d: str) -> str:
+    """Any-order funnel: stage k counts users who performed ALL of the
+    first k event types, in any order — the completion-rate companion to
+    the strictly-ordered and time-boxed variants (product analytics runs
+    all three to separate 'did the steps' from 'did them in order').
+    ONE per-user boolean aggregation + a single-row product-of-flags
+    count — 2 shuffles, 0 data joins on Spark; the 4-row expansion is the
+    same bounded-literal pattern as event_funnel's. The shared CTE text
+    differs only in the dialect of the 4-row stage indexing."""
+    body = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h1,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS h2,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h3,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS h4
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+  GROUP BY user_id
+),
+counts AS (
+  SELECT CAST(SUM(h1) AS BIGINT) AS n1,
+         CAST(SUM(h1 * h2) AS BIGINT) AS n2,
+         CAST(SUM(h1 * h2 * h3) AS BIGINT) AS n3,
+         CAST(SUM(h1 * h2 * h3 * h4) AS BIGINT) AS n4
+  FROM per_user
+)
+"""
+    if d == SPARK:
+        return (
+            body
+            + """
+SELECT CAST(s.stage AS BIGINT) AS stage,
+  element_at(array('signup', 'view', 'click', 'purchase'), s.stage) AS event_type,
+  element_at(array(n1, n2, n3, n4), s.stage) AS n_users,
+  ROUND(CAST(element_at(array(n1, n2, n3, n4), s.stage) AS DOUBLE) / n1,
+        4) AS frac_of_first
+FROM counts CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(stage)
+"""
+        )
+    return (
+        body
+        + """
+SELECT CAST(s.stage AS BIGINT) AS stage,
+  list_extract(['signup', 'view', 'click', 'purchase'], s.stage) AS event_type,
+  list_extract([n1, n2, n3, n4], s.stage) AS n_users,
+  ROUND(CAST(list_extract([n1, n2, n3, n4], s.stage) AS DOUBLE) / n1,
+        4) AS frac_of_first
+FROM counts CROSS JOIN (VALUES (1), (2), (3), (4)) AS s(stage)
+"""
+    )
+
+
+register(
+    "event_funnel_unordered",
+    "Any-order completion funnel (users who performed ALL of the first k "
+    "event types, regardless of order) — the completion-rate companion "
+    "to event_funnel / event_funnel_windowed. One per-user boolean "
+    "aggregation + a single-row flag-product count: 2 shuffles, 0 data "
+    "joins; the 4-row output rides the established bounded-literal "
+    "expansion.",
+    sql=_event_funnel_unordered_sql,
+)
+
+
 register(
     "event_funnel_windowed",
     "Time-boxed conversion funnel (signup -> view -> click -> purchase, "
@@ -3967,6 +4032,11 @@ _TAIL = (
     # comparison/positioning/relocation block, last driver-green r7 or
     # earlier). 20 window entries certified green in r9 park here in
     # exchange, each with independent pytest/test-vector cover:
+    "ngram_collocations",  # NEW late in r10 (after the r10 window was
+    # planned); value-checked by the tail parity pytest from day one;
+    # rotates into the driver window via the standing rotation
+    "event_funnel_unordered",  # NEW late in r10; same standing-rotation
+    # path; completes the ordered/windowed/unordered funnel trio
     "per_ap_stats",  # r10 park; driver-green r1-r9 straight; aggregate
     # family stays in-window via retention_cohorts/quantile_histogram and
     # the rotated-in session_window_agg
