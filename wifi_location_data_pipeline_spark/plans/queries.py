@@ -2275,6 +2275,98 @@ GROUP BY 1, event_type
 )
 
 
+def _streaming_interval_join_spark_fn(spark, sf_dir):
+    """REAL stream-stream INTERVAL JOIN, value-checked (the hardest
+    Structured Streaming operator, and the one §2.8 concern type no
+    prior entry exercised): the click stream inner-joins the purchase
+    stream per user within (click_ts, click_ts + 1 hour] — attribution,
+    the query every product pipeline runs. Two independent readers of
+    the staged events source feed watermarked sides; the time-range
+    predicate bounds BOTH sides' join state so Spark can evict it — the
+    condition a 100 TB stream-stream join needs to run at all. Inner
+    join + append mode + Trigger.AvailableNow over the bounded source is
+    deterministic (an inner interval join never drops on-time rows and
+    the single-file stage arrives in one micro-batch), so the plain
+    batch self-join with the identical predicate value-checks the
+    streaming matches exactly: per-click-hour pair counts and
+    SUM(event_id) identity checksums on both sides of every matched
+    pair. The returned DataFrame is a BATCH aggregation over the sink
+    table (the streaming_dedup_counts pattern)."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    stage = _stage_stream_dir(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type, alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .filter(F2.col("event_type") == event_type)
+            .select(
+                F2.col("user_id").alias(f"{alias}_user"),
+                F2.col("event_id").alias(f"{alias}_id"),
+                F2.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F2.expr(
+            "p_user = c_user AND p_ts > c_ts"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    name = "stream_ivj_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT CAST(date_trunc('hour', c_ts) AS STRING) AS click_hour,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(c_id) AS BIGINT) AS click_checksum,
+          CAST(SUM(p_id) AS BIGINT) AS purchase_checksum
+        FROM {name} GROUP BY 1
+        """
+    )
+
+
+register(
+    "streaming_interval_join_counts",
+    "Structured Streaming STREAM-STREAM interval join, VALUE-CHECKED: the "
+    "click stream inner-joins the purchase stream per user within one "
+    "hour of the click (attribution), both sides watermarked so the "
+    "time-range predicate bounds join state — per-click-hour pair counts "
+    "and exact SUM(event_id) identity checksums on both sides gate "
+    "against the batch self-join with the identical predicate.",
+    sql=lambda d: """
+SELECT CAST(date_trunc('hour', c.ts) AS STRING) AS click_hour,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(c.event_id) AS BIGINT) AS click_checksum,
+  CAST(SUM(p.event_id) AS BIGINT) AS purchase_checksum
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+  AND c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+    if d == DUCK
+    else None,
+    spark_fn=_streaming_interval_join_spark_fn,
+)
+
+
 def _streaming_enrich_spark_fn(spark, sf_dir):
     """REAL stream-static enrichment join, value-checked (SURVEY §2.8):
     the events file stream joins the STATIC nation dimension inside the
@@ -4035,6 +4127,9 @@ _TAIL = (
     "ngram_collocations",  # NEW late in r10 (after the r10 window was
     # planned); value-checked by the tail parity pytest from day one;
     # rotates into the driver window via the standing rotation
+    "streaming_interval_join_counts",  # NEW late in r10; same
+    # standing-rotation path; the stream-stream interval join — §2.8's
+    # last unexercised operator class
     "event_funnel_unordered",  # NEW late in r10; same standing-rotation
     # path; completes the ordered/windowed/unordered funnel trio
     "per_ap_stats",  # r10 park; driver-green r1-r9 straight; aggregate
