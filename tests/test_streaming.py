@@ -353,3 +353,76 @@ def test_streaming_session_boundary_sub_ms(spark, tmp_path):
     )
     oracle = QUERIES["streaming_session_counts"].oracle()
     assert con.execute(oracle).fetchall() == []
+
+
+def test_interval_join_multi_batch_state_retention(spark, tmp_path):
+    """Stream-stream interval join across MICRO-BATCH boundaries: clicks
+    arriving in batch k must match purchases arriving in batch k+1 as
+    long as the pair is inside the 1-hour interval (join state retained
+    until the watermark passes click_ts + 1h). Events are staged as
+    three TIME-ORDERED files consumed one per trigger — the arrival
+    order a real file stream has — so no row is late and the streaming
+    result must equal the batch self-join exactly."""
+    from pyspark.sql import functions as F2
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ordered = events.orderBy("ts").withColumn(
+        "part", F2.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    stage = str(tmp_path / "stage")
+    for p in (1, 2, 3):
+        ordered.filter(F2.col("part") == p).drop("part").coalesce(1).write.mode(
+            "append" if p > 1 else "overwrite"
+        ).parquet(stage)
+
+    def side(event_type, alias):
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .filter(F2.col("event_type") == event_type)
+            .select(
+                F2.col("user_id").alias(f"{alias}_user"),
+                F2.col("event_id").alias(f"{alias}_id"),
+                F2.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F2.expr("p_user = c_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c_id) AS BIGINT) AS cs,"
+        " CAST(SUM(p_id) AS BIGINT) AS ps FROM ivj_multibatch"
+    ).collect()[0]
+
+    c = events.filter("event_type = 'click'").select(
+        F2.col("user_id").alias("cu"), F2.col("event_id").alias("ci"),
+        F2.col("ts").cast("timestamp").alias("ct"),
+    )
+    p = events.filter("event_type = 'purchase'").select(
+        F2.col("user_id").alias("pu"), F2.col("event_id").alias("pi"),
+        F2.col("ts").cast("timestamp").alias("pt"),
+    )
+    want = (
+        c.join(p, F2.expr("pu = cu AND pt > ct AND pt <= ct + INTERVAL 1 HOUR"))
+        .agg(
+            F2.count("*").cast("long").alias("n"),
+            F2.sum("ci").cast("long").alias("cs"),
+            F2.sum("pi").cast("long").alias("ps"),
+        )
+        .collect()[0]
+    )
+    assert got.n == want.n and got.n > 0
+    assert got.cs == want.cs and got.ps == want.ps
