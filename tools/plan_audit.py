@@ -171,6 +171,12 @@ ALLOWED_BNLJ: dict[str, str] = {
         "counts aggregate as event_funnel — the windowed variant only adds "
         "an upper bound to the stage-walk filter lambdas"
     ),
+    "dyadic_quantile_sketch": (
+        "3-row rational-quantile literal relation CROSS JOINed twice (once "
+        "against the per-group totals for the sketch walk, once against "
+        "the ranked values for the exact twin) — O(3n) probe rows, never "
+        "n²; the bucket/rank lookups themselves are equi-joins"
+    ),
     "event_funnel_unordered": (
         "same 4-row literal stage relation CROSS JOIN against the ONE-ROW "
         "flag-product counts aggregate as event_funnel — the unordered "

@@ -1934,6 +1934,89 @@ register(
 )
 
 
+def _dyadic_quantile_sql(d: str) -> str:
+    """Mergeable quantile sketch via a dyadic (power-of-two) histogram —
+    the QUANTILE member completing the kmv (distinct) / hll (distinct) /
+    cms (frequency) mergeable-sketch family: per-group bucket counts are
+    a plain SUM-mergeable relation (what a 1000-executor percentile
+    rollup ships between stages, vs shuffling every value for an exact
+    percentile), and a point query walks the cumulative counts to the
+    smallest bucket covering the target rank. Everything is
+    INTEGER-exact cross-engine: values quantize to cents
+    (FLOOR(v*100+0.5) — the corpus is cent-valued), the bucket is
+    LENGTH(bin(k)) (bit length, no float log2 at power-of-two
+    boundaries), target ranks are ceil(q*n) in integer arithmetic
+    ((qn*n + qd - 1) intdiv qd with q as a rational literal), and the
+    asserted property — the sketch picks EXACTLY the bucket containing
+    the true type-1 quantile — is an identity the value gate checks per
+    (group, q). Only the integer-division operator differs by dialect."""
+    idiv = "DIV" if d == SPARK else "//"
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS k
+  FROM events
+),
+b AS (
+  SELECT event_type, LENGTH(bin(k)) AS bucket, COUNT(*) AS c
+  FROM v GROUP BY event_type, LENGTH(bin(k))
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY event_type),
+q AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                            (CAST(9 AS BIGINT), CAST(10 AS BIGINT)),
+                            (CAST(99 AS BIGINT), CAST(100 AS BIGINT))) AS t(qn, qd)),
+cum AS (
+  SELECT event_type, bucket,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM b
+),
+est AS (
+  SELECT n.event_type, q.qn, q.qd,
+    MIN(CASE WHEN cum.cum >= (q.qn * n.n + q.qd - 1) {idiv} q.qd
+             THEN cum.bucket END) AS bkt
+  FROM n
+    CROSS JOIN q
+    JOIN cum ON cum.event_type = n.event_type
+  GROUP BY n.event_type, q.qn, q.qd
+),
+ranked AS (
+  SELECT event_type, k,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY k) AS rn
+  FROM v
+),
+exact AS (
+  SELECT r.event_type, q.qn, q.qd, r.k AS exact_k
+  FROM ranked r
+    JOIN n ON n.event_type = r.event_type
+    CROSS JOIN q
+  WHERE r.rn = (q.qn * n.n + q.qd - 1) {idiv} q.qd
+)
+SELECT est.event_type,
+  CAST(est.qn AS DOUBLE) / est.qd AS quantile,
+  CAST((POWER(CAST(2 AS DOUBLE), est.bkt) - 1) / 100.0 AS DOUBLE)
+    AS sketch_estimate,
+  CAST(exact.exact_k AS DOUBLE) / 100.0 AS exact_value,
+  CAST(est.bkt = LENGTH(bin(exact.exact_k)) AS BOOLEAN) AS bucket_matches
+FROM est
+  JOIN exact ON exact.event_type = est.event_type
+    AND exact.qn = est.qn AND exact.qd = est.qd
+"""
+
+
+register(
+    "dyadic_quantile_sketch",
+    "Mergeable quantile sketch: dyadic (bit-length) histogram buckets per "
+    "event type — SUM-mergeable counts, the shape a 1000-executor "
+    "percentile rollup ships instead of shuffling every value — with "
+    "p50/p90/p99 point queries walking the cumulative counts; the value "
+    "gate asserts per (group, q) that the sketch picks exactly the bucket "
+    "containing the true type-1 quantile. Completes the kmv/hll/cms "
+    "mergeable-sketch family with its quantile member; every step is "
+    "integer-exact cross-engine (cent quantization, bit-length buckets, "
+    "rational target ranks).",
+    sql=_dyadic_quantile_sql,
+)
+
+
 def _stage_stream_dir(sf_dir: str) -> str:
     """Stage the single-file events table as a directory for the file
     stream source (symlink; copy fallback), once per corpus path."""
@@ -4130,6 +4213,9 @@ _TAIL = (
     "streaming_interval_join_counts",  # NEW late in r10; same
     # standing-rotation path; the stream-stream interval join — §2.8's
     # last unexercised operator class
+    "dyadic_quantile_sketch",  # NEW late in r10; same standing-rotation
+    # path; the quantile member completing the kmv/hll/cms
+    # mergeable-sketch family
     "event_funnel_unordered",  # NEW late in r10; same standing-rotation
     # path; completes the ordered/windowed/unordered funnel trio
     "per_ap_stats",  # r10 park; driver-green r1-r9 straight; aggregate
