@@ -75,9 +75,12 @@ def test_keyed_memos_do_not_accumulate_persisted_relations(spark, sf_dir):
         _bpe_apply_fn,
     )
 
+    jsc = spark.sparkContext._jsc.sc()
+    # delta-based so persisted relations left by earlier tests on the
+    # shared session fixture can't make this order-dependent (r10 ADVICE)
+    before = jsc.getPersistentRDDs().size()
     for _ in range(3):
         _cms_spark_fn(spark, sf_dir).count()
         _bpe_apply_fn(spark, sf_dir).count()
-    jsc = spark.sparkContext._jsc.sc()
     # one persisted counts relation (cms) + one persisted wf relation (bpe)
-    assert jsc.getPersistentRDDs().size() <= 2
+    assert jsc.getPersistentRDDs().size() - before <= 2

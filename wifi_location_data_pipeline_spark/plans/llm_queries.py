@@ -4508,8 +4508,8 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
             SELECT tok, COUNT(*) AS c
             FROM (SELECT explode(split(text, ' ')) AS tok
                   FROM documents WHERE text IS NOT NULL)
-            GROUP BY tok ORDER BY c DESC, tok LIMIT 64
-            """
+            GROUP BY tok ORDER BY c DESC, tok LIMIT {V}
+            """.format(V=V)
         ).collect()
     ]
     uents = []
@@ -4543,7 +4543,7 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
     )
     keyed = idxed.select(
         F2.explode(
-            F2.filter(pair_keys(lambda a, b: a * 64 + b), lambda k: k.isNotNull())
+            F2.filter(pair_keys(lambda a, b: a * V + b), lambda k: k.isNotNull())
         ).alias("k")
     )
     brows = keyed.groupBy("k").count().collect()
@@ -4551,12 +4551,12 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
     ctx: dict = {}
     bt = 0
     for r in brows:
-        ctx[r.k // 64] = ctx.get(r.k // 64, 0) + r["count"]
+        ctx[r.k // V] = ctx.get(r.k // V, 0) + r["count"]
         bt += r["count"]
     floor_lp = math.log(0.5 / (bt + V / 2))
     lptab: list = [None] * (V * V)
     for r in brows:
-        lptab[r.k] = math.log((r["count"] + 0.5) / (ctx[r.k // 64] + V / 2))
+        lptab[r.k] = math.log((r["count"] + 0.5) / (ctx[r.k // V] + V / 2))
     # ONE literal node: F2.lit(list) would expand to array(lit, lit, ...)
     # — 4096 expression nodes re-analyzed/re-codegen'd per run, measured
     # ~2 s of per-attempt plan overhead at sf1. from_json on a foldable
@@ -4571,7 +4571,7 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
     lped = idxed.select(
         "doc_id",
         "np",
-        pair_keys(lambda a, b: F2.try_element_at(lplit, a * 64 + b + 1)).alias(
+        pair_keys(lambda a, b: F2.try_element_at(lplit, a * V + b + 1)).alias(
             "lps"
         ),
     )

@@ -2475,8 +2475,13 @@ def _streaming_interval_join_spark_fn(spark, sf_dir):
     batch self-join with the identical predicate value-checks the
     streaming matches exactly: per-click-hour pair counts and
     SUM(event_id) identity checksums on both sides of every matched
-    pair. The returned DataFrame is a BATCH aggregation over the sink
-    table (the streaming_dedup_counts pattern)."""
+    pair. Unlike the complete-mode aggregate sinks of the other
+    streaming entries, this sink table is DATA-sized (the raw joined
+    pair stream), so the batch aggregation collects eagerly and the
+    sink view is dropped before returning (r10 ADVICE: repeated bench/
+    driver invocations otherwise accumulate full pair sets in driver
+    memory for the app lifetime); the caller gets the bounded per-hour
+    aggregate as a local-relation DataFrame."""
     import uuid
 
     from pyspark.sql import functions as F2
@@ -2516,7 +2521,7 @@ def _streaming_interval_join_spark_fn(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.sql(
+    agg = spark.sql(
         f"""
         SELECT CAST(date_trunc('hour', c_ts) AS STRING) AS click_hour,
           CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -2525,6 +2530,10 @@ def _streaming_interval_join_spark_fn(spark, sf_dir):
         FROM {name} GROUP BY 1
         """
     )
+    rows = agg.collect()  # bounded: one row per click hour in the corpus
+    schema = agg.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 register(

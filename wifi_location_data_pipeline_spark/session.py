@@ -88,4 +88,12 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # pin the corpus-config restore target NOW (r10 ADVICE): if the first
+    # configure_for_corpus call happened after some code had transiently
+    # tuned shuffle.partitions, that transient value would otherwise become
+    # the permanent at-scale restore target for the session's lifetime
+    if not hasattr(spark, "_graft_default_shuffle_partitions"):
+        spark._graft_default_shuffle_partitions = spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
     return spark

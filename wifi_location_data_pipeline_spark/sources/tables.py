@@ -88,7 +88,9 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         return
     # remember the session's build-time parallelism so the at-scale branch
     # can restore it after a small-corpus run in the same session (bench
-    # runs sf0.1 then the sf1 replica)
+    # runs sf0.1 then the sf1 replica). build_session pins this attribute
+    # eagerly at construction (r10 ADVICE); this first-call capture is only
+    # the fallback for caller-supplied vanilla sessions (the driver's gate)
     if not hasattr(spark, "_graft_default_shuffle_partitions"):
         spark._graft_default_shuffle_partitions = spark.conf.get(
             "spark.sql.shuffle.partitions"
