@@ -426,3 +426,89 @@ def test_interval_join_multi_batch_state_retention(spark, tmp_path):
     )
     assert got.n == want.n and got.n > 0
     assert got.cs == want.cs and got.ps == want.ps
+
+
+def test_left_interval_join_emits_only_after_interval_expires(spark, tmp_path):
+    """LEFT OUTER interval join eviction contract across RESTARTS: an
+    unmatched click must NOT emit while the watermark is inside its
+    one-hour interval, and MUST emit NULL-padded once later arrivals
+    push the watermark past the interval end. Two availableNow runs
+    share one checkpoint: run 1 sees only the click (plus a purchase
+    for a different user, so both sides carry a watermark) and emits
+    nothing; run 2 sees +3 h events on both sides and must emit exactly
+    the NULL-padded click from run 1."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    batch1 = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="click", value=1.0, props=""),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=5), user_id=2,
+            event_type="purchase", value=1.0, props=""),
+    ]
+    batch2 = [
+        Row(event_id=3, ts=t0 + dt.timedelta(hours=3), user_id=3,
+            event_type="click", value=1.0, props=""),
+        Row(event_id=4, ts=t0 + dt.timedelta(hours=3), user_id=4,
+            event_type="purchase", value=1.0, props=""),
+    ]
+
+    def run():
+        def side(et, alias):
+            return (
+                spark.readStream.schema(schema)
+                .parquet(stage)
+                .filter(F2.col("event_type") == et)
+                .select(
+                    F2.col("user_id").alias(f"{alias}_user"),
+                    F2.col("event_id").alias(f"{alias}_id"),
+                    F2.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+                )
+                .withWatermark(f"{alias}_ts", "1 hour")
+            )
+
+        j = side("click", "c").join(
+            side("purchase", "p"),
+            F2.expr(
+                "p_user = c_user AND p_ts > c_ts"
+                " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    run()
+    got1 = spark.read.parquet(out).collect()
+    # the click's interval [t0, t0+1h] has not closed: nothing may emit
+    assert got1 == []
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    run()
+    got2 = spark.read.parquet(out).collect()
+    # exactly the run-1 click, NULL-padded; the run-2 click's interval is
+    # still open, so it must NOT appear
+    assert len(got2) == 1
+    r = got2[0]
+    assert r.c_id == 1 and r.c_user == 1 and r.p_id is None and r.p_user is None

@@ -47,6 +47,26 @@ CLAIMS: dict[str, str] = {
         "the interpreted-HOF floor, not a plan defect (r8; closes the "
         "r6/r7 fuse item)"
     ),
+    "ngram_collocations": (
+        "r11: single declarative action (the r10 form paid two "
+        "bounded-collect job rounds + a VALUES fold-back); decomposition "
+        "(sf1, idle best-of): pair-aggregation critical path 0.51 s "
+        "(tokenize + inline pair explode + string-pair groupBy — the "
+        "operator's actual data-sized work) with the 0.30 s unigram agg "
+        "and 0.19 s totals scan running CONCURRENTLY under it = 0.88 s "
+        "total vs 0.11 s in-process oracle; the residual is Spark's "
+        "string-shuffle + multi-stage floor on a ~35 MB text corpus, "
+        "not a plan defect"
+    ),
+    "dyadic_quantile_sketch": (
+        "r11 rework (closes the r10 weak entry, 8.1x -> 1.02 s vs "
+        "0.10 s at sf1): ONE map-side-combinable shuffle to the distinct "
+        "(event_type, cent-value) relation; value cumsum, per-group "
+        "total, and per-bucket cumulative as window columns reusing one "
+        "event_type exchange; all three point queries in one "
+        "groupBy(event_type) unpivoted with stack() — 1 scan, 2 "
+        "exchanges, no per-row ROW_NUMBER anywhere"
+    ),
     "event_funnel": (
         "ONE per-user pass: groupBy(user) collects per-type epoch-micros "
         "lists map-side-combinably, a LINEAR projection chain walks the 4 "
@@ -171,11 +191,10 @@ ALLOWED_BNLJ: dict[str, str] = {
         "counts aggregate as event_funnel — the windowed variant only adds "
         "an upper bound to the stage-walk filter lambdas"
     ),
-    "dyadic_quantile_sketch": (
-        "3-row rational-quantile literal relation CROSS JOINed twice (once "
-        "against the per-group totals for the sketch walk, once against "
-        "the ranked values for the exact twin) — O(3n) probe rows, never "
-        "n²; the bucket/rank lookups themselves are equi-joins"
+    "ngram_collocations": (
+        "ONE-ROW totals aggregate (pair/token counts) CROSS JOINed onto "
+        "the 20-row top-pair relation — the SQL scalar-subquery pattern; "
+        "the unigram lookup itself is an equi-join on the unpivoted words"
     ),
     "event_funnel_unordered": (
         "same 4-row literal stage relation CROSS JOIN against the ONE-ROW "

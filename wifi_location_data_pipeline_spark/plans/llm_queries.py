@@ -3211,6 +3211,125 @@ register(
 )
 
 
+def _ann_recall_duck_sql(d: str) -> str | None:
+    """Recall@k of every approximate index against the brute-force
+    baseline, composed from the four ANN entries' own oracle texts as
+    nested-WITH subqueries — so this oracle certifies the same pipelines
+    the individual entries certify, plus the recall arithmetic. The
+    recall ratio is integer-exact (hits/k on the 1e-4 grid via integer
+    FLOOR), never a cross-engine float comparison."""
+    if d == "spark":
+        return None
+    return f"""
+WITH brute AS ({_ann_brute_duck_sql(d)}),
+lsh AS ({_ann_lsh_duck_sql(d)}),
+ivf AS ({_ann_ivf_duck_sql(d)}),
+pq AS ({_ivf_pq_search_duck_sql(d)}),
+methods AS (
+  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'ivf_probe', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM pq
+),
+mk AS (SELECT * FROM (VALUES ('lsh_bucketed', CAST(5 AS BIGINT)),
+                             ('ivf_probe', CAST(3 AS BIGINT)),
+                             ('ivf_pq', CAST(3 AS BIGINT))) AS t(method, k)),
+qs AS (SELECT DISTINCT query_id FROM brute),
+grid AS (SELECT mk.method, mk.k, qs.query_id FROM mk CROSS JOIN qs),
+hits AS (
+  SELECT g.method, g.query_id, g.k,
+    CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_returned,
+    CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_hits
+  FROM grid g
+    LEFT JOIN methods m
+      ON m.method = g.method AND m.query_id = g.query_id
+    LEFT JOIN brute b
+      ON b.query_id = g.query_id AND b.neighbor_id = m.neighbor_id
+         AND b.rank <= g.k
+  GROUP BY g.method, g.query_id, g.k
+)
+SELECT method, query_id, k, n_returned, n_hits,
+  CAST(FLOOR(n_hits * 10000.0 / k + 0.5) / CAST(10000.0 AS DOUBLE)
+       AS DOUBLE) AS recall_at_k
+FROM hits
+"""
+
+
+def _ann_recall_spark_fn(spark, sf_dir):
+    """ANN recall@k evaluation (VERDICT r10 #7): the measurement a
+    pipeline runs before trusting an index corpus-wide. Runs the four
+    existing ANN pipelines (brute-force baseline + LSH bucket + IVF
+    probe + IVF-PQ) — each emits a bounded VALUES LocalRelation (8
+    queries x <=5 rows), so everything past the pipelines themselves is
+    literal-relation arithmetic: per (method, query) the hit count
+    against the brute top-k for that method's k, recall on the 1e-4
+    integer grid. Cost is the four pipelines (each already audited);
+    the eval adds zero data-sized work."""
+    from pyspark.sql import functions as F2
+
+    brute = _ann_brute_spark_fn(spark, sf_dir)
+    sides = [
+        ("lsh_bucketed", 5, _ann_lsh_spark_fn(spark, sf_dir)),
+        ("ivf_probe", 3, _ann_ivf_spark_fn(spark, sf_dir)),
+        ("ivf_pq", 3, _ivf_pq_search_spark_fn(spark, sf_dir)),
+    ]
+    methods = None
+    for name, _k, df in sides:
+        part = df.select(
+            F2.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        methods = part if methods is None else methods.unionAll(part)
+    mk = spark.sql(
+        "SELECT * FROM (VALUES ('lsh_bucketed', CAST(5 AS BIGINT)),"
+        " ('ivf_probe', CAST(3 AS BIGINT)),"
+        " ('ivf_pq', CAST(3 AS BIGINT))) AS t(method, k)"
+    )
+    qs = brute.select("query_id").distinct()
+    grid = mk.crossJoin(qs)
+    m = methods.alias("m")
+    b = brute.alias("b")
+    g = grid.alias("g")
+    joined = g.join(
+        m,
+        (F2.col("m.method") == F2.col("g.method"))
+        & (F2.col("m.query_id") == F2.col("g.query_id")),
+        "left",
+    ).join(
+        b,
+        (F2.col("b.query_id") == F2.col("g.query_id"))
+        & (F2.col("b.neighbor_id") == F2.col("m.neighbor_id"))
+        & (F2.col("b.rank") <= F2.col("g.k")),
+        "left",
+    )
+    hits = joined.groupBy("g.method", "g.query_id", "g.k").agg(
+        F2.count("m.neighbor_id").cast("long").alias("n_returned"),
+        F2.count("b.neighbor_id").cast("long").alias("n_hits"),
+    )
+    return hits.select(
+        F2.col("method"),
+        F2.col("query_id"),
+        F2.col("k"),
+        "n_returned",
+        "n_hits",
+        F2.expr(
+            "CAST(FLOOR(n_hits * 10000.0 / k + 0.5)"
+            " / CAST(10000.0 AS DOUBLE) AS DOUBLE)"
+        ).alias("recall_at_k"),
+    )
+
+
+register(
+    "ann_recall_eval",
+    "ANN recall@k evaluation: recall of the LSH-bucketed, IVF-probe, and "
+    "IVF-PQ indexes against the brute-force cosine top-k baseline over "
+    "the same 8 queries — per (method, query) hit counts against the "
+    "exact top-k and the recall ratio on the 1e-4 integer grid; the "
+    "before-you-trust-the-index measurement, fully value-checked (the "
+    "oracle composes the four ANN entries' own oracle texts).",
+    sql=_ann_recall_duck_sql,
+    spark_fn=_ann_recall_spark_fn,
+)
+
+
 _SGD_Q = "1048576.0"  # 2^20 dyadic grid for the weight quantization
 
 
@@ -4650,78 +4769,68 @@ FROM top
 def _collocations_fn(spark, sf_dir):
     """Collocation mining (pointwise mutual information over adjacent
     token pairs) — the phrase-vocabulary pass a tokenizer/data pipeline
-    runs to decide what deserves to be one token. Two scheduled jobs,
-    both with BOUNDED collects (the bpe/ivf literal-fold pattern):
+    runs to decide what deserves to be one token. ONE declarative
+    action, no driver round-trips (VERDICT r10 #4: the previous
+    two-collect form paid a scheduled-job round per bounded ROLLUP
+    collect plus a VALUES fold-back job — +0.8-0.9 s of pure floor at
+    sf1):
 
-    - Job 1: adjacent-pair counts with GROUP BY ROLLUP(w1, w2) — the
-      grand-total row (both NULL; exploded tokens are never NULL, the
-      unigram query's safe sentinel) rides the same map-side-combinable
-      aggregation, partial (w1-only) rollup rows are filtered — then
-      TakeOrdered 21 (total + top-20 by count DESC, w1, w2 —
-      integer-deterministic selection).
-    - Job 2: unigram counts for the ≤40 words appearing in the top
-      pairs (+ the ROLLUP total for N), a ≤41-row collect.
-    - PMI derives driver-side exactly and the 20 rows fold back as a
-      VALUES LocalRelation — no data-sized join anywhere; at 100 TB
-      both jobs are one aggregation each over the token stream."""
-    import math
-
+    - pair counts (map-side-combinable) -> TakeOrderedAndProject 20
+      (count DESC, w1, w2 — integer-deterministic selection);
+    - the pair/token TOTALS come from a plain global aggregation of
+      per-doc token counts (SUM(size(t)-1) / SUM(size(t)) — no shuffle,
+      no ROLLUP needed), equal by construction to SUM over the count
+      relations;
+    - the top-20 relation unpivots to its <=40 words and equi-joins the
+      vocabulary-sized unigram relation ONCE (each CTE has exactly one
+      consumer, so Spark's WITH re-inlining cannot duplicate the
+      data-sized aggregations), then a tiny regroup recovers (c1, c2)
+      per pair and PMI computes in-plan with the family's 1e-4 dyadic
+      floor (LN ulp disparity ~1e-15 against the grid — the unigram
+      query's documented discipline)."""
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-
-    def q(s):
-        return "'" + s.replace("\\", "\\\\").replace(chr(39), chr(39) * 2) + "'"
-
-    empty = (
-        "SELECT CAST(NULL AS STRING) AS w1, CAST(NULL AS STRING) AS w2, "
-        "CAST(NULL AS BIGINT) AS pair_count, CAST(NULL AS DOUBLE) AS pmi "
-        "WHERE 1 = 0"
-    )
-    rows = spark.sql(
-        """
-        SELECT w1, w2, CAST(c AS BIGINT) AS c FROM (
-          SELECT w1, w2, COUNT(*) AS c FROM (
-            SELECT inline(zip_with(slice(t, 1, size(t) - 1),
-                                   slice(t, 2, size(t) - 1),
-                                   (a, b) -> struct(a AS w1, b AS w2)))
-            FROM (SELECT split(text, ' ') AS t
-                  FROM documents WHERE text IS NOT NULL)
-            WHERE size(t) >= 2
-          ) GROUP BY ROLLUP(w1, w2)
-        ) WHERE (w1 IS NULL) = (w2 IS NULL)
-        ORDER BY c DESC, w1 NULLS FIRST, w2 NULLS FIRST LIMIT 21
-        """
-    ).collect()
-    nb = next((float(r.c) for r in rows if r.w1 is None), 0.0)
-    top = [r for r in rows if r.w1 is not None][:20]
-    if not top or nb <= 0:
-        return spark.sql(empty)
-    words = sorted({w for r in top for w in (r.w1, r.w2)})
-    urows = spark.sql(
-        f"""
-        SELECT tok, CAST(c AS BIGINT) AS c FROM (
-          SELECT tok, COUNT(*) AS c
-          FROM (SELECT explode(split(text, ' ')) AS tok
-                FROM documents WHERE text IS NOT NULL)
-          GROUP BY ROLLUP(tok)
-        ) WHERE tok IS NULL OR tok IN ({", ".join(q(w) for w in words)})
-        """
-    ).collect()
-    n = next(float(r.c) for r in urows if r.tok is None)
-    uc = {r.tok: r.c for r in urows if r.tok is not None}
-    vals = []
-    for r in top:
-        pmi = math.log((r.c / nb) / ((uc[r.w1] / n) * (uc[r.w2] / n)))
-        pmi = math.floor(pmi * 10000.0 + 0.5) / 10000.0
-        vals.append(
-            f"({q(r.w1)}, {q(r.w2)}, CAST({int(r.c)} AS BIGINT),"
-            f" CAST({pmi!r} AS DOUBLE))"
-        )
     return spark.sql(
-        "SELECT w1, w2, pair_count, pmi FROM VALUES "
-        + ", ".join(vals)
-        + " AS t(w1, w2, pair_count, pmi)"
+        """
+WITH toks AS (
+  SELECT split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT inline(zip_with(slice(t, 1, size(t) - 1),
+                           slice(t, 2, size(t) - 1),
+                           (a, b) -> struct(a AS w1, b AS w2)))
+    FROM toks WHERE size(t) >= 2
+  ) GROUP BY w1, w2
+),
+top AS (SELECT w1, w2, c FROM pc ORDER BY c DESC, w1, w2 LIMIT 20),
+sides AS (
+  SELECT w1, w2, c, word
+  FROM top LATERAL VIEW explode(array(w1, w2)) AS word
+),
+uc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT explode(t) AS tok FROM toks) GROUP BY tok
+),
+enr AS (
+  SELECT s.w1, s.w2, s.c,
+    MAX(CASE WHEN s.word = s.w1 THEN u.c END) AS c1,
+    MAX(CASE WHEN s.word = s.w2 THEN u.c END) AS c2
+  FROM sides s JOIN uc u ON u.tok = s.word
+  GROUP BY s.w1, s.w2, s.c
+),
+totals AS (
+  SELECT
+    CAST(SUM(CASE WHEN size(t) >= 2 THEN size(t) - 1 ELSE 0 END) AS DOUBLE) AS nb,
+    CAST(SUM(size(t)) AS DOUBLE) AS n
+  FROM toks
+)
+SELECT e.w1, e.w2, e.c AS pair_count,
+  CAST(FLOOR(LN((e.c / totals.nb) / ((e.c1 / totals.n) * (e.c2 / totals.n)))
+             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi
+FROM enr e CROSS JOIN totals
+"""
     )
 
 
@@ -4730,13 +4839,129 @@ register(
     "Collocation mining: PMI over the corpus's top-20 adjacent token "
     "pairs — the phrase-vocabulary measurement behind tokenizer/phrase "
     "decisions. Pair selection is integer-deterministic (count DESC, "
-    "lexicographic tie-break; never ranked by the floating PMI), counts "
-    "come from two ROLLUP aggregations with bounded collects (21 and "
-    "<=41 rows at any corpus scale), PMI derives driver-side and folds "
-    "back as exact literals; the oracle computes the identical formula "
-    "in shared CTEs.",
+    "lexicographic tie-break; never ranked by the floating PMI); one "
+    "declarative plan — pair counts to a top-20 cutoff, totals from a "
+    "shuffle-free global aggregation, one equi-join of the unpivoted "
+    "top words against the unigram relation — computes PMI in-plan at "
+    "the family's 1e-4 dyadic floor; the oracle computes the identical "
+    "formula in shared CTEs.",
     sql=_collocations_duck_sql,
     spark_fn=_collocations_fn,
+)
+
+
+def _tfidf_duck_sql(d: str) -> str | None:
+    """Per-doc top-3 tf-idf terms. Ranking follows the tpch_q3
+    dyadic-quantize-before-rank discipline: the float score quantizes to
+    a BIGINT 1e-4 grid (LN ulp disparity ~1e-15 against the grid) and
+    the rank key is (quantized score DESC, term) — (doc, term) is unique
+    so the ordering is total and cross-engine deterministic."""
+    if d == "spark":
+        return None
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tfr AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dfr AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+),
+nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, f.df,
+    CAST(FLOOR(t.tf * LN(((SELECT n FROM nd) + 1.0) / (f.df + 1.0))
+               * 10000.0 + 0.5) AS BIGINT) AS sq
+  FROM tfr t JOIN dfr f ON f.tok = t.tok
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, sq,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sq DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok AS term, tf, df,
+  CAST(sq AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS tfidf,
+  CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+def _tfidf_spark_fn(spark, sf_dir):
+    """Per-doc top-k tf-idf — the canonical corpus-exploration operator
+    (VERDICT r10 #8). Three INDEPENDENT lineages (per-doc term counts,
+    vocabulary document frequencies from the distinct in-doc token sets,
+    one-row doc total), so Spark's WITH re-inlining can't duplicate a
+    data-sized aggregation; the df lookup is a plain equi-join on term
+    (vocabulary-sized build side — not broadcast-hinted, AQE decides),
+    and the per-doc top-3 uses the established array-sort-comparator
+    discipline: collect the doc's scored terms (bounded by the doc's
+    distinct-token count), sort_array on (-quantized score, term), slice
+    3, posexplode — no global rank window over the corpus. Score
+    quantizes to the 1e-4 BIGINT grid BEFORE ranking (the tpch_q3
+    dyadic-quantize-before-rank discipline)."""
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where("text IS NOT NULL")
+    toks = docs.select("doc_id", F2.explode(F2.split("text", " ")).alias("tok"))
+    tfr = toks.groupBy("doc_id", "tok").agg(F2.count("*").cast("long").alias("tf"))
+    # df from the distinct in-doc token sets — array_distinct scan-side, so
+    # the exchange ships one row per (doc, distinct token), map-side-combined
+    dfr = (
+        docs.select(F2.explode(F2.array_distinct(F2.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F2.count("*").cast("long").alias("df"))
+    )
+    nd = docs.agg(F2.count("*").cast("double").alias("n"))
+    scored = (
+        tfr.join(dfr, "tok")
+        .crossJoin(F2.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F2.expr(
+                "CAST(FLOOR(tf * LN((n + 1.0) / (df + 1.0)) * 10000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("sq"),
+        )
+    )
+    packed = scored.groupBy("doc_id").agg(
+        F2.sort_array(
+            F2.collect_list(F2.struct((-F2.col("sq")).alias("nsq"), "tok", "tf", "df"))
+        ).alias("terms")
+    )
+    return packed.select(
+        "doc_id", F2.posexplode(F2.slice("terms", 1, 3))
+    ).select(
+        "doc_id",
+        F2.col("col.tok").alias("term"),
+        F2.col("col.tf").alias("tf"),
+        F2.col("col.df").alias("df"),
+        F2.expr("CAST(-col.nsq AS DOUBLE) / CAST(10000.0 AS DOUBLE)").alias("tfidf"),
+        (F2.col("pos") + 1).cast("long").alias("rk"),
+    )
+
+
+register(
+    "tfidf_topk_terms",
+    "Per-document top-3 tf-idf terms: smoothed idf LN((N+1)/(df+1)) over "
+    "the corpus vocabulary, score dyadically quantized to a 1e-4 BIGINT "
+    "grid BEFORE ranking (the tpch_q3 discipline) with a term tie-break; "
+    "the Spark plan keeps per-doc ranking array-native (collect + "
+    "sort_array comparator + slice, no corpus-wide rank window) and "
+    "derives df map-side-combinably from distinct in-doc token sets.",
+    sql=_tfidf_duck_sql,
+    spark_fn=_tfidf_spark_fn,
 )
 
 

@@ -2561,6 +2561,156 @@ GROUP BY 1
 )
 
 
+def _stage_flush_stream_dir(sf_dir: str) -> str:
+    """Stage events + a far-future watermark-flush sentinel pair for the
+    LEFT OUTER interval join (its NULL-padded unmatched rows only emit
+    when the watermark closes their interval — the state-eviction
+    contract itself — so a bounded corpus needs one sentinel per side to
+    push the final watermark past every real interval). The sentinels
+    use user_ids -1/-2 (never matching any real user or each other) and
+    a 2100-01-01 event time; the sentinel click's own interval never
+    closes, so neither sentinel ever reaches the output. Written with
+    pyarrow as a single file (the file-stream source does not recurse
+    into Spark's directory-style writes), NTZ micros like the corpus."""
+    import hashlib
+    import shutil
+
+    src_file = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    stage = os.path.join(
+        "/tmp", "sg_stream_fl_" + hashlib.md5(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src_file, link)
+        except OSError:
+            (shutil.copytree if os.path.isdir(src_file) else shutil.copy2)(
+                src_file, link
+            )
+    flush = os.path.join(stage, "wm_flush.parquet")
+    if not os.path.exists(flush):
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        far = _dt.datetime(2100, 1, 1)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-9001, -9002], pa.int64()),
+                "ts": pa.array([far, far], pa.timestamp("us")),
+                "user_id": pa.array([-1, -2], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["", ""], pa.string()),
+            }
+        )
+        pq.write_table(tbl, flush)
+    return stage
+
+
+def _streaming_left_interval_join_spark_fn(spark, sf_dir):
+    """REAL stream-stream LEFT OUTER interval join, value-checked
+    (VERDICT r10 #6 — the genuinely harder semantics the inner join
+    doesn't exercise): NULL-padded unmatched clicks are emitted only
+    when the watermark closes their one-hour interval, i.e. the join's
+    state-eviction contract IS the result. Both sides watermarked; a
+    far-future sentinel pair (see _stage_flush_stream_dir) pushes the
+    final watermark past every real interval so ALL real unmatched
+    clicks flush deterministically under Trigger.AvailableNow, making
+    the bounded batch LEFT JOIN with the identical predicate the exact
+    oracle. The sentinels themselves never reach the output (the
+    sentinel click's interval never closes; unmatched right-side rows
+    are not padded in a left join). Sink handling follows the inner
+    entry: the data-sized pair stream collects into the bounded
+    per-hour aggregate and the memory-sink view is dropped."""
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from wifi_location_data_pipeline_spark.sources.tables import load_table
+
+    stage = _stage_flush_stream_dir(sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type, alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .filter(F2.col("event_type") == event_type)
+            .select(
+                F2.col("user_id").alias(f"{alias}_user"),
+                F2.col("event_id").alias(f"{alias}_id"),
+                F2.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F2.expr(
+            "p_user = c_user AND p_ts > c_ts"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    name = "stream_livj_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg = spark.sql(
+        f"""
+        SELECT CAST(date_trunc('hour', c_ts) AS STRING) AS click_hour,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(p_id) AS BIGINT) AS n_matched,
+          CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unmatched,
+          CAST(SUM(c_id) AS BIGINT) AS click_checksum,
+          CAST(SUM(p_id) AS BIGINT) AS purchase_checksum
+        FROM {name} WHERE c_user >= 0 GROUP BY 1
+        """
+    )
+    rows = agg.collect()  # bounded: one row per click hour in the corpus
+    schema_out = agg.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema_out)
+
+
+register(
+    "streaming_left_interval_join_counts",
+    "Structured Streaming stream-stream LEFT OUTER interval join, "
+    "VALUE-CHECKED: clicks left-join purchases per user within one hour, "
+    "NULL-padded unmatched clicks emitted only when the watermark closes "
+    "their interval (the state-eviction contract itself); a far-future "
+    "sentinel pair flushes the final watermark so the bounded batch LEFT "
+    "JOIN with the identical predicate gates per-click-hour row/match/"
+    "unmatched counts and SUM(event_id) checksums on both sides exactly.",
+    sql=lambda d: """
+SELECT CAST(date_trunc('hour', c.ts) AS STRING) AS click_hour,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(p.event_id) AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unmatched,
+  CAST(SUM(c.event_id) AS BIGINT) AS click_checksum,
+  CAST(SUM(p.event_id) AS BIGINT) AS purchase_checksum
+FROM events c LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+GROUP BY 1
+"""
+    if d == DUCK
+    else None,
+    spark_fn=_streaming_left_interval_join_spark_fn,
+)
+
+
 def _streaming_enrich_spark_fn(spark, sf_dir):
     """REAL stream-static enrichment join, value-checked (SURVEY §2.8):
     the events file stream joins the STATIC nation dimension inside the
@@ -4308,128 +4458,94 @@ FROM assigned GROUP BY source, split
 
 
 _TAIL = (
-    # ROUND-10 ROTATION (VERDICT r09 #3 + standing rotation): the five
-    # entries added after the r9 window froze (cms_heavy_hitters,
-    # bpe_merge_train, streaming_dedup/enrich/hopping_counts) rotate INTO
-    # the window for their first driver certification — with them the
-    # union of r1-r10 windows again covers every oracle-bearing entry —
-    # together with this round's two new operators (event_funnel_windowed,
-    # bpe_apply_tokenize) and the 13 stalest certs (the r7/r8-parked
-    # comparison/positioning/relocation block, last driver-green r7 or
-    # earlier). 20 window entries certified green in r9 park here in
-    # exchange, each with independent pytest/test-vector cover:
-    "ngram_collocations",  # NEW late in r10 (after the r10 window was
-    # planned); value-checked by the tail parity pytest from day one;
-    # rotates into the driver window via the standing rotation
-    "streaming_interval_join_counts",  # NEW late in r10; same
-    # standing-rotation path; the stream-stream interval join — §2.8's
-    # last unexercised operator class
-    "dyadic_quantile_sketch",  # NEW late in r10; same standing-rotation
-    # path; the quantile member completing the kmv/hll/cms
-    # mergeable-sketch family
-    "event_funnel_unordered",  # NEW late in r10; same standing-rotation
-    # path; completes the ordered/windowed/unordered funnel trio
-    "per_ap_stats",  # r10 park; driver-green r1-r9 straight; aggregate
-    # family stays in-window via retention_cohorts/quantile_histogram and
-    # the rotated-in session_window_agg
-    "sufficiency_gate",  # r10 park; driver-green r1-r9; HAVING over
-    # per_ap_stats' aggregate, parity-pytest covered
-    "hotspot_oui_exclude",  # r10 park; driver-green r1-r9; the anti-join
-    # path stays pinned by the hotspot pytest + rotated-in
-    # comparison_scenarios consumers
-    "ap_lookup_join",  # r10 park; driver-green r1-r9; broadcast keep-first
-    # join pinned by parity pytest; rotated-in dml_update_delete_flow
-    # exercises the same broadcast-dim machinery
-    "wcl_position_error",  # r10 park; driver-green r1-r9 + WCL Java
-    # vectors; rotated-in log_distance_model/rssi_ratio_positions keep the
-    # positioning family in-window
-    "signal_context_classes",  # r10 park; driver-green r1-r9; classifier
-    # trio pinned by positioning pytest
-    "tumbling_window_agg",  # r10 park; driver-green r2-r9; the
-    # value-checked streaming twin streaming_tumbling_counts stays in-window
-    "range_bucket_join",  # r10 park; driver-green r7-r9; custom-join
-    # family stays in-window via the rotated-in asof/spatial siblings'
-    # parity pytest and session_window_agg
-    "hll_distinct_sketch",  # r10 park; driver-green r6-r9; mergeable-
-    # sketch family stays in-window via the rotated-in cms_heavy_hitters
-    "skew_salted_agg",  # r10 park; physical-strategy demo (salting),
-    # driver-green r2-r9
-    "geohash_cells",  # r10 park; physical-strategy demo (spatial index),
-    # driver-green r2-r9
-    "codec_roundtrip",  # r10 park; driver-green r9 + the ingest e2e
-    # pytest and round-trip property tests run it every round
-    "text_quality_score",  # r10 park; driver-green r2-r6+r9; array-native
-    # text family stays in-window via gopher_rule_filters +
-    # unigram/bigram_logprob_score
-    "text_language_id",  # r10 park; driver-green r2-r6+r9; langid pinned
-    # by parity pytest; confusion twin parks alongside
-    "langid_confusion",  # r10 park; driver-green r6+r9
-    "doc_fingerprint",  # r10 park; driver-green r2-r6+r9; Arrow shingle
-    # kernel family stays in-window via substring_dup_spans +
-    # dedup_strategy_agreement
-    "dedup_exact",  # r10 park; driver-green r2-r6+r9; hash-groupBy
-    # keep-first stays covered by in-window paragraph_dedup +
-    # dedup_canonical_pick
-    "multimodal_frame_sample",  # r10 park; driver-green r7-r9; the four
-    # codec stats entries stay in-window end-to-end
-    "embedding_quantize_int8",  # r10 park; driver-green r7-r9; embedding
-    # family stays in-window via pq/ivf/pca trainers
-    "mixture_sampling_plan",  # r10 park; driver-green r5-r9; plan-class
-    # twin quality_stratified_sample parity-pytest covered in tail
-    # --- r9 parks (driver-green through r8, parity-pytest covered): ---
-    "selection_matrix",  # driver-green r1-r8 straight (the most-certified
-    # entry); 480-combo selection pytest + AlgorithmSelector vectors; the
-    # data-path twin selection_reasons rotates back in this round
-    "dedup_minhash_lsh",  # driver-green r1-r8; shingle-kernel + banding
-    # machinery stays exercised in-window by dedup_strategy_agreement /
-    # substring_dup_spans / paragraph_dedup
-    "ann_lsh_bucketed",  # driver-green r1+r3-r8; bounded top-k merge path
-    # stays in-window via ann_ivf_probe/ann_ivf_pq_search
-    "multimodal_decode",  # driver-green r3-r8; codec stats entries stay
-    # in-window end-to-end
-    "ensemble_closed_form",  # driver-green r3-r8; kernel pinned by Java
-    # test vectors + the onepass/multipass randomized parity pytest
-    "asof_state_join",  # driver-green r4-r8; tagged-union ordered-window
-    # pattern pinned by the parity pytest
-    "kmv_distinct_sketch",  # driver-green r4-r8; sketch family in-window
-    # via cms_heavy_hitters
-    "ap_quality_metrics",  # driver-green r1-r4+r8
-    "bssid_format_filter",  # driver-green r1-r4+r8
-    "strongest_signal_pick",  # driver-green r1-r4+r8 + vectors
-    "weighted_centroid",  # driver-green r1-r4+r8 + WCL vectors
-    "comparison_metrics",  # driver-green r1-r4+r8; haversine checked by
-    # comparison_scenarios (rotated back in) + its pytest
-    "ssid_clean_oui",  # driver-green r1-r3+r8
-    "known_ap_semi_join",  # driver-green r1-r3+r8
-    "status_filter",  # driver-green r1-r3+r8
-    "per_group_topn",  # driver-green r1-r3+r8
-    "event_dedup",  # driver-green r1-r3+r8; streaming dedup twin rotates
-    # into the window this round
-    "derived_quality_columns",  # driver-green r1-r3+r8
-    "timestamp_sanity",  # driver-green r1-r3+r8
-    "dedup_clusters",  # driver-green r5-r8; union-find/CC pinned by graph
-    # pytest + the in-window dedup_strategy_agreement consumer
-    "rag_chunk_plan",  # driver-green r5-r8; windowed chunk plan pinned by
-    # the parity pytest
-    "pii_scrub_stats",  # driver-green r5-r8; regex-count projection
-    # pinned by the parity pytest
-    # rotated out round 7/8, still parked (parity-pytest covered,
-    # most-certified first):
-    "spatial_blocked_pairs",
-    "hotspot_behavioral",
-    "tiered_localization",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "multimodal_manifest",
-    "embedding_label_centroids",
-    "sequence_packing_plan",
-    "position_combiner_robust",
-    "decontamination_overlap",
-    "kalman_update_step",
-    "text_token_stats",
-    "quality_stratified_sample",
+    # ROUND-11 ROTATION (VERDICT r10 #2 + standing rotation): the window
+    # takes (a) the four r10-late entries that were never driver-certified
+    # (ngram_collocations, streaming_interval_join_counts,
+    # dyadic_quantile_sketch, event_funnel_unordered — with them the union
+    # of r1-r11 windows again covers every oracle-bearing entry), (b) this
+    # round's new operators (tfidf_topk_terms, ann_recall_eval,
+    # streaming_left_interval_join_counts), and (c) the 43 stalest certs:
+    # the whole r7/r8-parked block and the r9-parked block (last
+    # driver-green r8) plus the six stalest r10 parks (last green r9).
+    # The 50 entries certified green in the r10 window park here in
+    # exchange, every one freshly driver-certified in CORRECTNESS_r10 and
+    # parity-pytest covered:
+    "stage1_validation",  # r11 park; driver-green r10 (+r1-r9 era);
+    # ingest e2e pytest runs it every round
+    "physics_validator",  # r11 park; driver-green r10 + Java test vectors
+    "comparison_enriched",  # r11 park; driver-green r10 + fixture replays
+    "log_distance_model",  # r11 park; driver-green r10 + vendor-exponent
+    # pytest
+    "mad_outlier_flags",  # r11 park; driver-green r10
+    "comparison_scenarios",  # r11 park; driver-green r10 + 15-fixture
+    # end-to-end replay
+    "dml_update_delete_flow",  # r11 park; driver-green r10
+    "relocation_time_split",  # r11 park; driver-green r10
+    "hypertable_rollup",  # r11 park; driver-green r10
+    "lof_closed_form",  # r11 park; driver-green r10; pandas tier
+    # cross-checked by pytest
+    "dbscan_closed_form",  # r11 park; driver-green r10
+    "streaming_tumbling_counts",  # r11 park; driver-green r10; REAL
+    # streaming execution stays in-window via the interval-join pair
+    "streaming_session_counts",  # r11 park; driver-green r10
+    "streaming_dedup_counts",  # r11 park; driver-green r10
+    "streaming_hopping_counts",  # r11 park; driver-green r10
+    "streaming_enrich_counts",  # r11 park; driver-green r10
+    "retention_cohorts",  # r11 park; driver-green r10
+    "quantile_histogram",  # r11 park; driver-green r10; quantile family
+    # stays in-window via dyadic_quantile_sketch
+    "rssi_ratio_positions",  # r11 park; driver-green r10 + Java vectors
+    "gdop_geometry",  # r11 park; driver-green r10
+    "multimodal_mp4_stats",  # r11 park; driver-green r10
+    "multimodal_wav_stats",  # r11 park; driver-green r10
+    "multimodal_png_stats",  # r11 park; driver-green r10
+    "multimodal_jpeg_stats",  # r11 park; driver-green r10
+    "ann_ivf_probe",  # r11 park; driver-green r10; ANN family coverage
+    # stays in-window via ann_recall_eval (which runs all four pipelines)
+    "ivf_kmeans_train",  # r11 park; driver-green r10
+    "embedding_pq_train",  # r11 park; driver-green r10
+    "ann_ivf_pq_search",  # r11 park; driver-green r10
+    "quality_classifier_sgd",  # r11 park; driver-green r10
+    "embedding_pca_power",  # r11 park; driver-green r10
+    "gopher_rule_filters",  # r11 park; driver-green r10
+    "bm25_topk",  # r11 park; driver-green r10
+    "url_domain_mixture",  # r11 park; driver-green r10
+    "unigram_logprob_score",  # r11 park; driver-green r10
+    "bigram_logprob_score",  # r11 park; driver-green r10 (the r9 weak
+    # entry, fixed and certified)
+    "substring_dup_spans",  # r11 park; driver-green r10
+    "dedup_strategy_agreement",  # r11 park; driver-green r10
+    "paragraph_dedup",  # r11 park; driver-green r10
+    "dedup_canonical_pick",  # r11 park; driver-green r10
+    "cms_heavy_hitters",  # r11 park; driver-green r10
+    "bpe_apply_tokenize",  # r11 park; driver-green r10
+    "bpe_merge_train",  # r11 park; driver-green r10
+    "selection_reasons",  # r11 park; driver-green r10 (480 combos)
+    "session_window_agg",  # r11 park; driver-green r10
+    "tpch_q1_pricing_summary",  # r11 park; driver-green r10
+    "tpch_q3_shipping_priority",  # r11 park; driver-green r10
+    "tpch_q5_local_supplier_volume",  # r11 park; driver-green r10
+    "event_funnel",  # r11 park; driver-green r10; funnel trio coverage
+    # stays in-window via event_funnel_unordered
+    "event_funnel_windowed",  # r11 park; driver-green r10
+    "train_test_split",  # r11 park; driver-green r10
+    # --- r10 parks staying parked one more round (last green r9; fresher
+    # than everything rotated in above except the six stalest, which DID
+    # rotate in): ---
+    "tumbling_window_agg",  # driver-green r2-r9
+    "range_bucket_join",  # driver-green r7-r9
+    "hll_distinct_sketch",  # driver-green r6-r9
+    "skew_salted_agg",  # physical-strategy demo (salting), green r2-r9
+    "geohash_cells",  # physical-strategy demo (spatial index), green r2-r9
+    "codec_roundtrip",  # green r9 + ingest e2e pytest every round
+    "text_quality_score",  # green r2-r6+r9
+    "text_language_id",  # green r2-r6+r9
+    "langid_confusion",  # green r6+r9
+    "doc_fingerprint",  # green r2-r6+r9
+    "dedup_exact",  # green r2-r6+r9
+    "multimodal_frame_sample",  # green r7-r9
+    "embedding_quantize_int8",  # green r7-r9
+    "mixture_sampling_plan",  # green r5-r9
     # no-oracle demos:
     "streaming_ingest_microbatch",
     "batch_localization_tiered",
