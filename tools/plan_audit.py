@@ -196,6 +196,18 @@ ALLOWED_BNLJ: dict[str, str] = {
         "the 20-row top-pair relation — the SQL scalar-subquery pattern; "
         "the unigram lookup itself is an equi-join on the unpivoted words"
     ),
+    "tfidf_topk_terms": (
+        "ONE-ROW doc-count aggregate broadcast via crossJoin — the SQL "
+        "scalar-subquery pattern; the df lookup itself is a plain "
+        "equi-join on term and the per-doc top-k is array-native"
+    ),
+    "ann_recall_eval": (
+        "3-row method-k literal CROSS JOINed with the 8-row query-id "
+        "relation, then left-joined against the four ANN pipelines' "
+        "bounded VALUES outputs (<=40 rows total) — every relation past "
+        "the audited pipelines themselves is literal-sized by "
+        "construction, never data-sized"
+    ),
     "event_funnel_unordered": (
         "same 4-row literal stage relation CROSS JOIN against the ONE-ROW "
         "flag-product counts aggregate as event_funnel — the unordered "
