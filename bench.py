@@ -224,8 +224,20 @@ def main() -> None:
     # correctness gate is unaffected.
     # (bpe_apply_tokenize likewise reuses the learned merge table per
     # (app, corpus) — _BPE_MERGES — while its oracle re-derives the merges
-    # every run; first execution always trains from data.)
-    amortized = [n for n in ("ann_ivf_probe", "bpe_apply_tokenize") if n in timings]
+    # every run; first execution always trains from data.
+    # ann_ivf_pq_search and ann_recall_eval likewise reuse the trained PQ
+    # search artifacts — _PQ_SEARCH_ART — and the memoized coarse
+    # quantizer; their oracles re-train every run.)
+    amortized = [
+        n
+        for n in (
+            "ann_ivf_probe",
+            "bpe_apply_tokenize",
+            "ann_ivf_pq_search",
+            "ann_recall_eval",
+        )
+        if n in timings
+    ]
     if amortized:
         result["amortized_artifact"] = amortized
     if tainted:
