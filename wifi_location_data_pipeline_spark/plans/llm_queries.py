@@ -1922,7 +1922,10 @@ def _decode_media_fn(spark, sf_dir):
     )
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    media = synthesize_media_from_documents(load_table(spark, sf_dir, "documents"))
+    docs = _spread_for_python(
+        spark, sf_dir, load_table(spark, sf_dir, "documents"), rows_per_task=1536
+    )
+    media = synthesize_media_from_documents(docs)
     return decode_media(media).select(
         "media_id", "media_type", "byte_size", "content_sha256"
     )
@@ -2019,22 +2022,49 @@ def _media_docs(spark, sf_dir, pred: str):
         load_table(spark, sf_dir, "documents").filter(pred)
         .select("doc_id", "n_chars")
     )
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        try:
-            import pyarrow.parquet as pq
+    return _spread_for_python(spark, sf_dir, docs, rows_per_task=1536)
 
-            n_rows = pq.ParquetFile(path).metadata.num_rows
-            nparts = max(
-                1,
-                min(
-                    spark.sparkContext.defaultParallelism, n_rows // 4096 + 1
-                ),
-            )
-            docs = docs.coalesce(nparts)
-        except Exception:
-            pass
-    return docs
+
+def _spread_for_python(spark, sf_dir, df, rows_per_task: int):
+    """Right-size a small projection feeding a CPU-heavy Python kernel.
+
+    Partition count follows the PYTHON work (footer row count /
+    rows_per_task, cores-capped), not the scan bytes: the kernels cost
+    ~0.1-0.5 ms/row while the scan split count follows openCostInBytes
+    (1-2 splits for a single-file corpus on the small-corpus profile), so
+    fan-out must be requested explicitly — a round-robin exchange of the
+    kernel's own input columns costs ~nothing next to the decode it
+    parallelizes. coalesce() handles the opposite direction (a directory
+    corpus whose storage parallelism exceeds the work). rows_per_task
+    targets ~0.1-0.25 s of kernel time per task: above the per-task
+    Arrow+scheduling floor, below serializing on one core."""
+    if not os.path.isfile(os.path.join(sf_dir, "documents.parquet")):
+        return df
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        nparts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_rows // rows_per_task + 1,
+            ),
+        )
+        scan_parts = df.rdd.getNumPartitions()
+        if scan_parts * 2 <= nparts:
+            # an exchange only pays for itself when the scan is MATERIALLY
+            # under-split (a 1-2 split single-file corpus): shuffling to
+            # gain <2x parallelism costs more in shuffle write/fetch +
+            # an extra stage than the extra cores return
+            df = df.repartition(nparts)
+        elif scan_parts > nparts:
+            df = df.coalesce(nparts)
+    except Exception:
+        pass
+    return df
 
 
 def _mp4_stats_fn(spark, sf_dir):
@@ -3361,9 +3391,28 @@ def _ann_recall_spark_fn(spark, sf_dir):
             if out:
                 yield pd.concat(out)
 
-    swept = emb.mapInPandas(
-        score, "method string, query_id long, neighbor_id long, cos_sim double"
-    ).collect()  # bounded: <= 2 x 8 queries x 8 rows x #partitions
+    # the three result sets come from INDEPENDENT job groups (the fused
+    # brute+LSH sweep, the IVF probe, the IVF-PQ search); running them
+    # sequentially leaves the cores idle through each job's tail and pays
+    # three full scheduling rounds back-to-back. Submit the two probe
+    # collects from a small thread pool so their stages back-fill the
+    # sweep's stragglers (guide-standard concurrent-jobs pattern; Spark's
+    # scheduler interleaves jobs freely, and all three plans are
+    # read-only over the same memoized artifacts).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_fut = pool.submit(
+            lambda: _ann_ivf_spark_fn(spark, sf_dir).collect()
+        )
+        pq_fut = pool.submit(
+            lambda: _ivf_pq_search_spark_fn(spark, sf_dir).collect()
+        )
+        swept = emb.mapInPandas(
+            score, "method string, query_id long, neighbor_id long, cos_sim double"
+        ).collect()  # bounded: <= 2 x 8 queries x 8 rows x #partitions
+        ivf_rows = ivf_fut.result()
+        pq_rows = pq_fut.result()
 
     def merge_topk(rows, k):
         """The _bounded_topk_emit merge: rank by (-score, neighbor_id)
@@ -3381,14 +3430,14 @@ def _ann_recall_spark_fn(spark, sf_dir):
     brute5 = merge_topk([r for r in swept if r.method == "brute"], 5)
     lsh5 = merge_topk([r for r in swept if r.method == "lsh"], 5)
 
-    def by_rank(df):
+    def by_rank(rows):
         res: dict = {}
-        for r in sorted(df.collect(), key=lambda r: (r.query_id, r.rank)):
+        for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
             res.setdefault(r.query_id, []).append(r.neighbor_id)
         return res
 
-    ivf3 = by_rank(_ann_ivf_spark_fn(spark, sf_dir))
-    pq3 = by_rank(_ivf_pq_search_spark_fn(spark, sf_dir))
+    ivf3 = by_rank(ivf_rows)
+    pq3 = by_rank(pq_rows)
 
     vals = []
     for method, k, res in (

@@ -3776,21 +3776,32 @@ def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
-    # the corpus is one parquet file = one input split; spread the per-row
+    # the corpus is one parquet file = few input splits; spread the per-row
     # Python gzip work across the worker pool. Partition count follows the
-    # INPUT SIZE (≈32 MB of text per task), not the core count: at sf0.1 a
-    # 32-way fan-out hands each Python worker ~160 rows, and per-task
-    # scheduling + Arrow setup dwarfs the gzip work; at 100 TB the same
-    # formula saturates every core with full batches.
+    # PYTHON CPU work (gzip level-9 compress + decompress ≈ 0.15-0.2 ms per
+    # document), not the scan bytes: the r10 bytes-based sizing (32 MB of
+    # text per task) left the whole corpus on 1-2 cores at every benched
+    # scale and the roundtrip ran ~1 s single-threaded while 31 cores idled.
+    # ~1k docs/task ≈ 0.15-0.2 s of gzip per task — above the per-task
+    # Arrow floor, and the same formula keeps every core saturated with
+    # full batches at 100 TB (cores-capped). The repartition exchange ships
+    # only (doc_id, text) — the bytes the kernel needs anyway.
     try:
-        sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-    except OSError:
-        sz = 1 << 30
-    n_parts = min(spark.sparkContext.defaultParallelism, sz // (32 << 20) + 1)
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    except Exception:
+        n_rows = 1 << 20
+    n_parts = min(spark.sparkContext.defaultParallelism, n_rows // 1024 + 1)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    if n_parts > 1:
-        # below one task's worth of bytes the repartition shuffle costs more
-        # than the single-core gzip it would spread
+    # fan out ONLY when the scan is materially under-split (1-2 splits):
+    # when openCost-driven splitting already spreads the file across the
+    # cores, the UDF chain rides the scan tasks with zero exchange — an
+    # added repartition there measured +0.6 s (shuffle write/fetch + an
+    # extra stage) for no parallelism gain
+    if docs.rdd.getNumPartitions() * 2 <= n_parts:
         docs = docs.repartition(n_parts)
     # VALUES literal instead of createDataFrame: no py4j data upload or
     # schema reconciliation during plan build (this query deliberately has

@@ -53,11 +53,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 # largest fact-table parquet size above which the corpus is "at scale":
-# per-stage CPU then outweighs per-task scheduling and shuffles/scans
-# should fan across the cores. Below it (the sf<=0.1 test corpora, ~1 MB
-# of events) the same fan-out is pure overhead — a 100k-row sort is ~80 ms
-# single-core while each extra task costs ~30-60 ms of scheduling.
-_SCALE_MODE_MIN_BYTES = 4 << 20
+# per-stage CPU then outweighs per-task scheduling and AQE's runtime
+# re-planning starts earning its job rounds. The r10 threshold (4 MB) put
+# the 10x replica corpus (~25 MB facts) into AQE mode, where EVERY exchange
+# materializes as its own scheduled job over shuffles of a few MB — an
+# interleaved A/B at sf1 (same queries, same session policy) measures
+# 0.2-0.5 s of pure job-round overhead per small multi-stage query with no
+# compensating re-planning win (there is nothing to coalesce or skew-split
+# in a 5 MB shuffle). AQE's features price in when a single shuffle is big
+# enough to have sizing problems — hundreds of MB — so the default crossover
+# is 256 MB of largest fact table: below it, a size-derived STATIC partition
+# count (8 per 8 MB of fact data, cores-capped) keeps partitions in the
+# tens-of-MB range the tuning guide targets without per-exchange jobs;
+# above it, AQE + advisory sizing + skew joins take over (the 100 TB
+# features). Env-tunable for deployments whose scheduling/network economics
+# differ: SPARK_GRAFT_SCALE_MODE_MIN_BYTES.
+_SCALE_MODE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCALE_MODE_MIN_BYTES", str(256 << 20))
+)
 
 
 def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
@@ -105,6 +118,13 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         )
     else:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        # 4 MB openCost keeps JVM-cheap scans coarse below the scale
+        # threshold (an interleaved A/B at the 10x replica measured the
+        # finer 256 KB splitting costing +0.2-0.5 s per events-heavy JVM
+        # query in extra task rounds); CPU-heavy PYTHON kernels do not
+        # rely on scan splits for their parallelism — they request fan-out
+        # explicitly (codec_roundtrip, _spread_for_python, the shingle
+        # spread view) when the scan is materially under-split.
         spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
         # Below the scale threshold the AQE machinery is pure overhead:
         # each exchange materializes as its OWN scheduled job (a 2-shuffle
@@ -116,7 +136,15 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         # AQE on — skew joins and runtime re-planning are 100 TB features,
         # and the sf1 replica crosses the threshold.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # size-derived static partition count: 8 below 8 MB (the sf<=0.1
+        # corpora — fixed cost dominates), growing one partition per MB of
+        # fact data so partitions stay in the single-digit-MB range local
+        # shuffles like, capped at the session's core count. At 25 MB of
+        # facts (the 10x replica) this is 25 partitions of ~1 MB — enough
+        # fan-out for the CPU-heavy sort/aggregate stages without AQE's
+        # per-exchange job rounds.
+        parts = max(8, min(int(largest >> 20), spark.sparkContext.defaultParallelism))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
