@@ -73,6 +73,7 @@ def test_keyed_memos_do_not_accumulate_persisted_relations(spark, sf_dir):
     from wifi_location_data_pipeline_spark.plans.llm_queries import (
         _cms_spark_fn,
         _bpe_apply_fn,
+        _collocations_fn,
     )
 
     jsc = spark.sparkContext._jsc.sc()
@@ -82,5 +83,6 @@ def test_keyed_memos_do_not_accumulate_persisted_relations(spark, sf_dir):
     for _ in range(3):
         _cms_spark_fn(spark, sf_dir).count()
         _bpe_apply_fn(spark, sf_dir).count()
-    # one persisted counts relation (cms) + one persisted wf relation (bpe)
-    assert jsc.getPersistentRDDs().size() - before <= 2
+        _collocations_fn(spark, sf_dir).count()
+    # one persisted counts relation each: cms, bpe wf, collocations g
+    assert jsc.getPersistentRDDs().size() - before <= 3

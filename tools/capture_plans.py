@@ -1,0 +1,69 @@
+"""Capture .explain("formatted") output for declared queries.
+
+Writes plans/<outdir>/<query>_<tag>.txt for each requested query so plan
+claims in OPTIMIZATION notes can be checked without running Spark.
+
+Usage:
+  python tools/capture_plans.py --tag after --outdir plans/r11 \
+      [--only name,name] [--sf-dir /root/testdata/sf0.01] [--repo /root/repo]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument(
+        "--repo",
+        default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        help="repo root to import the engine from (a worktree for 'before')",
+    )
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.repo)
+    from wifi_location_data_pipeline_spark.session import build_session
+    import __spark_entry__ as entry
+
+    only = {s for s in args.only.split(",") if s}
+    os.makedirs(args.outdir, exist_ok=True)
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    n = 0
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, args.sf_dir)
+        except Exception as e:  # streaming/demo entries that need staging
+            print(f"SKIP {name}: {e}")
+            continue
+        try:
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            txt = buf.getvalue()
+        out = os.path.join(args.outdir, f"{name}_{args.tag}.txt")
+        with open(out, "w") as f:
+            f.write(txt)
+        n += 1
+        print(f"WROTE {out}")
+    spark.stop()
+    print(f"captured {n} plans -> {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,21 @@ from __future__ import annotations
 SPARK = "spark"
 DUCK = "duck"
 
+# Placeholder the Spark executor swaps for the parallelism-restored documents
+# view (llm_queries.spread_documents_src) at run time. CPU-heavy text queries
+# opt in via docs_table(d): the DuckDB oracle text keeps the plain table name
+# (oracle text must stay byte-stable), while the Spark text gets the view
+# whose round-robin exchange spreads the single-row-group test-corpus scan
+# across the cores. On a real lakehouse layout the view IS the plain table
+# (spread_documents_src adds no shuffle when the scan is already parallel).
+DOCS_SPREAD_TOKEN = "__DOCS_SPREAD__"
+
+
+def docs_table(d: str) -> str:
+    """Documents relation for CPU-heavy text queries: oracle reads the plain
+    table; Spark reads the spread view (scan-parallelism restored)."""
+    return DOCS_SPREAD_TOKEN if d == SPARK else "documents"
+
 
 def regexp_like(d: str, col: str, pattern: str) -> str:
     fn = "regexp_like" if d == SPARK else "regexp_matches"

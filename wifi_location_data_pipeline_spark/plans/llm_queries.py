@@ -27,6 +27,7 @@ from wifi_location_data_pipeline_spark.plans.dialect import (
     SPARK,
     array_double,
     bigint_div,
+    docs_table,
     dot,
     hex_to_bigint,
     regexp_count,
@@ -311,7 +312,7 @@ register(
 WITH counts AS (
   SELECT doc_id, lang,
     {_lang_counts(d)}
-  FROM documents WHERE text IS NOT NULL
+  FROM {docs_table(d)} WHERE text IS NOT NULL
 ),
 pred AS (
   SELECT lang,
@@ -1482,7 +1483,7 @@ def _qss_stats(d: str) -> str:
     CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
     CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct,
     CAST(size(filter(split(text, ' '), w -> w IN {stops})) AS BIGINT) AS n_stop
-  FROM documents WHERE text IS NOT NULL"""
+  FROM {docs_table(d)} WHERE text IS NOT NULL"""
     return f"""
   SELECT doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -3588,11 +3589,15 @@ def _quality_sgd_spark_fn(spark, sf_dir):
     LN(1+EXP(-ABS(z))) keeps the log-loss finite for any logit."""
     import math
 
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
     Q = float(_SGD_Q)
+    # spread view: all three GD/metric passes stack split/array_distinct
+    # CPU on the scan tasks (2 splits on the small-corpus profile at the
+    # 10x replica — 2.51 s vs 0.79 s, mode A/B). Partition-order change is
+    # inside the established tolerance envelope: the oracle already sums
+    # in a different order, and the dyadic 2^-20 weight snap is the
+    # cross-engine contract.
     feat = (
-        load_table(spark, sf_dir, "documents")
+        spark.table(spread_documents_src(spark, sf_dir))
         .filter("text IS NOT NULL")
         .selectExpr(
             "CAST(1.0 AS DOUBLE) AS f0",
@@ -4089,7 +4094,7 @@ def _rag_chunk_sql(d: str) -> str:
     c, s = CHUNK_TOKENS, CHUNK_STRIDE
     if d == "spark":
         return f"""
-WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM {docs_table(d)} WHERE text IS NOT NULL),
 ch AS (
   SELECT doc_id,
     explode(transform(
@@ -4399,7 +4404,7 @@ WITH tf AS (
   SELECT doc_id,
     CAST({'size(w)' if d == 'spark' else 'len(w)'} AS BIGINT) AS dl,
     {tfs}
-  FROM (SELECT doc_id, {_ws_tokens(d, 'text')} AS w FROM documents
+  FROM (SELECT doc_id, {_ws_tokens(d, 'text')} AS w FROM {docs_table(d)}
         WHERE text IS NOT NULL) t
 ),
 stats AS (
@@ -4772,15 +4777,20 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
 
     register_views(spark, sf_dir)
     V = _BIGRAM_VOCAB
+    # spread view: the vocab explode, the pair-keying projection and the
+    # scoring projection all stack split/transform CPU on the scan tasks —
+    # the small-corpus profile's coarse scan serialized them (2.95 s vs
+    # 0.89 s at the 10x replica, mode A/B).
+    src = spread_documents_src(spark, sf_dir)
     vocab = [
         r.tok
         for r in spark.sql(
             """
             SELECT tok, COUNT(*) AS c
             FROM (SELECT explode(split(text, ' ')) AS tok
-                  FROM documents WHERE text IS NOT NULL)
+                  FROM {src} WHERE text IS NOT NULL)
             GROUP BY tok ORDER BY c DESC, tok LIMIT {V}
-            """.format(V=V)
+            """.format(V=V, src=src)
         ).collect()
     ]
     uents = []
@@ -4790,7 +4800,7 @@ def _bigram_logprob_spark_fn(spark, sf_dir):
 
     docs = spark.sql(
         "SELECT doc_id, split(text, ' ') AS t"
-        " FROM documents WHERE text IS NOT NULL"
+        f" FROM {src} WHERE text IS NOT NULL"
     ).filter("size(t) >= 2")
     # Materialize the token-index array as its OWN projection: every
     # downstream expression (two slices, filter, aggregate) consumes the
@@ -4921,69 +4931,93 @@ FROM top
 def _collocations_fn(spark, sf_dir):
     """Collocation mining (pointwise mutual information over adjacent
     token pairs) — the phrase-vocabulary pass a tokenizer/data pipeline
-    runs to decide what deserves to be one token. ONE declarative
-    action, no driver round-trips (VERDICT r10 #4: the previous
-    two-collect form paid a scheduled-job round per bounded ROLLUP
-    collect plus a VALUES fold-back job — +0.8-0.9 s of pure floor at
-    sf1):
+    runs to decide what deserves to be one token.
 
-    - pair counts (map-side-combinable) -> TakeOrderedAndProject 20
-      (count DESC, w1, w2 — integer-deterministic selection);
-    - the pair/token TOTALS come from a plain global aggregation of
-      per-doc token counts (SUM(size(t)-1) / SUM(size(t)) — no shuffle,
-      no ROLLUP needed), equal by construction to SUM over the count
-      relations;
-    - the top-20 relation unpivots to its <=40 words and equi-joins the
-      vocabulary-sized unigram relation ONCE (each CTE has exactly one
-      consumer, so Spark's WITH re-inlining cannot duplicate the
-      data-sized aggregations), then a tiny regroup recovers (c1, c2)
-      per pair and PMI computes in-plan with the family's 1e-4 dyadic
-      floor (LN ulp disparity ~1e-15 against the grid — the unigram
-      query's documented discipline)."""
-    from wifi_location_data_pipeline_spark.sources.tables import register_views
+    ONE corpus pass (r11 optimization; the previous declarative form's
+    ``toks`` CTE was re-inlined into its three consumers — pair counts,
+    unigram counts, totals — so the corpus was tokenized three times:
+    measured 1.5-1.7 s at the 10x replica vs ~0.6 s here): pairs are
+    keyed as the BPE-style ``'w1 w2'`` string (tokens come from
+    split(' ') so they cannot contain a space — the two classes cannot
+    collide and the first space splits the key back losslessly), pairs
+    and unigrams explode in ONE projection, and one map-side-combinable
+    aggregation yields the combined count relation. That relation is
+    vocab+pair-vocab-sized (≪ corpus at any scale — the CMS/BPE artifact
+    argument) and persists via the keyed-memo discipline of _CMS_COUNTS
+    (evict + unpersist stale generations; the bench's clearCache drops
+    the data every attempt, so each attempt recomputes from parquet).
+    Every downstream step is tiny: top-20 selection (count DESC, w1, w2
+    — integer-deterministic), two equi-joins back to the unigram rows,
+    totals by one conditional aggregation (SUM over pair rows = pair
+    occurrences, SUM over token rows = token occurrences, equal by
+    construction to the previous per-doc size sums), and PMI computes
+    in-plan at the family's 1e-4 dyadic floor (LN ulp disparity ~1e-15
+    against the grid — the unigram query's documented discipline)."""
+    from pyspark.sql import functions as F2
 
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-WITH toks AS (
-  SELECT split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
-),
-pc AS (
-  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
-    SELECT inline(zip_with(slice(t, 1, size(t) - 1),
-                           slice(t, 2, size(t) - 1),
-                           (a, b) -> struct(a AS w1, b AS w2)))
-    FROM toks WHERE size(t) >= 2
-  ) GROUP BY w1, w2
-),
-top AS (SELECT w1, w2, c FROM pc ORDER BY c DESC, w1, w2 LIMIT 20),
-sides AS (
-  SELECT w1, w2, c, word
-  FROM top LATERAL VIEW explode(array(w1, w2)) AS word
-),
-uc AS (
-  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
-  FROM (SELECT explode(t) AS tok FROM toks) GROUP BY tok
-),
-enr AS (
-  SELECT s.w1, s.w2, s.c,
-    MAX(CASE WHEN s.word = s.w1 THEN u.c END) AS c1,
-    MAX(CASE WHEN s.word = s.w2 THEN u.c END) AS c2
-  FROM sides s JOIN uc u ON u.tok = s.word
-  GROUP BY s.w1, s.w2, s.c
-),
-totals AS (
-  SELECT
-    CAST(SUM(CASE WHEN size(t) >= 2 THEN size(t) - 1 ELSE 0 END) AS DOUBLE) AS nb,
-    CAST(SUM(size(t)) AS DOUBLE) AS n
-  FROM toks
-)
-SELECT e.w1, e.w2, e.c AS pair_count,
-  CAST(FLOOR(LN((e.c / totals.nb) / ((e.c1 / totals.n) * (e.c2 / totals.n)))
-             * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi
-FROM enr e CROSS JOIN totals
+    src = spread_documents_src(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    g = _COLL_COUNTS.get(key)
+    if g is None:
+        g = _maybe_eager(
+            spark.sql(
+                f"""
+SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT explode(concat(
+    CASE WHEN size(t) >= 2
+         THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                       (a, b) -> concat(a, ' ', b))
+         ELSE array() END,
+    t)) AS s
+  FROM (SELECT split(text, ' ') AS t FROM {src} WHERE text IS NOT NULL)
+) e
+GROUP BY s
 """
+            ).persist()
+        )
+        for k in [k for k in _COLL_COUNTS if k[:2] == key[:2]]:
+            _COLL_COUNTS.pop(k).unpersist()
+        _COLL_COUNTS[key] = g
+    is_pair = "instr(s, ' ') > 0"
+    top = (
+        g.where(is_pair)
+        .select(
+            F2.expr("substr(s, 1, instr(s, ' ') - 1)").alias("w1"),
+            F2.expr("substr(s, instr(s, ' ') + 1)").alias("w2"),
+            "c",
+        )
+        .orderBy(F2.desc("c"), "w1", "w2")
+        .limit(20)
     )
+    u1 = g.where(f"NOT ({is_pair})").select(
+        F2.col("s").alias("u1_tok"), F2.col("c").alias("c1")
+    )
+    u2 = g.where(f"NOT ({is_pair})").select(
+        F2.col("s").alias("u2_tok"), F2.col("c").alias("c2")
+    )
+    totals = g.agg(
+        F2.expr(
+            f"CAST(SUM(CASE WHEN {is_pair} THEN c ELSE 0 END) AS DOUBLE)"
+        ).alias("nb"),
+        F2.expr(
+            f"CAST(SUM(CASE WHEN {is_pair} THEN 0 ELSE c END) AS DOUBLE)"
+        ).alias("n"),
+    )
+    return (
+        top.join(u1, top.w1 == u1.u1_tok)
+        .join(u2, top.w2 == u2.u2_tok)
+        .crossJoin(totals)
+        .selectExpr(
+            "w1",
+            "w2",
+            "c AS pair_count",
+            "CAST(FLOOR(LN((c / nb) / ((c1 / n) * (c2 / n)))"
+            " * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi",
+        )
+    )
+
+
+_COLL_COUNTS: dict = {}
 
 
 register(
@@ -5072,11 +5106,15 @@ def _tfidf_spark_fn(spark, sf_dir):
     The earlier relational form survives as the DuckDB oracle text."""
     import math
 
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
     from pyspark.sql import functions as F2
 
-    docs = load_table(spark, sf_dir, "documents").where("text IS NOT NULL")
+    # spread view: both the df aggregation's array_distinct/split and the
+    # per-doc Counter kernel ride the documents scan tasks — the coarse
+    # small-corpus scan serialized them on 2 of 32 cores at the 10x replica
+    # (1.46 s vs 0.80 s, mode A/B).
+    docs = spark.table(spread_documents_src(spark, sf_dir)).where(
+        "text IS NOT NULL"
+    )
     # chr(1) sentinel: prepended to every doc's DISTINCT token set, its
     # "document frequency" is exactly the non-null doc count N. chr(1)
     # cannot appear as a split(' ') token unless the corpus embeds \x01
@@ -5462,7 +5500,7 @@ def _paragraph_dedup_sql(d: str) -> str:
         sequence(0, CAST(FLOOR((size(w) - 1) / CAST({s}.0 AS DOUBLE)) AS BIGINT)),
         i -> struct(i AS seg_idx, slice(w, CAST(1 + {s} * i AS INT), {s}) AS sw)
       )) AS e
-    FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) t
+    FROM (SELECT doc_id, split(text, ' ') AS w FROM {docs_table(d)}) t
     WHERE size(w) >= 1
   ) x"""
     else:
@@ -5668,8 +5706,6 @@ def _cms_spark_fn(spark, sf_dir):
     oracle, which shares CTE results). 4.2 s -> measured below at sf1."""
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
     # Keyed memo like _BPE_WF / _IVF_CENTROIDS: without it every bench /
     # driver invocation persisted a fresh copy of the same counts relation
     # for the app lifetime (r9 ADVICE). Evict (and unpersist) stale
@@ -5677,7 +5713,11 @@ def _cms_spark_fn(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
     counts = _CMS_COUNTS.get(key)
     if counts is None:
-        docs = load_table(spark, sf_dir, "documents")
+        # spread view: the token explode re-runs per bench attempt (the
+        # persisted relation is dropped by clearCache) and the coarse
+        # small-corpus scan serialized it (1.69 s vs 0.56 s at the 10x
+        # replica, mode A/B)
+        docs = spark.table(spread_documents_src(spark, sf_dir))
         w = docs.select(
             F2.explode(F2.split("text", " ")).alias("word")
         ).filter("word != ''")
@@ -5843,14 +5883,14 @@ def _bpe_merge_train_fn(spark, sf_dir):
 
     from pyspark.sql import functions as F2
 
-    from wifi_location_data_pipeline_spark.sources.tables import load_table
-
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
     tag = hashlib.md5(f"{sf_dir}|{key[2]}".encode()).hexdigest()[:12]
     view = f"_bpe_wf_{tag}"
     if _BPE_WF.get(key) != view:
+        # spread view: same rationale as _cms_spark_fn — the word-frequency
+        # explode recomputes per bench attempt on a coarse 2-split scan
         wf = (
-            load_table(spark, sf_dir, "documents")
+            spark.table(spread_documents_src(spark, sf_dir))
             .select(F2.explode(F2.split("text", " ")).alias("word"))
             .filter("word != ''")
             .groupBy("word")

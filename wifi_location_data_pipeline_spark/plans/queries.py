@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wifi_location_data_pipeline_spark import plan_cache
 from wifi_location_data_pipeline_spark.plans.dialect import (
+    DOCS_SPREAD_TOKEN,
     DUCK,
     SPARK,
     bigint_div,
@@ -226,7 +227,20 @@ class QueryDef:
         if self.spark_fn is not None:
             df = self.spark_fn(spark, sf_dir)
         else:
-            df = spark.sql(_fold_events_stats(sf_dir, self.sql(SPARK)))
+            text = _fold_events_stats(sf_dir, self.sql(SPARK))
+            if DOCS_SPREAD_TOKEN in text:
+                # dialect.docs_table opt-in: swap the placeholder for the
+                # parallelism-restored documents view. Run-time substitution
+                # (not SQL-build-time) because the view name is derived from
+                # the live (session, corpus-generation) pair.
+                from wifi_location_data_pipeline_spark.plans.llm_queries import (
+                    spread_documents_src,
+                )
+
+                text = text.replace(
+                    DOCS_SPREAD_TOKEN, spread_documents_src(spark, sf_dir)
+                )
+            df = spark.sql(text)
         if use_cache:
             # evict superseded entries for the same (app, query, sf_dir):
             # each in-place corpus regen changes the fingerprint, and without

@@ -125,7 +125,10 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         # rely on scan splits for their parallelism — they request fan-out
         # explicitly (codec_roundtrip, _spread_for_python, the shingle
         # spread view) when the scan is materially under-split.
-        spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_SMALL_OPENCOST", str(4 << 20)),
+        )
         # Below the scale threshold the AQE machinery is pure overhead:
         # each exchange materializes as its OWN scheduled job (a 2-shuffle
         # query pays 3-4 job rounds), and runtime coalescing/skew handling
