@@ -43,7 +43,7 @@ from wifi_location_data_pipeline_spark.plans.queries import register
 # ---------------------------------------------------------------------------
 
 
-def spread_documents_src(spark, sf_dir) -> str:
+def spread_documents_src(spark, sf_dir, full_fanout: bool = False) -> str:
     """View name for the documents relation with scan parallelism restored.
 
     The test corpus ships single-row-group parquet, so every documents scan
@@ -55,6 +55,16 @@ def spread_documents_src(spark, sf_dir) -> str:
     lakehouse layout — 128 MB row groups), return the plain table and add
     no shuffle. The shuffle moves only the raw text once and is reused by
     every stage built on top.
+
+    ``full_fanout`` declares the consumer's CPU weight: the md5/shingle
+    Arrow kernels (seconds of Python CPU per corpus pass) amortize the
+    text exchange even when the scan already has a third of the cores, so
+    they repartition unless the scan is within 2x of the target; the
+    JVM-side split/explode consumers only repartition when the scan is
+    materially under-split (<1/4 of the target) — for them the exchange
+    costs more than the marginal cores return (measured at the 10x
+    replica: bigram/cms/bpe_merge each ~2x slower THROUGH the exchange
+    than riding the 9-way row-group scan).
     """
     from wifi_location_data_pipeline_spark.sources.tables import (
         load_table,
@@ -67,11 +77,16 @@ def spread_documents_src(spark, sf_dir) -> str:
     # in-place at the same sf_dir must rebuild the view (else the shingle /
     # simhash / ngram queries silently read stale data or fail on deleted
     # files). Mirrors queries._corpus_fingerprint for the same reason.
-    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _corpus_fp(sf_dir),
+        bool(full_fanout),
+    )
     hit = _SPREAD_SRC.get(key)
     if hit is not None:
         return hit
-    for k in [k for k in _SPREAD_SRC if k[:2] == key[:2]]:
+    for k in [k for k in _SPREAD_SRC if k[:2] == key[:2] and k[3] == key[3]]:
         # evict superseded corpus generations AND drop their (per-generation
         # named) views so long sessions don't accumulate catalog entries
         stale = _SPREAD_SRC.pop(k)
@@ -90,6 +105,19 @@ def spread_documents_src(spark, sf_dir) -> str:
         target = min(spark.sparkContext.defaultParallelism, sz // (16 << 10) + 1)
     except OSError:
         target = 1
+    if target > 1:
+        # repartition ONLY when the scan itself is under-split for this
+        # consumer class (see docstring). When openCost-driven splitting
+        # already hands the scan enough of the target (the multi-row-group
+        # 10x replica: 9-13 splits for 32 cores), the round-robin exchange
+        # costs more than the marginal cores earn — measured at the
+        # replica: the unconditional spread held bigram/tfidf/cms at
+        # 1.3-2.0 s in EVERY scan mode while the plain row-group-parallel
+        # scan runs 0.6-0.9 s.
+        frac = 2 if full_fanout else 4
+        scan_parts = load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
+        if scan_parts * frac > target:
+            target = 1
     if target <= 1:
         src = "documents"
     else:
@@ -99,7 +127,9 @@ def spread_documents_src(spark, sf_dir) -> str:
         # every spread consumer (minhash/shingle/simhash/substring kernels)
         # silently reads the wrong corpus. One view per (dir, fingerprint)
         # generation keeps every memoized name permanently correct.
-        tag = hashlib.md5(f"{sf_dir}|{key[2]}".encode()).hexdigest()[:12]
+        tag = hashlib.md5(
+            f"{sf_dir}|{key[2]}|{int(key[3])}".encode()
+        ).hexdigest()[:12]
         src = f"_documents_spread_{tag}"
         load_table(spark, sf_dir, "documents").repartition(target).createOrReplaceTempView(src)
     _SPREAD_SRC[key] = src
@@ -347,7 +377,7 @@ def _doc_fingerprint_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    src = spread_documents_src(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir, full_fanout=True)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
 
     def kernel(batches):
@@ -717,7 +747,7 @@ def persisted_shingle_bases(spark, sf_dir, n: int = 3):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    src = spread_documents_src(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir, full_fanout=True)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
 
     import numpy as np
@@ -859,7 +889,7 @@ def minhash_signature_table(spark, sf_dir):
     for k in [k for k in _SIG_TABLE if k[:2] == key[:2]]:
         del _SIG_TABLE[k]  # evict superseded corpus generations
 
-    src = spread_documents_src(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir, full_fanout=True)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
 
     import numpy as np
@@ -1075,7 +1105,7 @@ def _simhash_spark_fn(spark, sf_dir):
     # spread BEFORE the projection: repartitioning the result would leave
     # the HOF shingle build on the single scan task and only spread the
     # pandas pass
-    src = spread_documents_src(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir, full_fanout=True)
     gram = ", ' ', ".join(f"element_at(w, i + {k})" for k in range(3))
     docarr = spark.sql(
         f"""
@@ -4933,75 +4963,79 @@ def _collocations_fn(spark, sf_dir):
     token pairs) — the phrase-vocabulary pass a tokenizer/data pipeline
     runs to decide what deserves to be one token.
 
-    ONE corpus pass (r11 optimization; the previous declarative form's
-    ``toks`` CTE was re-inlined into its three consumers — pair counts,
-    unigram counts, totals — so the corpus was tokenized three times:
-    measured 1.5-1.7 s at the 10x replica vs ~0.6 s here): pairs are
-    keyed as the BPE-style ``'w1 w2'`` string (tokens come from
-    split(' ') so they cannot contain a space — the two classes cannot
-    collide and the first space splits the key back losslessly), pairs
-    and unigrams explode in ONE projection, and one map-side-combinable
-    aggregation yields the combined count relation. That relation is
-    vocab+pair-vocab-sized (≪ corpus at any scale — the CMS/BPE artifact
-    argument) and persists via the keyed-memo discipline of _CMS_COUNTS
-    (evict + unpersist stale generations; the bench's clearCache drops
-    the data every attempt, so each attempt recomputes from parquet).
-    Every downstream step is tiny: top-20 selection (count DESC, w1, w2
-    — integer-deterministic), two equi-joins back to the unigram rows,
-    totals by one conditional aggregation (SUM over pair rows = pair
-    occurrences, SUM over token rows = token occurrences, equal by
-    construction to the previous per-doc size sums), and PMI computes
-    in-plan at the family's 1e-4 dyadic floor (LN ulp disparity ~1e-15
-    against the grid — the unigram query's documented discipline)."""
+    ONE corpus-sized explode (r11 optimization, second iteration — the
+    first single-pass rework keyed pairs AND unigrams as exploded strings
+    and an interleaved same-session A/B at the 10x replica measured it at
+    2.35 s vs 1.22 s for the r10 three-pass CTE form: doubling the explode
+    volume and hash-aggregating concat-allocated pair STRINGS cost more
+    than the extra corpus passes saved): only the PAIR relation explodes
+    (struct keys, no concat allocation). Unigram counts are DERIVED, not
+    re-counted — every token occurrence is either the left side of an
+    adjacent pair or the last token of its document, so
+
+        count(w) = SUM(pair_count WHERE w1 = w) + #docs whose last token is w
+
+    exactly (integer identity, no tolerance). The last-token relation
+    needs no explode: one doc-level aggregation (element_at(t, -1),
+    50k rows at the replica) that also carries SUM(size(t)), from which
+    the token total n derives; the pair total nb is SUM over the pair
+    relation. The pair counts persist via the keyed-memo discipline of
+    _CMS_COUNTS (evict + unpersist stale generations; the bench's
+    clearCache drops the data every attempt, so each attempt recomputes
+    from parquet) because THREE consumers (top-20, w1-sums, nb) would
+    otherwise re-inline the explode. Every downstream step is
+    vocab-sized: top-20 selection (count DESC, w1, w2 —
+    integer-deterministic), a full-outer merge of pair-left sums with
+    last-token counts, two equi-joins, and PMI computes in-plan at the
+    family's 1e-4 dyadic floor (LN ulp disparity ~1e-15 against the
+    grid — the unigram query's documented discipline)."""
     from pyspark.sql import functions as F2
 
     src = spread_documents_src(spark, sf_dir)
+    toks = f"(SELECT split(text, ' ') AS t FROM {src} WHERE text IS NOT NULL)"
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
-    g = _COLL_COUNTS.get(key)
-    if g is None:
-        g = _maybe_eager(
+    pc = _COLL_COUNTS.get(key)
+    if pc is None:
+        pc = _maybe_eager(
             spark.sql(
                 f"""
-SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM (
-  SELECT explode(concat(
-    CASE WHEN size(t) >= 2
-         THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-                       (a, b) -> concat(a, ' ', b))
-         ELSE array() END,
-    t)) AS s
-  FROM (SELECT split(text, ' ') AS t FROM {src} WHERE text IS NOT NULL)
-) e
-GROUP BY s
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT inline(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                         (a, b) -> struct(a AS w1, b AS w2)))
+  FROM {toks} WHERE size(t) >= 2
+) GROUP BY w1, w2
 """
             ).persist()
         )
         for k in [k for k in _COLL_COUNTS if k[:2] == key[:2]]:
             _COLL_COUNTS.pop(k).unpersist()
-        _COLL_COUNTS[key] = g
-    is_pair = "instr(s, ' ') > 0"
-    top = (
-        g.where(is_pair)
+        _COLL_COUNTS[key] = pc
+    # doc-level pass: last token + token-count sums, NO explode (the only
+    # other corpus touch, and it ships 50k tiny rows, not 2.7M tokens)
+    lastn = spark.sql(
+        f"""
+SELECT element_at(t, -1) AS lw, CAST(COUNT(*) AS BIGINT) AS lc,
+       CAST(SUM(size(t)) AS BIGINT) AS tsz
+FROM {toks} GROUP BY element_at(t, -1)
+"""
+    )
+    top = pc.orderBy(F2.desc("c"), "w1", "w2").limit(20)
+    # count(w) = pair-left sum + last-token count (exact integer identity)
+    pw = pc.groupBy("w1").agg(F2.sum("c").alias("pw")).withColumnRenamed("w1", "tok")
+    u = (
+        pw.join(lastn, pw.tok == lastn.lw, "full_outer")
         .select(
-            F2.expr("substr(s, 1, instr(s, ' ') - 1)").alias("w1"),
-            F2.expr("substr(s, instr(s, ' ') + 1)").alias("w2"),
-            "c",
+            F2.coalesce(pw.tok, lastn.lw).alias("tok"),
+            (
+                F2.coalesce(F2.col("pw"), F2.lit(0))
+                + F2.coalesce(F2.col("lc"), F2.lit(0))
+            ).cast("long").alias("c"),
         )
-        .orderBy(F2.desc("c"), "w1", "w2")
-        .limit(20)
     )
-    u1 = g.where(f"NOT ({is_pair})").select(
-        F2.col("s").alias("u1_tok"), F2.col("c").alias("c1")
-    )
-    u2 = g.where(f"NOT ({is_pair})").select(
-        F2.col("s").alias("u2_tok"), F2.col("c").alias("c2")
-    )
-    totals = g.agg(
-        F2.expr(
-            f"CAST(SUM(CASE WHEN {is_pair} THEN c ELSE 0 END) AS DOUBLE)"
-        ).alias("nb"),
-        F2.expr(
-            f"CAST(SUM(CASE WHEN {is_pair} THEN 0 ELSE c END) AS DOUBLE)"
-        ).alias("n"),
+    u1 = u.select(F2.col("tok").alias("u1_tok"), F2.col("c").alias("c1"))
+    u2 = u.select(F2.col("tok").alias("u2_tok"), F2.col("c").alias("c2"))
+    totals = pc.agg(F2.expr("CAST(SUM(c) AS DOUBLE)").alias("nb")).crossJoin(
+        lastn.agg(F2.expr("CAST(SUM(tsz) AS DOUBLE)").alias("n"))
     )
     return (
         top.join(u1, top.w1 == u1.u1_tok)
@@ -5340,7 +5374,7 @@ def _substring_spans_spark_fn(spark, sf_dir):
     from wifi_location_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    src = spread_documents_src(spark, sf_dir)
+    src = spread_documents_src(spark, sf_dir, full_fanout=True)
     docs = spark.sql(f"SELECT doc_id, text FROM {src}")
     W = SUBSTR_WIN
 

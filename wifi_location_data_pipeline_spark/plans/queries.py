@@ -3810,12 +3810,13 @@ def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = 1 << 20
     n_parts = min(spark.sparkContext.defaultParallelism, n_rows // 1024 + 1)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # fan out ONLY when the scan is materially under-split (1-2 splits):
-    # when openCost-driven splitting already spreads the file across the
-    # cores, the UDF chain rides the scan tasks with zero exchange — an
-    # added repartition there measured +0.6 s (shuffle write/fetch + an
-    # extra stage) for no parallelism gain
-    if docs.rdd.getNumPartitions() * 2 <= n_parts:
+    # fan out ONLY when the scan is materially under-split (<1/4 of the
+    # target — the single-row-group test corpus): this exchange ships the
+    # full text column, and at the 10x replica (9 row-group splits, target
+    # 32) the shuffle write/fetch + extra stage cost ~1 s while the extra
+    # cores return ~0.7 s — riding the row-group-parallel scan wins
+    # (same-session mode A/B: 1.0 s scan-ride vs 2.2 s repartitioned).
+    if docs.rdd.getNumPartitions() * 4 <= n_parts:
         docs = docs.repartition(n_parts)
     # VALUES literal instead of createDataFrame: no py4j data upload or
     # schema reconciliation during plan build (this query deliberately has

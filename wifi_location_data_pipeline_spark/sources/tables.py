@@ -73,6 +73,30 @@ _SCALE_MODE_MIN_BYTES = int(
 )
 
 
+def _row_group_open_cost(sf_dir: str) -> int:
+    """Average row-group byte size of the largest fact table, clamped to
+    [256 KB, 4 MB] — the openCost that makes Spark's maxSplitBytes land on
+    row-group boundaries (splits track row groups, per the optimization
+    guide's file-layout rule). Falls back to the 4 MB coarse default when
+    the footer can't be read."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = max(
+            (
+                os.path.join(sf_dir, f"{t}.parquet")
+                for t in ("events", "documents", "embeddings")
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+            ),
+            key=os.path.getsize,
+        )
+        meta = pq.ParquetFile(path).metadata
+        avg_rg = os.path.getsize(path) // max(1, meta.num_row_groups)
+        return max(256 << 10, min(4 << 20, avg_rg))
+    except Exception:
+        return 4 << 20
+
+
 def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
     """Size shuffle coalescing and scan splits to the corpus, once per
     (session, corpus).
@@ -118,16 +142,24 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         )
     else:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
-        # 4 MB openCost keeps JVM-cheap scans coarse below the scale
-        # threshold (an interleaved A/B at the 10x replica measured the
-        # finer 256 KB splitting costing +0.2-0.5 s per events-heavy JVM
-        # query in extra task rounds); CPU-heavy PYTHON kernels do not
-        # rely on scan splits for their parallelism — they request fan-out
-        # explicitly (codec_roundtrip, _spread_for_python, the shingle
-        # spread view) when the scan is materially under-split.
+        # openCost sized to the corpus's ROW-GROUP granularity: parquet
+        # byte-range splits only parallelize down to row groups, so the
+        # useful split floor is the average row-group size of the largest
+        # fact table (events — the scaling axis). A single-row-group
+        # corpus (the sf<=0.1 test data) then gets ONE split per file —
+        # finer splitting there only adds empty task rounds (the r11
+        # coarse-mode rationale) — while a multi-row-group replica (the
+        # 10x corpus: 32 events / 13 documents row groups) gets one task
+        # per row group, which the CPU-heavy scan queries need (measured
+        # at the 10x replica, same-session A/B: bssid_format_filter 2.0 s
+        # -> 0.6 s, codec/event_dedup/timestamp each -0.2-1.2 s vs the
+        # fixed 4 MB openCost that floored those scans at 2-6 splits).
+        # Clamped to [256 KB, 4 MB]: the r10/r11 endpoints.
         spark.conf.set(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_SMALL_OPENCOST", str(4 << 20)),
+            os.environ.get(
+                "SPARK_GRAFT_SMALL_OPENCOST", str(_row_group_open_cost(sf_dir))
+            ),
         )
         # Below the scale threshold the AQE machinery is pure overhead:
         # each exchange materializes as its OWN scheduled job (a 2-shuffle
