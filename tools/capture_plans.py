@@ -26,15 +26,25 @@ def main() -> None:
         default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         help="repo root to import the engine from (a worktree for 'before')",
     )
+    ap.add_argument(
+        "--cpus",
+        default="8",
+        help="local core count — plan shapes that depend on scan/spread "
+        "sizing (partition counts, fan-out exchanges) follow it; use 32 "
+        "to match the bench profile",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, args.repo)
+    os.environ["SPARK_GRAFT_CPUS"] = args.cpus
     from wifi_location_data_pipeline_spark.session import build_session
     import __spark_entry__ as entry
 
     only = {s for s in args.only.split(",") if s}
     os.makedirs(args.outdir, exist_ok=True)
-    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark = build_session(
+        master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus)
+    )
     n = 0
     for name, fn in entry.queries().items():
         if only and name not in only:

@@ -4977,77 +4977,135 @@ def _collocations_fn(spark, sf_dir):
 
     exactly (integer identity, no tolerance). The last-token relation
     needs no explode: one doc-level aggregation (element_at(t, -1),
-    50k rows at the replica) that also carries SUM(size(t)), from which
-    the token total n derives; the pair total nb is SUM over the pair
-    relation. The pair counts persist via the keyed-memo discipline of
-    _CMS_COUNTS (evict + unpersist stale generations; the bench's
+    50k rows at the replica). A same-session decomposition at the replica
+    measured the RELATIONAL downstream (union-regroup + joins + global
+    aggs over the ~1000-row count relations) at ~0.7 s of pure tiny-stage
+    scheduling — as much as the corpus pass itself — so the downstream is
+    ONE tagged-union collect instead (see inline comment): a single
+    scheduled job returns top-20 + pair-left sums + last-token counts,
+    the totals derive driver-side in exact integer arithmetic, and the
+    ≤20 result rows fold back as a VALUES literal whose PMI computes
+    IN-PLAN with the identical FLOOR(LN(...)) expression at the family's
+    1e-4 dyadic floor (LN ulp disparity ~1e-15 against the grid — the
+    unigram query's documented discipline). The collected relations are
+    vocabulary-sized (the tfidf df-table / bigram vocab precedent), never
+    corpus-sized. The pair counts persist via the keyed-memo discipline
+    of _CMS_COUNTS (evict + unpersist stale generations; the bench's
     clearCache drops the data every attempt, so each attempt recomputes
-    from parquet) because THREE consumers (top-20, w1-sums, nb) would
-    otherwise re-inline the explode. Every downstream step is
-    vocab-sized: top-20 selection (count DESC, w1, w2 —
-    integer-deterministic), a full-outer merge of pair-left sums with
-    last-token counts, two equi-joins, and PMI computes in-plan at the
-    family's 1e-4 dyadic floor (LN ulp disparity ~1e-15 against the
-    grid — the unigram query's documented discipline)."""
+    from parquet) because the collect's three branches would otherwise
+    re-inline the explode."""
     from pyspark.sql import functions as F2
 
     src = spread_documents_src(spark, sf_dir)
     toks = f"(SELECT split(text, ' ') AS t FROM {src} WHERE text IS NOT NULL)"
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
-    pc = _COLL_COUNTS.get(key)
-    if pc is None:
-        pc = _maybe_eager(
-            spark.sql(
-                f"""
+    # Every post-scan relation here is count-table-sized (pairs + vocab ≈
+    # 1000 rows at the replica), but the session's static shuffle sizing
+    # targets the corpus — 20-32 reducers per exchange — so the downstream
+    # stages are ~95% empty task launches (measured: the relational
+    # downstream cost ~0.7 s against a warm cache, all scheduling). For a
+    # single-FILE corpus, size the query's reducers from the file instead
+    # (1 per 4 MB of documents, floor 1) for the duration of the fn's
+    # planning/actions; map-side partial aggregation keeps the scan stage
+    # parallel regardless of reducer count. Directory corpora (real
+    # lakehouse) skip the override and keep the session policy.
+    prev_parts = None
+    try:
+        doc_sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, doc_sz >> 22))
+        )
+    except OSError:
+        pass
+    try:
+        pc = _COLL_COUNTS.get(key)
+        if pc is None:
+            pc = _maybe_eager(
+                spark.sql(
+                    f"""
 SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
   SELECT inline(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
                          (a, b) -> struct(a AS w1, b AS w2)))
   FROM {toks} WHERE size(t) >= 2
 ) GROUP BY w1, w2
 """
-            ).persist()
-        )
-        for k in [k for k in _COLL_COUNTS if k[:2] == key[:2]]:
-            _COLL_COUNTS.pop(k).unpersist()
-        _COLL_COUNTS[key] = pc
-    # doc-level pass: last token + token-count sums, NO explode (the only
-    # other corpus touch, and it ships 50k tiny rows, not 2.7M tokens)
-    lastn = spark.sql(
-        f"""
-SELECT element_at(t, -1) AS lw, CAST(COUNT(*) AS BIGINT) AS lc,
-       CAST(SUM(size(t)) AS BIGINT) AS tsz
+                ).persist()
+            )
+            for k in [k for k in _COLL_COUNTS if k[:2] == key[:2]]:
+                _COLL_COUNTS.pop(k).unpersist()
+            _COLL_COUNTS[key] = pc
+        # doc-level pass: last-token counts, NO explode (the only other
+        # corpus touch, and it ships 50k tiny rows, not 2.7M tokens)
+        lastn = spark.sql(
+            f"""
+SELECT element_at(t, -1) AS lw, CAST(COUNT(*) AS BIGINT) AS lc
 FROM {toks} GROUP BY element_at(t, -1)
 """
-    )
-    top = pc.orderBy(F2.desc("c"), "w1", "w2").limit(20)
-    # count(w) = pair-left sum + last-token count (exact integer identity)
-    pw = pc.groupBy("w1").agg(F2.sum("c").alias("pw")).withColumnRenamed("w1", "tok")
-    u = (
-        pw.join(lastn, pw.tok == lastn.lw, "full_outer")
-        .select(
-            F2.coalesce(pw.tok, lastn.lw).alias("tok"),
-            (
-                F2.coalesce(F2.col("pw"), F2.lit(0))
-                + F2.coalesce(F2.col("lc"), F2.lit(0))
-            ).cast("long").alias("c"),
         )
-    )
-    u1 = u.select(F2.col("tok").alias("u1_tok"), F2.col("c").alias("c1"))
-    u2 = u.select(F2.col("tok").alias("u2_tok"), F2.col("c").alias("c2"))
-    totals = pc.agg(F2.expr("CAST(SUM(c) AS DOUBLE)").alias("nb")).crossJoin(
-        lastn.agg(F2.expr("CAST(SUM(tsz) AS DOUBLE)").alias("n"))
-    )
-    return (
-        top.join(u1, top.w1 == u1.u1_tok)
-        .join(u2, top.w2 == u2.u2_tok)
-        .crossJoin(totals)
-        .selectExpr(
-            "w1",
-            "w2",
-            "c AS pair_count",
-            "CAST(FLOOR(LN((c / nb) / ((c1 / n) * (c2 / n)))"
-            " * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi",
+        # ONE tagged-union collect gathers every downstream relation in a
+        # single scheduled job (VERDICT r10 #4's driver-round-trip budget):
+        # tag 0 = the deterministic top-20 pairs (count DESC, w1, w2),
+        # tag 1 = per-token pair-left sums (vocab-sized — the tfidf
+        # df-table / bigram vocab collect precedent), tag 2 = last-token
+        # counts. Both count totals DERIVE driver-side with exact integer
+        # arithmetic: nb = sum of the tag-1 sums (= total pairs), n = nb +
+        # sum of tag-2 counts (every doc contributes size-1 pairs and 1
+        # last token). The ≤20 result rows fold back as a VALUES literal
+        # and PMI still computes IN-PLAN with the identical FLOOR(LN(...))
+        # expression — no arithmetic moved to Python, so the dyadic-grid
+        # contract is untouched.
+        top20 = (
+            pc.orderBy(F2.desc("c"), "w1", "w2")
+            .limit(20)
+            .select(F2.lit(0).alias("tag"), "w1", "w2", "c")
         )
+        rows = top20.unionAll(
+            pc.groupBy("w1").agg(F2.sum("c").cast("long").alias("c"))
+            .select(F2.lit(1).alias("tag"), "w1", F2.lit(None).cast("string"), "c")
+        ).unionAll(
+            lastn.select(
+                F2.lit(2).alias("tag"), "lw", F2.lit(None).cast("string"), "lc"
+            )
+        ).collect()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    u: dict = {}
+    nb = 0
+    for r in rows:
+        if r.tag == 1:
+            u[r.w1] = u.get(r.w1, 0) + r.c
+            nb += r.c
+        elif r.tag == 2:
+            u[r.w1] = u.get(r.w1, 0) + r.c
+    n = nb + sum(r.c for r in rows if r.tag == 2)
+    top = sorted(
+        ((-r.c, r.w1, r.w2) for r in rows if r.tag == 0)
+    )  # driver-side re-sort only restates the collected order
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace(chr(39), chr(39) * 2) + "'"
+
+    vals = ", ".join(
+        f"({q(w1)}, {q(w2)}, CAST({-negc} AS BIGINT), CAST({u[w1]} AS BIGINT),"
+        f" CAST({u[w2]} AS BIGINT))"
+        for negc, w1, w2 in top
+    )
+    if not vals:  # corpus with no adjacent pairs (all-NULL / single-token)
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS w1, CAST(NULL AS STRING) AS w2,"
+            " CAST(NULL AS BIGINT) AS pair_count,"
+            " CAST(NULL AS DOUBLE) AS pmi WHERE 1 = 0"
+        )
+    return spark.sql(
+        f"""
+SELECT w1, w2, c AS pair_count,
+  CAST(FLOOR(LN((c / CAST({nb} AS DOUBLE)) /
+              ((c1 / CAST({n} AS DOUBLE)) * (c2 / CAST({n} AS DOUBLE))))
+       * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS DOUBLE) AS pmi
+FROM (VALUES {vals}) AS t(w1, w2, c, c1, c2)
+"""
     )
 
 
@@ -5920,6 +5978,31 @@ def _bpe_merge_train_fn(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
     tag = hashlib.md5(f"{sf_dir}|{key[2]}".encode()).hexdigest()[:12]
     view = f"_bpe_wf_{tag}"
+    # every exchange in this trainer carries |vocab|-or-smaller relations
+    # (word frequencies, pair counts), so for a single-FILE corpus size the
+    # reducers from the file (1 per 4 MB, floor 1) for the duration of the
+    # fn's in-fn actions — the collocations discipline: map-side partials
+    # keep the scan parallel, and the session policy is restored before
+    # returning (the returned relation is a VALUES literal, no shuffle).
+    prev_parts = None
+    try:
+        doc_sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, doc_sz >> 22))
+        )
+    except OSError:
+        pass
+    try:
+        return _bpe_merge_train_body(spark, sf_dir, key, view)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _bpe_merge_train_body(spark, sf_dir, key, view):
+    from pyspark.sql import functions as F2
+
     if _BPE_WF.get(key) != view:
         # spread view: same rationale as _cms_spark_fn — the word-frequency
         # explode recomputes per bench attempt on a coarse 2-split scan
