@@ -5789,65 +5789,132 @@ GROUP BY word, true_count
 
 def _cms_spark_fn(spark, sf_dir):
     """Spark plan for the CMS demo: the token-count relation is computed
-    ONCE and persisted, then the sketch (4-row depth fan-out -> 1024
-    counter groups), the top-20 truth, and the probe join all derive from
-    it — the counter SUM over per-word counts equals the SUM over raw
-    occurrences, and persisting kills the WITH-reference re-expansion
-    that re-ran the token explode once per consumer (the minhash/
-    event_funnel failure mode; the shared-CTE text stays as the DuckDB
-    oracle, which shares CTE results). 4.2 s -> measured below at sf1."""
+    ONCE and persisted, then the sketch counters and the top-20 truth come
+    back in ONE tagged-union collect and the probe (point query = MIN over
+    the four probed counters) runs driver-side in exact integer arithmetic.
+
+    The r11 pre-optimization shape derived sketch, truth, AND the probe
+    join as a relational downstream of the persisted counts; a warm-cache
+    decomposition at the 10x replica measured that downstream at ~0.5 s —
+    as much as the corpus pass — all of it stage scheduling over relations
+    bounded at 1024 rows (the ngram_collocations finding, same fix). Both
+    collected branches are bounded BY CONSTRUCTION, not by data: the
+    sketch is depth 4 x width 256 = <=1024 counter rows at any corpus
+    size (that bound is the point of the sketch), the truth branch is a
+    deterministic top-20. The <=20 result rows fold back as a VALUES
+    literal and overestimate/bound_holds still compute in-plan; every
+    quantity is a BIGINT, so the driver-side MIN is bit-identical to the
+    relational MIN (the DuckDB oracle keeps the shared-CTE join text)."""
     from pyspark.sql import functions as F2
 
     # Keyed memo like _BPE_WF / _IVF_CENTROIDS: without it every bench /
     # driver invocation persisted a fresh copy of the same counts relation
     # for the app lifetime (r9 ADVICE). Evict (and unpersist) stale
-    # same-corpus-dir entries on refresh.
+    # same-corpus-dir entries on refresh. Still needed with the single
+    # collect: the union's two branches would otherwise re-run the token
+    # explode once each inside the one job.
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
-    counts = _CMS_COUNTS.get(key)
-    if counts is None:
-        # spread view: the token explode re-runs per bench attempt (the
-        # persisted relation is dropped by clearCache) and the coarse
-        # small-corpus scan serialized it (1.69 s vs 0.56 s at the 10x
-        # replica, mode A/B)
-        docs = spark.table(spread_documents_src(spark, sf_dir))
-        w = docs.select(
-            F2.explode(F2.split("text", " ")).alias("word")
-        ).filter("word != ''")
-        counts = _maybe_eager(
-            w.groupBy("word")
-            .agg(F2.count("*").cast("long").alias("true_count"))
-            .persist()
+    # post-scan relations here are vocabulary-sized; for a single-file
+    # corpus size this query's reducers from the documents file (1 per
+    # 4 MB, floor 1) for the duration of the fn's actions — map-side
+    # partial aggregation keeps the scan stage parallel regardless
+    # (the collocations/bpe_merge in-fn sizing discipline)
+    prev_parts = None
+    try:
+        doc_sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(1, doc_sz >> 22)))
+    except OSError:
+        pass
+    try:
+        counts = _CMS_COUNTS.get(key)
+        if counts is None:
+            # spread view: the token explode re-runs per bench attempt (the
+            # persisted relation is dropped by clearCache) and the coarse
+            # small-corpus scan serialized it (1.69 s vs 0.56 s at the 10x
+            # replica, mode A/B)
+            docs = spark.table(spread_documents_src(spark, sf_dir))
+            w = docs.select(
+                F2.explode(F2.split("text", " ")).alias("word")
+            ).filter("word != ''")
+            counts = _maybe_eager(
+                w.groupBy("word")
+                .agg(F2.count("*").cast("long").alias("true_count"))
+                .persist()
+            )
+            for k in [k for k in _CMS_COUNTS if k[:2] == key[:2]]:
+                _CMS_COUNTS.pop(k).unpersist()
+            _CMS_COUNTS[key] = counts
+        depth = spark.sql("SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)")
+        col = F2.expr(
+            "CAST(conv(substr(md5(concat('cms', CAST(j AS STRING), '|', word)),"
+            " 1, 15), 16, 10) AS BIGINT) % 256"
         )
-        for k in [k for k in _CMS_COUNTS if k[:2] == key[:2]]:
-            _CMS_COUNTS.pop(k).unpersist()
-        _CMS_COUNTS[key] = counts
-    depth = spark.sql("SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)")
-    col = F2.expr(
-        "CAST(conv(substr(md5(concat('cms', CAST(j AS STRING), '|', word)),"
-        " 1, 15), 16, 10) AS BIGINT) % 256"
+        sketch = (
+            counts.crossJoin(depth)
+            .select("j", col.alias("col"), "true_count")
+            .groupBy("j", "col")
+            .agg(F2.sum("true_count").cast("long").alias("cnt"))
+            .select(
+                F2.lit(0).alias("tag"),
+                "j",
+                "col",
+                "cnt",
+                F2.lit(None).cast("string").alias("word"),
+            )
+        )
+        truth = (
+            counts.orderBy(F2.desc("true_count"), "word")
+            .limit(20)
+            .select(
+                F2.lit(1).alias("tag"),
+                F2.lit(None).cast("int").alias("j"),
+                F2.lit(None).cast("bigint").alias("col"),
+                F2.col("true_count").alias("cnt"),
+                "word",
+            )
+        )
+        rows = sketch.unionAll(truth).collect()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import hashlib
+
+    counters = {(r.j, r.col): r.cnt for r in rows if r.tag == 0}
+    top = sorted((-r.cnt, r.word) for r in rows if r.tag == 1)
+
+    def est(word: str) -> int:
+        # identical hash form to the in-plan expression: first 15 hex chars
+        # of md5('cms<j>|<word>') as a 60-bit integer, mod the width. A
+        # (j, col) cell no truth word hashed into cannot be probed, so
+        # .get() misses never occur for collected truth words.
+        return min(
+            counters[
+                (j, int(hashlib.md5(f"cms{j}|{word}".encode()).hexdigest()[:15], 16) % 256)
+            ]
+            for j in range(4)
+        )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace(chr(39), chr(39) * 2) + "'"
+
+    vals = ", ".join(
+        f"({q(word)}, CAST({-negc} AS BIGINT), CAST({est(word)} AS BIGINT))"
+        for negc, word in top
     )
-    sketch = (
-        counts.crossJoin(depth)
-        .select("j", col.alias("col"), "true_count")
-        .groupBy("j", "col")
-        .agg(F2.sum("true_count").cast("long").alias("cnt"))
-    )
-    truth = counts.orderBy(F2.desc("true_count"), "word").limit(20)
-    probed = (
-        truth.crossJoin(depth)
-        .withColumn("col", col)
-        .join(sketch, ["j", "col"])
-        .groupBy("word", "true_count")
-        .agg(F2.min("cnt").alias("cms_estimate"))
-    )
-    return probed.select(
-        "word",
-        "true_count",
-        "cms_estimate",
-        (F2.col("cms_estimate") - F2.col("true_count")).alias("overestimate"),
-        (F2.col("cms_estimate") >= F2.col("true_count"))
-        .cast("boolean")
-        .alias("bound_holds"),
+    if not vals:  # empty corpus: zero heavy hitters, typed empty relation
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS word, CAST(NULL AS BIGINT) AS true_count,"
+            " CAST(NULL AS BIGINT) AS cms_estimate, CAST(NULL AS BIGINT) AS overestimate,"
+            " CAST(NULL AS BOOLEAN) AS bound_holds WHERE 1 = 0"
+        )
+    return spark.sql(
+        f"""
+SELECT word, true_count, cms_estimate,
+  cms_estimate - true_count AS overestimate,
+  CAST(cms_estimate >= true_count AS BOOLEAN) AS bound_holds
+FROM (VALUES {vals}) AS t(word, true_count, cms_estimate)
+"""
     )
 
 

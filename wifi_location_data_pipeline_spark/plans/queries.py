@@ -3884,11 +3884,50 @@ def _batch_localization_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant). Deployment note: local checkpoints don't survive executor
     # loss; a cluster job would use a reliable checkpoint dir or accept
     # recompute-on-failure for a derived relation like this one.
-    m = (
-        _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
-        .repartition("bssid")
-        .localCheckpoint(eager=True)
+    # Size the checkpoint partitioning from the PYTHON work it feeds, not
+    # the SQL shuffle default: the MLE/Bayesian tiers are per-row Python
+    # CPU downstream of this exchange (partition count must reach the
+    # worker pool once there are enough rows to fill it — A/B at the 10x
+    # replica: 2.36 s at core parity vs 3.19 s riding the 20-partition
+    # static default), but the checkpoint also anchors ~45 downstream
+    # jobs, each paying one task round per partition — so a small corpus
+    # must NOT fan out to cores (A/B at sf0.1: 1.11 s at 8 parts vs
+    # 1.95 s at 32). ~30k source rows per partition crosses over at the
+    # right place at both benched scales and keeps partitions beyond the
+    # worker pool from mattering (cores-capped); at-scale sessions never
+    # shrink below their configured parallelism — max() only raises it.
+    try:
+        import pyarrow.parquet as _pq
+
+        _n_rows = _pq.ParquetFile(
+            os.path.join(sf_dir, "events.parquet")
+        ).metadata.num_rows
+    except Exception:
+        _n_rows = 1 << 30
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        else 0,
+        min(spark.sparkContext.defaultParallelism, max(8, _n_rows // 30000)),
     )
+    # raise the count via an in-fn shuffle-partition override (restored
+    # after the eager checkpoint materializes) rather than an explicit
+    # repartition(n, ...): with a matching count the repartition below
+    # merges into the cap window's own bssid exchange — ONE exchange, and
+    # the checkpoint keeps the window's (bssid, event_id) sort order for
+    # every downstream per-AP window; an explicit mismatched count added a
+    # second exchange and destroyed the order (visible in the r11 plan
+    # capture: hashpartitioning(bssid, 20) + sorted leaf -> 32 unsorted).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        m = (
+            _derived_measurements_df(spark, sf_dir, cap_by_ap=True)
+            .repartition("bssid")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = localize_with_history(m)
     return out.select(
         "bssid",

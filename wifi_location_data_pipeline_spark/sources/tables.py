@@ -174,11 +174,21 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         # size-derived static partition count: 8 below 8 MB (the sf<=0.1
         # corpora — fixed cost dominates), growing one partition per MB of
         # fact data so partitions stay in the single-digit-MB range local
-        # shuffles like, capped at the session's core count. At 25 MB of
-        # facts (the 10x replica) this is 25 partitions of ~1 MB — enough
-        # fan-out for the CPU-heavy sort/aggregate stages without AQE's
-        # per-exchange job rounds.
-        parts = max(8, min(int(largest >> 20), spark.sparkContext.defaultParallelism))
+        # shuffles like, capped at the session's core count. At 20 MB of
+        # facts (the 10x replica) this is 20 partitions of ~1 MB. A 2/MB
+        # variant (core parity by 16 MB) was interleaved-A/B'd at the
+        # replica and LOST on the shuffle-bound family (dedup_clusters
+        # 2.04 -> 2.39 s, retention_cohorts 0.71 -> 1.01, minhash 1.59 ->
+        # 1.75 best-of-3 each) while only the Python-kernel stages gained —
+        # those request cores-level fan-out explicitly at their repartition
+        # sites instead (codec, localization). Deployments can pin
+        # SPARK_GRAFT_SMALL_SHUFFLE_PARTS to override the derived count.
+        parts_env = os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE_PARTS")
+        parts = (
+            int(parts_env)
+            if parts_env
+            else max(8, min(int(largest >> 20), spark.sparkContext.defaultParallelism))
+        )
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
