@@ -43,6 +43,29 @@ def test_registry_window_invariant():
     assert set(_TAIL) == set(names[len(names) - len(_TAIL):])
 
 
+def test_bm25_twin_matches_declared_sql(spark, sf_dir, monkeypatch):
+    """The tokenize-once spark twin must reproduce the declared SQL exactly.
+
+    The twin only engages above _BM25_TWIN_MIN_BYTES of documents (below it
+    the saved tokenize is smaller than its extra job round), so the test
+    corpus would exercise only the SQL fallback — force the twin on and
+    compare both paths row-for-row, bm25 scores included (the twin folds the
+    driver-collected corpus stats back as integer literals; the identical
+    IEEE op sequence must survive that folding)."""
+    from wifi_location_data_pipeline_spark.plans import llm_queries as L
+    from wifi_location_data_pipeline_spark.plans.dialect import DOCS_SPREAD_TOKEN
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    monkeypatch.setattr(L, "_BM25_TWIN_MIN_BYTES", 0)
+    twin = L._bm25_spark_fn(spark, sf_dir).collect()
+    sql_text = L._bm25_sql("spark").replace(
+        DOCS_SPREAD_TOKEN, L.spread_documents_src(spark, sf_dir)
+    )
+    declared = spark.sql(sql_text).collect()
+    assert [tuple(r) for r in twin] == [tuple(r) for r in declared]
+
+
 @pytest.mark.parametrize("name", TAIL_WITH_ORACLE)
 def test_tail_query_matches_oracle(name, spark, sf_dir, duck):
     from pyspark.sql.types import DecimalType

@@ -4460,6 +4460,120 @@ LIMIT {k}
 """
 
 
+def _bm25_spark_fn(spark, sf_dir):
+    """Spark twin of _bm25_sql that tokenizes the corpus ONCE.
+
+    The SQL form's ``tf`` CTE is consumed twice (the stats aggregate and
+    the scored scan); Spark re-inlines WITH references, so the declared
+    text pays the split + per-term filter pass over every document TWICE
+    — measured 1.02 s vs DuckDB's 0.15 s (which shares CTE results) at
+    the 10x replica, ~0.45 s of it the second tokenize. Here the narrow
+    tf relation (doc_id, dl, one BIGINT per query term — no text) is
+    computed once and persisted under the keyed-memo discipline, the
+    one-row corpus stats COLLECT (bounded by construction: 2 + |terms|
+    integers), and idf/norm/score evaluate IN-PLAN over integer literals
+    with the identical expression text — same IEEE op sequence, so the
+    1e-6 grid rounds identically and the oracle match is exact. At 100 TB
+    the persisted tf is the posting-statistics relation a retrieval
+    pipeline materializes anyway (tens of bytes/doc), and the only
+    exchange is the TakeOrdered(k) cutoff."""
+    from pyspark.sql import functions as F2
+    from wifi_location_data_pipeline_spark.plans.dialect import DOCS_SPREAD_TOKEN
+
+    try:
+        docs_sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        docs_sz = 1 << 30  # directory layout: always big enough for the twin
+    if docs_sz < _BM25_TWIN_MIN_BYTES:
+        # tiny corpus: the twin's extra scheduled round (stats collect job +
+        # scoring job) costs more than the second tokenize it saves — run
+        # the declared single-job text as-is (measured at sf0.1: 0.48 s SQL
+        # vs 0.64 s twin; the crossover rides the same text-volume axis as
+        # the corpus config, env-overridable for other storage profiles)
+        text = _bm25_sql("spark").replace(
+            DOCS_SPREAD_TOKEN, spread_documents_src(spark, sf_dir)
+        )
+        return spark.sql(text)
+
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_TOPK
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fp(sf_dir))
+    tf = _BM25_TF.get(key)
+    if tf is None:
+        tfs = ", ".join(
+            f"CAST(size(filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+            for t in _BM25_TERMS
+        )
+        src = spread_documents_src(spark, sf_dir)
+        tf = _maybe_eager(
+            spark.sql(
+                f"SELECT doc_id, CAST(size(w) AS BIGINT) AS dl, {tfs}"
+                f" FROM (SELECT doc_id, {_ws_tokens('spark', 'text')} AS w"
+                f" FROM {src} WHERE text IS NOT NULL) t"
+            ).persist()
+        )
+        for kk in [kk for kk in _BM25_TF if kk[:2] == key[:2]]:
+            _BM25_TF.pop(kk).unpersist()
+        _BM25_TF[key] = tf
+    else:
+        # re-register with the cache manager: a session-wide clearCache()
+        # (the bench runs one before every timed attempt) silently drops the
+        # registration, and without it the stats job and the scoring job
+        # each re-tokenize the corpus — the exact double pass this twin
+        # exists to remove. persist() is a no-op while still registered.
+        tf.persist()
+    s = tf.agg(
+        F2.count("*").alias("n_docs"),
+        F2.sum("dl").alias("sum_dl"),
+        *[
+            F2.sum(F2.expr(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END")).alias(
+                f"df_{t}"
+            )
+            for t in _BM25_TERMS
+        ],
+    ).collect()[0]
+    n_docs, sum_dl = int(s["n_docs"]), int(s["sum_dl"])
+    # avgdl reproduced as the same division of the same integers the SQL's
+    # stats CTE performs (constant-folds to the identical double)
+    avgdl = f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS BIGINT))"
+    norm = (
+        f"CAST(1 AS DOUBLE) - CAST({b!r} AS DOUBLE)"
+        f" + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / {avgdl}"
+    )
+    contrib = " + ".join(
+        f"ln(CAST(1 AS DOUBLE) + (CAST({n_docs - int(s['df_' + t])} AS DOUBLE)"
+        f" + 0.5) / (CAST({int(s['df_' + t])} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f" / (CAST(tf_{t} AS DOUBLE) + CAST({k1!r} AS DOUBLE) * norm)"
+        for t in _BM25_TERMS
+    )
+    tf_total = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return (
+        tf.selectExpr(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            f"{norm} AS norm",
+        )
+        .selectExpr("doc_id", "dl", f"{tf_total} AS tf_total", f"{contrib} AS score_raw")
+        .orderBy(F2.desc("score_raw"), "doc_id")
+        .limit(k)
+        .selectExpr(
+            "doc_id",
+            "dl AS doc_len",
+            "tf_total",
+            "FLOOR(score_raw * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS bm25",
+        )
+    )
+
+
+_BM25_TF: dict = {}
+# tokenize-once twin crossover: below this documents.parquet size the saved
+# second tokenize is smaller than one scheduled job round (see _bm25_spark_fn)
+_BM25_TWIN_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BM25_TWIN_MIN_BYTES", str(2 << 20))
+)
+
+
 register(
     "bm25_topk",
     "BM25 top-k retrieval for a fixed term set over the documents corpus "
@@ -4468,6 +4582,7 @@ register(
     "over the scan, TakeOrdered cutoff — the relevance-ranking primitive "
     "for quality-by-retrieval corpus slicing.",
     sql=_bm25_sql,
+    spark_fn=_bm25_spark_fn,
 )
 
 
