@@ -102,7 +102,9 @@ def spread_documents_src(spark, sf_dir, full_fanout: bool = False) -> str:
         # 64 KB floor was tuned for the retired JVM HOF builders and left
         # sf0.1 on 10 of 32 cores.
         sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-        target = min(spark.sparkContext.defaultParallelism, sz // (16 << 10) + 1)
+        target = min(
+            spark.sparkContext.defaultParallelism, sz // _SPREAD_TEXT_PER_TASK + 1
+        )
     except OSError:
         target = 1
     if target > 1:
@@ -137,6 +139,19 @@ def spread_documents_src(spark, sf_dir, full_fanout: bool = False) -> str:
 
 
 _SPREAD_SRC: dict = {}
+# spread fan-out floor: raw text bytes each task should own before the
+# repartition adds another. Each Arrow task carries a fixed ~5-10 ms of
+# scheduling + serialization, so sub-~50 KB slices cost more than the
+# parallel md5 work they buy. Interleaved A/B at sf0.1 (best-of-two runs x
+# 4 attempts, 594 KB of documents): the 16 KB floor fans to 32 tasks and
+# measures minhash 0.99 / jaccard 1.94 s, the 48 KB floor (13 tasks) 0.85 /
+# 1.40 s, with simhash/clusters a tie; 96 KB starts re-serializing jaccard.
+# Corpora big enough to cap the target at the core count (the 10x replica
+# and up) are unaffected by the floor. Env-tunable for storage profiles
+# with different task overheads.
+_SPREAD_TEXT_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TEXT_PER_TASK", str(48 << 10))
+)
 
 
 def _maybe_eager(df):
