@@ -120,20 +120,25 @@ def spread_documents_src(spark, sf_dir, full_fanout: bool = False) -> str:
         scan_parts = load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
         if scan_parts * frac > target:
             target = 1
+    # Derive the view NAME from the memo key: sessions that alternate
+    # between corpora (A -> B -> A) would otherwise get a memo hit for A
+    # that returns the shared "documents" name now bound to B's documents,
+    # and every spread consumer (minhash/shingle/simhash/substring kernels)
+    # silently reads the wrong corpus. One view per (dir, fingerprint)
+    # generation keeps every memoized name permanently correct — ALSO on
+    # the no-repartition path: the alias view pins this generation's file
+    # listing at creation and adds no exchange (plan-identical to the
+    # plain table).
+    tag = hashlib.md5(
+        f"{sf_dir}|{key[2]}|{int(key[3])}".encode()
+    ).hexdigest()[:12]
+    df = load_table(spark, sf_dir, "documents")
     if target <= 1:
-        src = "documents"
+        src = f"_documents_plain_{tag}"
+        df.createOrReplaceTempView(src)
     else:
-        # Derive the view NAME from the memo key: sessions that alternate
-        # between corpora (A -> B -> A) would otherwise get a memo hit for A
-        # that returns the shared view name now bound to B's documents, and
-        # every spread consumer (minhash/shingle/simhash/substring kernels)
-        # silently reads the wrong corpus. One view per (dir, fingerprint)
-        # generation keeps every memoized name permanently correct.
-        tag = hashlib.md5(
-            f"{sf_dir}|{key[2]}|{int(key[3])}".encode()
-        ).hexdigest()[:12]
         src = f"_documents_spread_{tag}"
-        load_table(spark, sf_dir, "documents").repartition(target).createOrReplaceTempView(src)
+        df.repartition(target).createOrReplaceTempView(src)
     _SPREAD_SRC[key] = src
     return src
 
