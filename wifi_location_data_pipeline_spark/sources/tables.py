@@ -171,23 +171,32 @@ def configure_for_corpus(spark: SparkSession, sf_dir: str) -> None:
         # AQE on — skew joins and runtime re-planning are 100 TB features,
         # and the sf1 replica crosses the threshold.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # size-derived static partition count: 8 below 8 MB (the sf<=0.1
-        # corpora — fixed cost dominates), growing one partition per MB of
-        # fact data so partitions stay in the single-digit-MB range local
-        # shuffles like, capped at the session's core count. At 20 MB of
-        # facts (the 10x replica) this is 20 partitions of ~1 MB. A 2/MB
-        # variant (core parity by 16 MB) was interleaved-A/B'd at the
-        # replica and LOST on the shuffle-bound family (dedup_clusters
-        # 2.04 -> 2.39 s, retention_cohorts 0.71 -> 1.01, minhash 1.59 ->
-        # 1.75 best-of-3 each) while only the Python-kernel stages gained —
-        # those request cores-level fan-out explicitly at their repartition
-        # sites instead (codec, localization). Deployments can pin
-        # SPARK_GRAFT_SMALL_SHUFFLE_PARTS to override the derived count.
+        # size-derived static partition count: 8 below 32 MB of facts
+        # (fixed cost dominates), growing one partition per 4 MB beyond so
+        # per-partition shuffle data stays in the low-MB range, capped at
+        # the session's core count. Each reduce task costs ~8-12 ms of
+        # scheduling in local mode (micro-bench: a 50-group aggregate over
+        # the 10x replica runs 0.33/0.29/0.45/0.58 s at 1/4/20/32 static
+        # partitions), so the derived count errs low. Two interleaved A/Bs
+        # at the replica anchor the endpoints: 2 partitions/MB (40 -> 32)
+        # LOST on the shuffle-bound family (dedup_clusters 2.04 -> 2.39 s,
+        # retention_cohorts 0.71 -> 1.01, minhash 1.59 -> 1.75 best-of-3),
+        # and the r11 1/MB value (20) lost to 8 everywhere it was re-A/B'd
+        # (best-of-2 interleaved: minhash 1.57 -> 1.22, strategy_agreement
+        # 2.47 -> 1.98, simhash 1.74 -> 1.49, substring 1.35 -> 1.06,
+        # session_window 0.65 -> 0.52; scan-agg tail -0.1 to -0.3 each;
+        # only embedding_cosine +0.12, within noise). Python-kernel stages
+        # that need cores-level fan-out request it explicitly at their
+        # repartition sites (codec, localization, the spread view) and are
+        # unaffected. Deployments can pin SPARK_GRAFT_SMALL_SHUFFLE_PARTS
+        # to override the derived count.
         parts_env = os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE_PARTS")
         parts = (
             int(parts_env)
             if parts_env
-            else max(8, min(int(largest >> 20), spark.sparkContext.defaultParallelism))
+            else max(
+                8, min(int(largest >> 22), spark.sparkContext.defaultParallelism)
+            )
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
