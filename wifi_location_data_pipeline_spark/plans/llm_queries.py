@@ -5111,8 +5111,9 @@ def _collocations_fn(spark, sf_dir):
         count(w) = SUM(pair_count WHERE w1 = w) + #docs whose last token is w
 
     exactly (integer identity, no tolerance). The last-token relation
-    needs no explode: one doc-level aggregation (element_at(t, -1),
-    50k rows at the replica). A same-session decomposition at the replica
+    costs ONE extra marker row per document inside the same explode
+    (w2 IS NULL tags it), so the whole query touches the corpus once.
+    A same-session decomposition at the replica
     measured the RELATIONAL downstream (union-regroup + joins + global
     aggs over the ~1000-row count relations) at ~0.7 s of pure tiny-stage
     scheduling — as much as the corpus pass itself — so the downstream is
@@ -5156,13 +5157,22 @@ def _collocations_fn(spark, sf_dir):
     try:
         pc = _COLL_COUNTS.get(key)
         if pc is None:
+            # ONE corpus pass for BOTH relations: each doc's adjacent pairs
+            # AND its single last-token marker row (w2 IS NULL) come out of
+            # the same inline() — the previous separate doc-level last-token
+            # aggregation re-scanned and re-tokenized every document. A
+            # single-token doc contributes no pairs (empty zip_with slices)
+            # and exactly its marker, so both relations are row-identical
+            # to the two-pass form.
             pc = _maybe_eager(
                 spark.sql(
                     f"""
 SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
-  SELECT inline(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-                         (a, b) -> struct(a AS w1, b AS w2)))
-  FROM {toks} WHERE size(t) >= 2
+  SELECT inline(concat(
+    zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+             (a, b) -> struct(a AS w1, b AS w2)),
+    array(struct(element_at(t, -1) AS w1, CAST(NULL AS STRING) AS w2))))
+  FROM {toks}
 ) GROUP BY w1, w2
 """
                 ).persist()
@@ -5170,13 +5180,16 @@ SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
             for k in [k for k in _COLL_COUNTS if k[:2] == key[:2]]:
                 _COLL_COUNTS.pop(k).unpersist()
             _COLL_COUNTS[key] = pc
-        # doc-level pass: last-token counts, NO explode (the only other
-        # corpus touch, and it ships 50k tiny rows, not 2.7M tokens)
-        lastn = spark.sql(
-            f"""
-SELECT element_at(t, -1) AS lw, CAST(COUNT(*) AS BIGINT) AS lc
-FROM {toks} GROUP BY element_at(t, -1)
-"""
+        else:
+            # re-register with the cache manager: a session-wide
+            # clearCache() (the bench runs one before every timed attempt)
+            # drops the registration, and without it the collect's three
+            # union branches each re-run the corpus explode (the bm25 twin
+            # lesson). persist() is a no-op while still registered.
+            pc.persist()
+        pairs = pc.where("w2 IS NOT NULL")
+        lastn = pc.where("w2 IS NULL").select(
+            F2.col("w1").alias("lw"), F2.col("c").alias("lc")
         )
         # ONE tagged-union collect gathers every downstream relation in a
         # single scheduled job (VERDICT r10 #4's driver-round-trip budget):
@@ -5191,12 +5204,12 @@ FROM {toks} GROUP BY element_at(t, -1)
         # expression — no arithmetic moved to Python, so the dyadic-grid
         # contract is untouched.
         top20 = (
-            pc.orderBy(F2.desc("c"), "w1", "w2")
+            pairs.orderBy(F2.desc("c"), "w1", "w2")
             .limit(20)
             .select(F2.lit(0).alias("tag"), "w1", "w2", "c")
         )
         rows = top20.unionAll(
-            pc.groupBy("w1").agg(F2.sum("c").cast("long").alias("c"))
+            pairs.groupBy("w1").agg(F2.sum("c").cast("long").alias("c"))
             .select(F2.lit(1).alias("tag"), "w1", F2.lit(None).cast("string"), "c")
         ).unionAll(
             lastn.select(
@@ -5980,6 +5993,12 @@ def _cms_spark_fn(spark, sf_dir):
             for k in [k for k in _CMS_COUNTS if k[:2] == key[:2]]:
                 _CMS_COUNTS.pop(k).unpersist()
             _CMS_COUNTS[key] = counts
+        else:
+            # re-register after a session-wide clearCache() (the bm25 twin
+            # lesson): the sketch build and the truth probe both consume
+            # this relation, and without the registration each re-runs the
+            # word explode. persist() is a no-op while still registered.
+            counts.persist()
         depth = spark.sql("SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)")
         col = F2.expr(
             "CAST(conv(substr(md5(concat('cms', CAST(j AS STRING), '|', word)),"
@@ -6221,6 +6240,14 @@ def _bpe_merge_train_body(spark, sf_dir, key, view):
         for k in [k for k in _BPE_WF if k[:2] == key[:2]]:
             spark.catalog.dropTempView(_BPE_WF.pop(k))
         _BPE_WF[key] = view
+    else:
+        # re-register the word-frequency cache after a session-wide
+        # clearCache() (the bm25 twin lesson): every merge round queries
+        # this view several times, and without the registration each
+        # reference re-runs the corpus explode. Cache matching strips the
+        # view alias, so registering through spark.table serves every
+        # consumer; persist() is a no-op while still registered.
+        spark.table(view).persist()
 
     def q(sql):
         # This literal is interpolated into SPARK SQL text only, where the
