@@ -306,13 +306,82 @@ def _events_max_user_id(sf_dir: str) -> int | None:
     return mx
 
 
+# The time-split queries (relocation_time_split, kalman_update_step) anchor
+# their halves on the observation-window midpoint: a one-row scalar subquery
+# (MIN + MAX of whole-second epoch ts) / 2.0 over the unfiltered measurements
+# projection of events. Spark runs that subquery as its OWN scheduled job
+# scanning events before the main plan (~0.25-0.3 s at the 10x replica —
+# half of each entry's cost), while DuckDB answers min/max from footer
+# stats. Same exactness argument as the MAXUID fold, one step further:
+# FLOOR-to-seconds is monotone non-decreasing, so MIN/MAX commute with it
+# and the footer min/max (exact for int64 timestamp columns) floor to the
+# same BIGINTs the in-plan aggregate produces; the literal reproduces the
+# identical (BIGINT + BIGINT) / CAST(2.0 AS DOUBLE) op sequence, which
+# constant-folds to the same double. Falls back to the subquery (one extra
+# job, still correct) when stats are absent.
+_EVENTS_TSMID_REF = "(SELECT mid_s FROM split)"
+_EVENTS_TS_MINMAX_CACHE: dict[tuple, tuple[int, int] | None] = {}
+
+
+def _events_ts_minmax_s(sf_dir: str) -> tuple[int, int] | None:
+    key = (sf_dir, _corpus_fingerprint(sf_dir))
+    if key in _EVENTS_TS_MINMAX_CACHE:
+        return _EVENTS_TS_MINMAX_CACHE[key]
+    import datetime as _dt
+
+    out: tuple[int, int] | None = None
+    epoch = _dt.datetime(1970, 1, 1)
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        paths = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        mn = mx = None
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name for i in range(len(md.schema))]
+            idx = names.index("ts")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("ts stats missing")
+                lo, hi = st.min, st.max
+                if lo.tzinfo is not None or hi.tzinfo is not None:
+                    raise ValueError("tz-aware ts stats")  # NTZ corpus only
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+        if mn is not None:
+            # floor-to-seconds in exact integer arithmetic (timedelta
+            # normalizes to non-negative days/seconds for post-epoch values)
+            d0, d1 = mn - epoch, mx - epoch
+            out = (d0.days * 86400 + d0.seconds, d1.days * 86400 + d1.seconds)
+    except Exception:
+        out = None
+    _EVENTS_TS_MINMAX_CACHE.clear()  # one corpus at a time; drop stale regens
+    _EVENTS_TS_MINMAX_CACHE[key] = out
+    return out
+
+
 def _fold_events_stats(sf_dir: str, sql_text: str) -> str:
-    if _EVENTS_MAXUID_SQL not in sql_text:
-        return sql_text
-    mx = _events_max_user_id(sf_dir)
-    if mx is None:
-        return sql_text
-    return sql_text.replace(_EVENTS_MAXUID_SQL, f"CAST({int(mx)} AS BIGINT)")
+    if _EVENTS_MAXUID_SQL in sql_text:
+        mx = _events_max_user_id(sf_dir)
+        if mx is not None:
+            sql_text = sql_text.replace(
+                _EVENTS_MAXUID_SQL, f"CAST({int(mx)} AS BIGINT)"
+            )
+    if _EVENTS_TSMID_REF in sql_text:
+        mm = _events_ts_minmax_s(sf_dir)
+        if mm is not None:
+            sql_text = sql_text.replace(
+                _EVENTS_TSMID_REF,
+                f"((CAST({mm[0]} AS BIGINT) + CAST({mm[1]} AS BIGINT))"
+                f" / CAST(2.0 AS DOUBLE))",
+            )
+    return sql_text
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
