@@ -170,6 +170,44 @@ def test_events_footer_max_matches_scan_max():
     ) == "SELECT (SELECT MAX(user_id) FROM events) AS m"
 
 
+def test_events_footer_ts_minmax_matches_scan():
+    """Mirror of the MAXUID pin for the time-split midpoint fold:
+    plans.queries._fold_events_stats replaces `(SELECT mid_s FROM split)`
+    with ((MIN_s + MAX_s) / 2.0) where MIN_s/MAX_s come from the parquet
+    footer ts statistics floored to whole epoch seconds. The fold's
+    exactness premise is that FLOOR-to-seconds is monotone, so footer
+    min/max floor to the same BIGINTs the in-plan
+    MIN(FLOOR(epoch(ts)))/MAX(FLOOR(epoch(ts))) aggregate produces. Assert
+    that per shipped corpus, so a future corpus writer with truncated or
+    absent ts stats fails loudly here instead of only via the runtime
+    fallback."""
+    import duckdb
+
+    from wifi_location_data_pipeline_spark.plans.queries import (
+        _events_ts_minmax_s,
+        _fold_events_stats,
+    )
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        true_mn, true_mx = con.execute(
+            "SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)),"
+            " MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))"
+            f" FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert _events_ts_minmax_s(sf_dir) == (true_mn, true_mx), sf
+        folded = _fold_events_stats(sf_dir, "SELECT (SELECT mid_s FROM split) AS m")
+        assert folded == (
+            f"SELECT ((CAST({true_mn} AS BIGINT) + CAST({true_mx} AS BIGINT))"
+            " / CAST(2.0 AS DOUBLE)) AS m"
+        ), sf
+    # a corpus dir without events.parquet keeps the subquery untouched
+    assert _fold_events_stats(
+        "/nonexistent", "SELECT (SELECT mid_s FROM split) AS m"
+    ) == "SELECT (SELECT mid_s FROM split) AS m"
+
+
 def test_emb_head_vectors_matches_scan():
     """plans.llm_queries._emb_head_vectors reads the ANN family's bounded
     seed/query vector sets (vec_id < n) driver-side with pyarrow instead of

@@ -66,6 +66,27 @@ def test_bm25_twin_matches_declared_sql(spark, sf_dir, monkeypatch):
     assert [tuple(r) for r in twin] == [tuple(r) for r in declared]
 
 
+def test_collocations_bounded_matches_small(spark, sf_dir, monkeypatch):
+    """ngram_collocations' at-scale bounded-collect branch must reproduce
+    the small-corpus one-job branch exactly.
+
+    Above _COLL_BOUNDED_MIN_BYTES of documents the query bounds its driver
+    collects to the top-20's tokens (+ NULL-group complements carrying the
+    global totals) instead of pulling the whole vocabulary; the totals and
+    per-token counts it derives must be the same integers, so the PMI
+    VALUES literal — and every output row — must match the small branch
+    bit-for-bit."""
+    from wifi_location_data_pipeline_spark.plans import llm_queries as L
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    small = L._collocations_fn(spark, sf_dir).collect()
+    monkeypatch.setattr(L, "_COLL_BOUNDED_MIN_BYTES", 0)
+    bounded = L._collocations_fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in bounded] == [tuple(r) for r in small]
+    assert len(small) > 0  # the corpus must actually exercise the fold
+
+
 @pytest.mark.parametrize("name", TAIL_WITH_ORACLE)
 def test_tail_query_matches_oracle(name, spark, sf_dir, duck):
     from pyspark.sql.types import DecimalType

@@ -45,10 +45,22 @@ def main() -> None:
     spark = build_session(
         master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus)
     )
+    # internal-collect plan tap (r11 VERDICT "what's wrong" #6): queries
+    # that fold a collected data pass back as a VALUES literal hide that
+    # pass from the returned frame's explain; the tap records each hidden
+    # job's plan so the capture file covers it too
+    tap: list = []
+    try:
+        from wifi_location_data_pipeline_spark.plans import llm_queries as _lq
+
+        _lq._PLAN_TAP = tap
+    except Exception:
+        pass
     n = 0
     for name, fn in entry.queries().items():
         if only and name not in only:
             continue
+        tap.clear()
         try:
             df = fn(spark, args.sf_dir)
         except Exception as e:  # streaming/demo entries that need staging
@@ -66,6 +78,8 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             txt = buf.getvalue()
+        for label, plan_txt in tap:
+            txt += f"\n\n=== internal job: {label} ===\n{plan_txt}"
         out = os.path.join(args.outdir, f"{name}_{args.tag}.txt")
         with open(out, "w") as f:
             f.write(txt)

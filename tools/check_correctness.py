@@ -125,6 +125,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--schema-only", action="store_true")
+    ap.add_argument(
+        "--log-file",
+        default=None,
+        help="tee every per-query PASS/FAIL/ROWS line to this file, flushed "
+        "per line, so a truncated stdout capture can never lose a failing "
+        "query's name (defaults to /tmp/gate_<corpus>.log)",
+    )
     args = ap.parse_args()
 
     if args.schema_only:
@@ -148,6 +155,23 @@ def main() -> int:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
     )
+
+    # loss-proof per-query record (r11 watch item: one 20x gate run printed
+    # "113 pass / 1 fail" with the failing name lost to output truncation).
+    # Every per-query verdict line is appended to the log file and flushed
+    # BEFORE the summary, so the record survives any stdout capture window.
+    log_path = args.log_file or os.path.join(
+        "/tmp", f"gate_{os.path.basename(args.sf_dir.rstrip('/')) or 'corpus'}.log"
+    )
+    log_fh = open(log_path, "a")
+    log_fh.write(f"# gate run start: sf_dir={args.sf_dir} t={time.time():.0f}\n")
+    log_fh.flush()
+
+    def emit(line: str) -> None:
+        print(line)
+        sys.stdout.flush()
+        log_fh.write(line + "\n")
+        log_fh.flush()
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
@@ -187,35 +211,36 @@ def main() -> int:
                 if _has_decimal(f.dataType)
             ]
             if dec and name in oracles:
-                print(f"FAIL  {name}: DecimalType output columns {dec}")
+                emit(f"FAIL  {name}: DecimalType output columns {dec}")
                 n_fail += 1
                 continue
             sdf = out.toPandas()
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:200]}")
+            emit(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:200]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            emit(f"ROWS  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:200]}")
+            emit(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:200]}")
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         if problems:
-            print(f"FAIL  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            emit(f"FAIL  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             for p in problems[:4]:
-                print(f"      {p}")
+                emit(f"      {p}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            emit(f"PASS  {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    emit(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    log_fh.close()
     spark.stop()
     return 1 if n_fail else 0
 
