@@ -1994,8 +1994,13 @@ def _decode_media_fn(spark, sf_dir):
     )
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
+    # sha256 + content-hash feature cost ~10 us/doc — at 1536 rows/task the
+    # r11 sizing repartitioned the FULL-TEXT frame (a payload round-robin
+    # exchange, guide §2.3's exact anti-pattern) to win parallelism the
+    # kernel never uses; 8192 rows/task keeps the scan's own partitioning
+    # on any corpus big enough to matter
     docs = _spread_for_python(
-        spark, sf_dir, load_table(spark, sf_dir, "documents"), rows_per_task=1536
+        spark, sf_dir, load_table(spark, sf_dir, "documents"), rows_per_task=8192
     )
     media = synthesize_media_from_documents(docs)
     return decode_media(media).select(
@@ -2078,29 +2083,41 @@ FROM idx
 )
 
 
-def _media_docs(spark, sf_dir, pred: str):
+# Per-format rows/task for the media kernels, derived from the measured
+# per-doc synth+decode cost (single-core, replica-scale documents): jpeg
+# ~410 us/doc (progressive Huffman decode), png ~185, wav ~110, mp4 ~70 —
+# each targets ~0.15 s of kernel time per task (guide §4: above the
+# per-task Arrow+worker floor, below serializing one core). The r11 shared
+# 1536-rows/task constant under-fanned jpeg (0.6 s/task) and over-fanned
+# the cheap formats into exchange + empty-task overhead.
+_MEDIA_ROWS_PER_TASK = {"jpeg": 384, "png": 768, "wav": 1280, "mp4": 2048}
+
+
+def _media_docs(spark, sf_dir, pred: str, fmt: str = "wav", sel: float = 1 / 3):
     """(doc_id, n_chars) input frame for the media round-trip kernels
-    (wav/png/jpeg/mp4 stats), right-sized to the PYTHON work: the decode
-    kernels cost ~0.1-0.25 s of single-thread Python per corpus slice at
-    sf0.1 while the two-int-column scan splits into ~20 near-empty tasks
-    on a single-file test corpus — the per-task Arrow+worker floor was
-    2/3 of each query. Merge to ~4k docs/task (footer row count, no data
-    read); a directory corpus (real lakehouse) skips the merge and keeps
-    the storage parallelism — the same sizing policy as ann_ivf_probe's
-    probe stage and _documents_spread."""
+    (wav/png/jpeg/mp4 stats), right-sized to the PYTHON work per format
+    (_MEDIA_ROWS_PER_TASK); a directory corpus (real lakehouse) keeps the
+    storage parallelism — the same sizing policy as ann_ivf_probe's probe
+    stage and _documents_spread. sel=1/3: each format slice is exactly a
+    third of the corpus by the doc_id modulus, and sizing the fan-out on
+    the unfiltered footer count (the r11 form) requested 3x the tasks the
+    kernel work justifies."""
     from wifi_location_data_pipeline_spark.sources.tables import load_table
 
     docs = (
         load_table(spark, sf_dir, "documents").filter(pred)
         .select("doc_id", "n_chars")
     )
-    return _spread_for_python(spark, sf_dir, docs, rows_per_task=1536)
+    return _spread_for_python(
+        spark, sf_dir, docs,
+        rows_per_task=_MEDIA_ROWS_PER_TASK.get(fmt, 1536), sel=sel,
+    )
 
 
-def _spread_for_python(spark, sf_dir, df, rows_per_task: int):
+def _spread_for_python(spark, sf_dir, df, rows_per_task: int, sel: float = 1.0):
     """Right-size a small projection feeding a CPU-heavy Python kernel.
 
-    Partition count follows the PYTHON work (footer row count /
+    Partition count follows the PYTHON work (footer row count x sel /
     rows_per_task, cores-capped), not the scan bytes: the kernels cost
     ~0.1-0.5 ms/row while the scan split count follows openCostInBytes
     (1-2 splits for a single-file corpus on the small-corpus profile), so
@@ -2109,7 +2126,10 @@ def _spread_for_python(spark, sf_dir, df, rows_per_task: int):
     parallelizes. coalesce() handles the opposite direction (a directory
     corpus whose storage parallelism exceeds the work). rows_per_task
     targets ~0.1-0.25 s of kernel time per task: above the per-task
-    Arrow+scheduling floor, below serializing on one core."""
+    Arrow+scheduling floor, below serializing on one core. ``sel`` is the
+    fraction of footer rows that survive the caller's pre-filter (the
+    media kernels keep exactly one doc_id modulus class), so the fan-out
+    follows the rows the kernel will actually see."""
     if not os.path.isfile(os.path.join(sf_dir, "documents.parquet")):
         return df
     try:
@@ -2122,7 +2142,7 @@ def _spread_for_python(spark, sf_dir, df, rows_per_task: int):
             1,
             min(
                 spark.sparkContext.defaultParallelism,
-                n_rows // rows_per_task + 1,
+                int(n_rows * sel) // rows_per_task + 1,
             ),
         )
         scan_parts = df.rdd.getNumPartitions()
@@ -2154,7 +2174,7 @@ def _mp4_stats_fn(spark, sf_dir):
         _parse_mp4,
         synthesize_mp4_payload,
     )
-    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 2")
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 2", fmt="mp4")
 
     def kernel(batches):
         for pdf in batches:
@@ -2233,7 +2253,7 @@ def _wav_stats_fn(spark, sf_dir):
         _decode_wav,
         synthesize_wav_payload,
     )
-    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 1")
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 1", fmt="wav")
 
     def kernel(batches):
         for pdf in batches:
@@ -2325,7 +2345,7 @@ def _png_stats_fn(spark, sf_dir):
         _png_pixels,
         synthesize_png_payload,
     )
-    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 0")
+    docs = _media_docs(spark, sf_dir, "doc_id % 3 = 0", fmt="png")
 
     def kernel(batches):
         for pdf in batches:
@@ -2426,7 +2446,7 @@ def _jpeg_stats_fn(spark, sf_dir):
         _jpeg_pixels,
         synthesize_jpeg_payload,
     )
-    docs = _media_docs(spark, sf_dir, "doc_id % 6 = 1")
+    docs = _media_docs(spark, sf_dir, "doc_id % 6 = 1", fmt="jpeg", sel=1 / 6)
 
     def kernel(batches):
         for pdf in batches:
