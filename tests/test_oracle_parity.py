@@ -87,6 +87,24 @@ def test_collocations_bounded_matches_small(spark, sf_dir, monkeypatch):
     assert len(small) > 0  # the corpus must actually exercise the fold
 
 
+def test_strategy_agreement_fused_matches_two_pipeline(spark, sf_dir, monkeypatch):
+    """dedup_strategy_agreement's at-scale fused verify (union candidates
+    with provenance flags, verify the exact-Jaccard predicate once) must
+    reproduce the two-pipeline full-outer form exactly: a pair verified
+    >= 0.8 was found by a strategy iff it was that strategy's candidate,
+    so every count and recall must match bit-for-bit."""
+    from wifi_location_data_pipeline_spark.plans import llm_queries as L
+    from wifi_location_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    monkeypatch.setattr(L, "_AGREE_FUSED_MIN_BYTES", 1 << 60)  # force two-pipeline
+    two = L._strategy_agreement_spark_fn(spark, sf_dir).collect()
+    monkeypatch.setattr(L, "_AGREE_FUSED_MIN_BYTES", 0)  # force fused
+    fused = L._strategy_agreement_spark_fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in fused] == [tuple(r) for r in two]
+    assert two[0].n_union > 0  # the corpus must actually exercise both paths
+
+
 @pytest.mark.parametrize("name", TAIL_WITH_ORACLE)
 def test_tail_query_matches_oracle(name, spark, sf_dir, duck):
     from pyspark.sql.types import DecimalType

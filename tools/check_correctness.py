@@ -154,6 +154,19 @@ def main() -> int:
         app_name="check-correctness",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
+        extra_conf={
+            # the gate collects COMPLETE results to compare; filter-class
+            # queries on a >=256 MB-fact corpus return full-table-sized
+            # frames that blow the 1g default (observed: event_dedup
+            # 1035 MiB at the 220x corpus). Harness budget, not engine
+            # behavior — the engine queries themselves never collect.
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_GRAFT_GATE_MAX_RESULT", "4g"
+            ),
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_GATE_DRIVER_MEM", "16g"
+            ),
+        },
     )
 
     # loss-proof per-query record (r11 watch item: one 20x gate run printed

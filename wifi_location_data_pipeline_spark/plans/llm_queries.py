@@ -546,59 +546,16 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
 """
 
 
-def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None):
-    """N-gram Jaccard with a document-frequency cap on the blocking key.
-
-    The round-2 form blocked candidates on raw shingle equality: one hot
-    shingle with document frequency df produces O(df²) candidate pairs — a
-    quadratic blow-up on a single skewed key at 100 TB that AQE skew-split
-    can spread but not shrink. Candidates now come only from shingles with
-    df <= NGRAM_DF_CAP (bounded per-key fanout <= CAP²), while verification
-    still counts ALL common shingles so Jaccard stays exact for every
-    surviving pair.
-
-    The per-doc base arrays come from ``minhash_signature_table`` — the
-    single Arrow-batched shingle+md5 pass shared with MinHash (bases are the
-    60-bit md5-derived hashes of ``_minhash_based_sql``: 8-byte longs
-    shuffle far cheaper than ~20-char strings, and both dialects hash the
-    same strings with the same md5, so a cross-doc collision is the SAME
-    collision on both sides; the one asymmetry left is a WITHIN-doc 60-bit
-    collision, where array_intersect dedups what the oracle's join-count
-    counts twice — ~2^-60 per shingle pair, see ``_verify_pairs_jaccard``).
-
-    The pair generation is an inverted-index doc-list walk, not a
-    self-join: group shingle hashes to a sorted doc list per hash (df-cap
-    bounds the list), then explode each list's i<j pairs with an array
-    comprehension — narrow, JVM-side (interpreted: lambda HOFs skip
-    whole-stage codegen), no join build/probe, and one fewer shuffle than
-    the equi-self-join (which cost ~2.5 s on its own here).
-
-    Verification is ADAPTIVE by candidate volume, decided from one tiny
-    aggregate over the cached block lists (Σ C(df,2), the exact generated-
-    pair count): the blocked candidate set is O(Σ df²) and only the true
-    near-dups survive — 1.1M candidates → 256 survivors at sf0.1, where
-    the array form drags two ~52-element arrays through a 1.1M-row join
-    and pays interpreted array_intersect per candidate (measured 13.5 s
-    vs ~2.5 s for the join-count form whose n_rare falls out of the pair
-    generation's own GROUP BY for free). At sf1 the 10× document
-    frequencies push most blocking keys past the df-cap, candidates
-    collapse to O(true near-dups), and the array verify wins (2.2 s vs
-    4.8 s). Neither regime is knowable statically at 100 TB — it depends
-    on the corpus' dup structure — so the operator measures and picks.
-    Shared HOT shingles (df > cap) are covered either way: array verify
-    intersects FULL base sets; join-count adds them back from a second
-    small join.
-
-    Gotcha encoded below: Spark's ``sequence(1, 0)`` DESCENDS (it is not
-    empty), so single-doc lists must be filtered out before pair-gen.
-    """
+def _ngram_jaccard_parts(spark, sf_dir, arrs):
+    """Shared candidate machinery of the ngram-Jaccard pipeline: the
+    persisted per-base stats, the rare-shingle candidate pairs (doc-list
+    walk, duplicates retained) and the memoized adaptive-verify decision
+    count. Split out so dedup_strategy_agreement can reuse the SAME
+    relations instead of rebuilding them (r11 VERDICT #8)."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F2
 
-    if arrs is None:
-        arrs = minhash_signature_table(spark, sf_dir)
     based = arrs.select("doc_id", F2.explode("bases").alias("base"))
-    sizes = arrs.select("doc_id", "n_sh")
     # per-base stats with the doc list kept ONLY for rare (df <= cap)
     # shingles: a stop-word-grade hot shingle's list is O(#docs), and while
     # the aggregation builds it transiently either way, NULLing it before
@@ -653,10 +610,69 @@ def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None):
         for k in [k for k in _NGRAM_REGIME if k[:2] == dkey[:2]]:
             del _NGRAM_REGIME[k]
         _NGRAM_REGIME[dkey] = n_cand
+    return bstats, rare_pairs, n_cand
+
+
+def _ngram_jaccard_spark_fn(spark, sf_dir, arrs=None, parts=None):
+    """N-gram Jaccard with a document-frequency cap on the blocking key.
+
+    The round-2 form blocked candidates on raw shingle equality: one hot
+    shingle with document frequency df produces O(df²) candidate pairs — a
+    quadratic blow-up on a single skewed key at 100 TB that AQE skew-split
+    can spread but not shrink. Candidates now come only from shingles with
+    df <= NGRAM_DF_CAP (bounded per-key fanout <= CAP²), while verification
+    still counts ALL common shingles so Jaccard stays exact for every
+    surviving pair.
+
+    The per-doc base arrays come from ``minhash_signature_table`` — the
+    single Arrow-batched shingle+md5 pass shared with MinHash (bases are the
+    60-bit md5-derived hashes of ``_minhash_based_sql``: 8-byte longs
+    shuffle far cheaper than ~20-char strings, and both dialects hash the
+    same strings with the same md5, so a cross-doc collision is the SAME
+    collision on both sides; the one asymmetry left is a WITHIN-doc 60-bit
+    collision, where array_intersect dedups what the oracle's join-count
+    counts twice — ~2^-60 per shingle pair, see ``_verify_pairs_jaccard``).
+
+    The pair generation is an inverted-index doc-list walk, not a
+    self-join: group shingle hashes to a sorted doc list per hash (df-cap
+    bounds the list), then explode each list's i<j pairs with an array
+    comprehension — narrow, JVM-side (interpreted: lambda HOFs skip
+    whole-stage codegen), no join build/probe, and one fewer shuffle than
+    the equi-self-join (which cost ~2.5 s on its own here).
+
+    Verification is ADAPTIVE by candidate volume, decided from one tiny
+    aggregate over the cached block lists (Σ C(df,2), the exact generated-
+    pair count): the blocked candidate set is O(Σ df²) and only the true
+    near-dups survive — 1.1M candidates → 256 survivors at sf0.1, where
+    the array form drags two ~52-element arrays through a 1.1M-row join
+    and pays interpreted array_intersect per candidate (measured 13.5 s
+    vs ~2.5 s for the join-count form whose n_rare falls out of the pair
+    generation's own GROUP BY for free). At sf1 the 10× document
+    frequencies push most blocking keys past the df-cap, candidates
+    collapse to O(true near-dups), and the array verify wins (2.2 s vs
+    4.8 s). Neither regime is knowable statically at 100 TB — it depends
+    on the corpus' dup structure — so the operator measures and picks.
+    Shared HOT shingles (df > cap) are covered either way: array verify
+    intersects FULL base sets; join-count adds them back from a second
+    small join.
+
+    Gotcha encoded below: Spark's ``sequence(1, 0)`` DESCENDS (it is not
+    empty), so single-doc lists must be filtered out before pair-gen.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    if arrs is None:
+        arrs = minhash_signature_table(spark, sf_dir)
+    sizes = arrs.select("doc_id", "n_sh")
+    if parts is None:
+        parts = _ngram_jaccard_parts(spark, sf_dir, arrs)
+    bstats, rare_pairs, n_cand = parts
     if n_cand <= NGRAM_ARRAY_VERIFY_MAX_PAIRS:
         return _verify_pairs_jaccard(arrs, rare_pairs.distinct())
     # hot (df > cap) membership derives from the cached signature table —
     # only the bounded (base, df) rows come from the persisted stats
+    based = arrs.select("doc_id", F2.explode("bases").alias("base"))
     hot = based.join(
         bstats.filter(F2.col("df") > NGRAM_DF_CAP).select("base"), "base"
     )
@@ -973,10 +989,17 @@ def _minhash_spark_fn(spark, sf_dir, arrs=None):
     verification is size(array_intersect) over the two docs' base arrays —
     candidate pairs broadcast, the signature table never shuffles. The SQL
     spec lives on as the DuckDB oracle (``_minhash_duck_sql``)."""
-    from pyspark.sql import functions as F2
-
     if arrs is None:
         arrs = minhash_signature_table(spark, sf_dir)
+    return _verify_pairs_jaccard(arrs, _minhash_candidates(arrs).distinct())
+
+
+def _minhash_candidates(arrs):
+    """LSH band-collision candidate pairs (duplicates retained — one row per
+    colliding band). Split out so dedup_strategy_agreement can reuse the
+    banding without the per-pipeline distinct."""
+    from pyspark.sql import functions as F2
+
     bands = arrs.select(
         "doc_id",
         F2.explode(
@@ -994,7 +1017,7 @@ def _minhash_spark_fn(spark, sf_dir, arrs=None):
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.band_sig")
-    cand = (
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -1005,9 +1028,7 @@ def _minhash_spark_fn(spark, sf_dir, arrs=None):
             ],
         )
         .select(F2.col("x.doc_id").alias("doc_a"), F2.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
-    return _verify_pairs_jaccard(arrs, cand)
 
 
 register(
@@ -5358,6 +5379,16 @@ FROM (VALUES {vals}) AS t(w1, w2, c, c1, c2)
 
 _COLL_COUNTS: dict = {}
 
+# documents-file size above which dedup_strategy_agreement fuses its two
+# strategy verifications into ONE pass (union candidates with provenance
+# flags, verify once): below it the extra union-dedup shuffle round costs
+# more than the saved (broadcast-probe) verify; above it the verify pass
+# over the signature relation is the dominant cost and halving it wins
+# (guide §2.1 — the at-scale shape, validated on the >=256 MB corpus).
+_AGREE_FUSED_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_AGREE_FUSED_MIN_BYTES", str(32 << 20))
+)
+
 # documents-file size above which ngram_collocations switches its driver
 # collects to the vocabulary-independent bounded form (top-20 TakeOrdered +
 # ≤41-row-per-branch grouped stats). Below it the vocabulary is trivially
@@ -5547,22 +5578,77 @@ def _strategy_agreement_spark_fn(spark, sf_dir):
     # ONE signature-table build shared by both pipelines (each would
     # otherwise kernel-build and persist its own copy of the same relation)
     arrs = minhash_signature_table(spark, sf_dir)
-    lsh = _minhash_spark_fn(spark, sf_dir, arrs=arrs).select("doc_a", "doc_b")
-    blocked = _ngram_jaccard_spark_fn(spark, sf_dir, arrs=arrs).select(
-        "doc_a", "doc_b"
-    )
-    j = lsh.withColumn("in_lsh", F2.lit(1)).join(
-        blocked.withColumn("in_blk", F2.lit(1)), ["doc_a", "doc_b"], "full"
-    )
     six = lambda c: (F2.floor(c * 1e6 + F2.lit(0.5)) / F2.lit(1e6)).cast("double")
-    return j.agg(
-        F2.sum(F2.coalesce("in_lsh", F2.lit(0))).cast("long").alias("n_lsh"),
-        F2.sum(F2.coalesce("in_blk", F2.lit(0))).cast("long").alias("n_blocked"),
-        F2.sum(
-            (F2.col("in_lsh").isNotNull() & F2.col("in_blk").isNotNull()).cast("int")
+    parts = _ngram_jaccard_parts(spark, sf_dir, arrs)
+    _, rare_pairs, n_cand = parts
+    try:
+        doc_sz = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        doc_sz = None  # directory corpus: size unknown -> scale-safe fused
+    fused = doc_sz is None or doc_sz >= _AGREE_FUSED_MIN_BYTES
+    if fused and n_cand <= NGRAM_ARRAY_VERIFY_MAX_PAIRS:
+        # Both strategies verify the SAME exact-Jaccard predicate against
+        # the SAME signature table, so in the array-verify regime the two
+        # candidate sets union (provenance flags kept through a groupBy
+        # dedup) and verify ONCE (r12, VERDICT r11 #8): one pair of
+        # arrs-joins instead of two, one dedup shuffle instead of two
+        # distincts + a full-outer join. A pair verified >= 0.8 was found
+        # by a strategy iff it was that strategy's candidate, so the flag
+        # sums equal the old full-join counts exactly.
+        cands = (
+            _minhash_candidates(arrs)
+            .select("doc_a", "doc_b", F2.lit(1).alias("l"), F2.lit(0).alias("k"))
+            .unionAll(
+                rare_pairs.select(
+                    "doc_a", "doc_b", F2.lit(0).alias("l"), F2.lit(1).alias("k")
+                )
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F2.max("l").alias("in_lsh"), F2.max("k").alias("in_blk"))
         )
-        .cast("long")
-        .alias("n_both"),
+        a = arrs.select(
+            F2.col("doc_id").alias("doc_a"),
+            F2.col("bases").alias("ba"),
+            F2.col("n_sh").alias("na"),
+        )
+        b = arrs.select(
+            F2.col("doc_id").alias("doc_b"),
+            F2.col("bases").alias("bb"),
+            F2.col("n_sh").alias("nb"),
+        )
+        j = a.join(cands, "doc_a").join(b, "doc_b")
+        n_common = F2.size(F2.array_intersect("ba", "bb")).cast("double")
+        jac = n_common / (F2.col("na") + F2.col("nb") - n_common)
+        verified = j.filter(jac >= 0.8).select("in_lsh", "in_blk")
+    else:
+        # join-count regime (high candidate volume; the per-pipeline
+        # verifications are structurally different) OR a small corpus
+        # (below _AGREE_FUSED_MIN_BYTES the fused union-groupBy costs one
+        # extra shuffle round the tiny verifies never pay back — measured
+        # 2.14 s two-pipeline vs 2.36 s fused at the 10x replica, while
+        # both verify joins broadcast their pair sets there): keep the
+        # two-pipeline full-outer form; the candidate machinery is still
+        # shared via ``parts``
+        lsh = _minhash_spark_fn(spark, sf_dir, arrs=arrs).select("doc_a", "doc_b")
+        blocked = _ngram_jaccard_spark_fn(
+            spark, sf_dir, arrs=arrs, parts=parts
+        ).select("doc_a", "doc_b")
+        verified = (
+            lsh.withColumn("in_lsh", F2.lit(1))
+            .join(
+                blocked.withColumn("in_blk", F2.lit(1)),
+                ["doc_a", "doc_b"],
+                "full",
+            )
+            .select(
+                F2.coalesce("in_lsh", F2.lit(0)).alias("in_lsh"),
+                F2.coalesce("in_blk", F2.lit(0)).alias("in_blk"),
+            )
+        )
+    return verified.agg(
+        F2.sum("in_lsh").cast("long").alias("n_lsh"),
+        F2.sum("in_blk").cast("long").alias("n_blocked"),
+        F2.sum(F2.col("in_lsh") * F2.col("in_blk")).cast("long").alias("n_both"),
         F2.count("*").cast("long").alias("n_union"),
     ).select(
         "n_lsh",
