@@ -33,6 +33,14 @@ def main() -> None:
         "sizing (partition counts, fan-out exchanges) follow it; use 32 "
         "to match the bench profile",
     )
+    ap.add_argument(
+        "--execute",
+        action="store_true",
+        help="run each query to completion (count) BEFORE capturing, so an "
+        "AdaptiveSparkPlan is captured in its FINAL re-optimized form "
+        "(AQEShuffleRead coalescing, runtime join rewrites) instead of the "
+        "initial isFinalPlan=false shape — the at-scale evidence mode",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, args.repo)
@@ -63,6 +71,8 @@ def main() -> None:
         tap.clear()
         try:
             df = fn(spark, args.sf_dir)
+            if args.execute:
+                df.count()
         except Exception as e:  # streaming/demo entries that need staging
             print(f"SKIP {name}: {e}")
             continue
